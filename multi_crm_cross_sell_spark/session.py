@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets a large multi-executor cluster; locally we run
+``local[$SPARK_GRAFT_CPUS]``. All tuning lives here so tests, bench and
+the driver harness share one config surface:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB the static plan is always wrong
+  somewhere; AQE fixes partition counts and skew at runtime.
+- shuffle.partitions sized for the local harness (32); on a real
+  cluster AQE's coalescing makes a high initial value safe.
+- Arrow enabled for any pandas-UDF path (vectorized, batched transfer).
+- Session timezone pinned to UTC: the testdata timestamps are naive
+  (timestamp_ntz) and the DuckDB oracle is timezone-less, so every
+  date/time derivation must be wall-clock-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used both by :func:`get_spark` and on driver-provided sessions
+    (the verify harness passes its own SparkSession).
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The events table is written with parquet TIMESTAMP(NANOS) which the
+    # Spark vectorized reader cannot decode natively; read as long nanos
+    # and convert (sources/bronze.py floors to micros, matching DuckDB).
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = "multi-crm-cross-sell-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return tune(builder.getOrCreate())

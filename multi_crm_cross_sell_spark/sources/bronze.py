@@ -1,0 +1,75 @@
+"""Bronze-layer parquet readers for the testdata star schema.
+
+Replaces the reference's connector/extraction edge (SOQL REST paging +
+Bulk CSV jobs, ``src/connectors/salesforce.py:308-379``) with
+partitioned parquet scans: pagination, size-based REST/Bulk routing and
+source-side LIMIT/ORDER pushdown all disappear — Catalyst pushes
+filters, projections and limits into the scan, and partition
+parallelism replaces asyncio fan-out (``src/orchestrator.py:183-201``).
+
+Scale notes: reads are schema-on-file (no inference pass beyond the
+footer), filters/column pruning reach the parquet reader
+(PushedFilters / ReadSchema in `.explain`), and nothing here ever
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
+    which Spark's parquet reader rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` we read raw nanos and
+    floor-divide to micros — the exact conversion DuckDB applies, so
+    oracle comparisons stay bit-identical. Integer ``div`` is mandatory:
+    epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def with_lineage(df: DataFrame, org_id: str, org_name: str) -> DataFrame:
+    """Lineage metadata columns, mirroring the reference connector
+    contract (``src/connectors/base.py:151-156``): `_org_id`,
+    `_org_name`, `_extracted_at`. One long table per entity with org
+    columns replaces the reference's per-org DataFrame dicts.
+    """
+    return (
+        df.withColumn("_org_id", F.lit(org_id))
+        .withColumn("_org_name", F.lit(org_name))
+        .withColumn("_extracted_at", F.current_timestamp())
+    )
