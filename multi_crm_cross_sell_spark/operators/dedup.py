@@ -1,0 +1,163 @@
+"""Document deduplication operators for LLM-training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, and SimHash fingerprints, all as declarative
+DataFrame transforms over a (doc_id, text) table.
+
+Scale design:
+- Exact dedup hashes the full text → groupBy(hash). One shuffle on a
+  short key, never on the text body.
+- MinHash signatures are computed per-row (no shuffle); the LSH
+  band-bucket join turns the O(n²) pair space into an equi-join on
+  (band_idx, band_key) — the same blocking idea as SURVEY §2.3 J2, at
+  web scale. Verification (true shingle Jaccard) runs only on
+  band-collision candidates.
+- Hashes are md5-based column expressions (no Python, no
+  hashCode-nondeterminism across JVMs) so results are reproducible
+  cluster-to-cluster AND match a SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash family: mh_k(s) = (A[k] * h(s) + B[k]) mod P over the md5-based
+# base hash h(s). Fixed literals so Spark and any oracle agree.
+P = 2_147_483_647
+N_HASHES = 16
+BAND_ROWS = 4
+A = [1_000_003 + 7_919 * k for k in range(N_HASHES)]
+B = [12_345 + 104_729 * k for k in range(N_HASHES)]
+SHINGLE = 3
+
+
+def base_hash(col: Column) -> Column:
+    """md5 → first 15 hex chars → bigint (60 bits) → mod P."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
+
+
+def shingles(text: Column, n: int = SHINGLE) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Caller must filter texts with < n tokens."""
+    t = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _perm(k: int):
+    # closure factory: a default-arg lambda would change the lambda's
+    # arity and make transform() pass the element index into it
+    return lambda x: (F.lit(A[k]) * x + F.lit(B[k])) % P
+
+
+def minhash_signature(sh: Column) -> list[Column]:
+    """N_HASHES minhash values over a shingle array column."""
+    h = F.transform(sh, base_hash)
+    return [
+        F.array_min(F.transform(h, _perm(k))).alias(f"mh{k}") for k in range(N_HASHES)
+    ]
+
+
+def band_keys(prefix: str = "mh") -> list[Column]:
+    """Concatenate signature rows into BAND_ROWS-sized band keys."""
+    n_bands = N_HASHES // BAND_ROWS
+    out = []
+    for b in range(n_bands):
+        cols = [F.col(f"{prefix}{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        out.append(F.concat_ws("_", *cols).alias(f"band{b}"))
+    return out
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5(text) → group → representative = min(id).
+    Output one row per distinct text with its copy count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with verified shingle Jaccard.
+
+    signature (per-row) → band explode → equi-join on (band, key) →
+    distinct candidate pairs → verify true Jaccard ≥ threshold.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
+    ).where(F.size("sh") >= 1)
+    sig = base.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    banded = sig.select("doc_id", "sh", *band_keys())
+    n_bands = N_HASHES // BAND_ROWS
+    bands = banded.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    jac = inter / union.cast("double")
+    return (
+        cand.select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over word tokens: per-bit weighted vote of token
+    hashes. Small enough to stay a pure column expression; 64-bit
+    variant is the same construction over more bits."""
+    toks = F.array_distinct(F.split(text, " "))
+    h = F.transform(toks, base_hash)
+
+    def bit_vote(j: int):
+        return lambda x: (
+            F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        )
+
+    bits = []
+    for j in range(16):
+        vote = F.aggregate(F.transform(h, bit_vote(j)), F.lit(0), lambda acc, v: acc + v)
+        bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out

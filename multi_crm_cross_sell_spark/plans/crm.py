@@ -1,0 +1,444 @@
+"""Cross-sell CRM semantics (SURVEY §2.3 J1/J2, §2.7 F7-F21, §3.1)
+mapped onto the testdata star schema: nations play the role of CRM
+orgs, customers the role of accounts, orders the role of
+opportunities.
+
+The flagship ``cross_sell_recommendations`` reproduces the reference's
+core batch pipeline (/root/reference/src/ml/pipeline.py:300-373) as ONE
+lazy DataFrame DAG: activity aggregation → feature projection →
+per-org top-k candidate cap (rank keeps ties, mirroring
+``nlargest(..., keep="all")``) → pair join → rule score → when-ladders
+→ global rank → top-N. What the reference does with nested Python
+loops and per-pair 1-row model calls is here a capped broadcast
+nested-loop join over ~20 rows/org — constant-size pair space no
+matter how large the base tables grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.features import (
+    confidence_ladder,
+    is_enterprise,
+    log1p_guarded,
+    next_best_action,
+    pair_activity_score,
+    recency_score,
+    size_compatibility,
+    size_ratio,
+)
+from ..functions.hashing import ab_variant, deterministic_pair_id
+from ..functions.similarity import jaccard_tokens, levenshtein_similarity
+from ..functions.text import domain_from_url, root_domain
+from ..sources.bronze import load_table
+from ._parity import dsum, sql_dsum
+from .registry import register
+
+AS_OF = "2001-09-01"  # frozen "now" (SURVEY §7.3: F10 must be parameterized)
+
+
+def _customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer activity rollup + null-sentinel features —
+    the account-feature frame (pipeline.py:65-106) set-based."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    act = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_day"),
+        dsum("o_totalprice", "total_spend"),
+    )
+    return c.join(act, c.c_custkey == act.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        F.coalesce(
+            F.datediff(F.lit(AS_OF).cast("date"), F.col("last_order_day")),
+            F.lit(365),
+        ).alias("days_since_order"),
+    )
+
+
+@register(
+    "account_features",
+    oracle=f"""
+    WITH act AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order_day,
+             {sql_dsum("o_totalprice", "total_spend")}
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+             COALESCE(a.n_orders, 0) AS n_orders,
+             COALESCE(a.total_spend, 0.0) AS total_spend,
+             COALESCE(CAST(DATEDIFF('day', a.last_order_day, DATE '{AS_OF}') AS INTEGER), 365)
+               AS days_since_order
+      FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
+    )
+    SELECT c_custkey,
+           ROUND(LN(1 + GREATEST(COALESCE(c_acctbal, 0.0), 0.0)), 9) AS log_balance,
+           ROUND(LN(1 + GREATEST(COALESCE(total_spend, 0.0), 0.0)), 9) AS log_spend,
+           CAST(COALESCE(c_acctbal, 0.0) > 5000 AS INTEGER) AS is_high_value,
+           1.0 / (1.0 + days_since_order / 30.0) AS activity_recency,
+           n_orders,
+           COALESCE(total_spend, 0.0)
+             / (CASE WHEN COALESCE(n_orders, 0) = 0 THEN 1 ELSE n_orders END)
+             AS spend_per_order,
+           CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS seg_automobile,
+           CAST(c_mktsegment = 'BUILDING' AS INTEGER) AS seg_building,
+           CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS seg_machinery
+    FROM base
+    """,
+    tags=("features", "P2", "F7", "F8", "F9", "F10", "F11", "F15"),
+)
+def account_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account feature projection (pipeline.py:65-106): log1p scale
+    features, sentinel-guarded ratio, enterprise flag, recency score,
+    one-hot segment flags — all codegen column expressions."""
+    cust = _customer_activity(spark, sf_dir)
+    n_orders_guard = F.when(F.col("n_orders") == 0, F.lit(1)).otherwise(
+        F.col("n_orders")
+    )
+    return cust.select(
+        "c_custkey",
+        F.round(log1p_guarded(F.col("c_acctbal")), 9).alias("log_balance"),
+        F.round(log1p_guarded(F.col("total_spend")), 9).alias("log_spend"),
+        is_enterprise(F.col("c_acctbal"), 5000.0).alias("is_high_value"),
+        recency_score(F.col("days_since_order")).alias("activity_recency"),
+        "n_orders",
+        (F.col("total_spend") / n_orders_guard).alias("spend_per_order"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").cast("int").alias("seg_automobile"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("seg_building"),
+        (F.col("c_mktsegment") == "MACHINERY").cast("int").alias("seg_machinery"),
+    )
+
+
+_FLAGSHIP_ORACLE = f"""
+WITH act AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order_day,
+         {sql_dsum("o_totalprice", "total_spend")}
+  FROM orders GROUP BY o_custkey
+),
+cust AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         COALESCE(a.n_orders, 0) AS n_orders,
+         COALESCE(a.total_spend, 0.0) AS total_spend,
+         COALESCE(CAST(DATEDIFF('day', a.last_order_day, DATE '{AS_OF}') AS INTEGER), 365)
+           AS days_since_order
+  FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
+),
+topk AS (
+  SELECT * FROM (
+    SELECT cust.*,
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk
+    FROM cust
+  ) WHERE rnk <= 20
+),
+topn AS (
+  SELECT t.*, n.n_name, n.n_regionkey
+  FROM topk t JOIN nation n ON t.c_nationkey = n.n_nationkey
+),
+pairs AS (
+  SELECT
+    a.c_custkey AS account1_id, b.c_custkey AS account2_id,
+    a.c_name AS account1_name, b.c_name AS account2_name,
+    a.n_name AS org1_id, b.n_name AS org2_id,
+    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE 0.0 END AS same_segment,
+    CASE WHEN a.n_regionkey = b.n_regionkey THEN 1.0 ELSE 0.0 END AS same_region,
+    LEAST(GREATEST(COALESCE(a.c_acctbal,1.0),1.0), GREATEST(COALESCE(b.c_acctbal,1.0),1.0))
+      / GREATEST(GREATEST(COALESCE(a.c_acctbal,1.0),1.0), GREATEST(COALESCE(b.c_acctbal,1.0),1.0))
+      AS size_ratio,
+    2.0 / (1.0 + a.days_since_order / 30.0 + b.days_since_order / 30.0) AS pair_activity,
+    ROUND(1.0 / (1.0 + ABS(LN(GREATEST(COALESCE(a.total_spend,1.0),1.0)
+                      / GREATEST(COALESCE(b.total_spend,1.0),1.0)))), 9) AS spend_compat,
+    a.total_spend AS spend1, b.total_spend AS spend2
+  FROM topn a JOIN topn b ON a.c_nationkey < b.c_nationkey
+),
+scored AS (
+  SELECT *,
+    ROUND(0.3 * same_segment + 0.25 * size_ratio + 0.25 * pair_activity
+          + 0.2 * spend_compat, 9) AS score
+  FROM pairs
+)
+SELECT account1_id, account2_id, account1_name, account2_name, org1_id, org2_id,
+       same_segment, size_ratio, pair_activity, spend_compat, score,
+       CASE WHEN score >= 0.8 THEN 'Very High' WHEN score >= 0.6 THEN 'High'
+            WHEN score >= 0.4 THEN 'Medium' ELSE 'Low' END AS confidence_level,
+       CASE WHEN same_segment >= 1.0 THEN 'Segment Expansion'
+            WHEN same_region < 1.0 THEN 'Market Development'
+            ELSE 'Partner Referral' END AS recommendation_type,
+       ROUND(0.1 * (spend1 + spend2), 2) AS estimated_value,
+       CASE WHEN score >= 0.8 THEN 'Schedule joint executive briefing'
+            WHEN score >= 0.6 THEN 'Arrange partner introduction call'
+            WHEN score >= 0.4 THEN 'Share co-marketing materials'
+            ELSE 'Add to nurture campaign' END AS next_best_action,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, account1_id, account2_id) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, account1_id, account2_id
+LIMIT 100
+"""
+
+
+@register(
+    "cross_sell_recommendations",
+    oracle=_FLAGSHIP_ORACLE,
+    tags=("flagship", "J1", "W1", "W2", "F11", "F12", "F13", "F16", "F17", "F18", "F19"),
+)
+def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-100 cross-org recommendations (pipeline.py:300-373
+    re-planned). Candidate cap first (rank ≤ 20 per org, ties kept →
+    W2), THEN the pair join — the pair space stays ~(orgs·20)² rows
+    regardless of base-table size, and Spark broadcast-NL-joins the
+    tiny capped sides."""
+    cust = _customer_activity(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    topk = cust.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") <= 20)
+    topn = topk.join(
+        F.broadcast(n), topk.c_nationkey == n.n_nationkey
+    ).select(topk["*"], n["n_name"], n["n_regionkey"])
+
+    a, b = topn.alias("a"), topn.alias("b")
+    ac, bc = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+
+    spend1g = F.greatest(F.coalesce(ac("total_spend"), F.lit(1.0)), F.lit(1.0))
+    spend2g = F.greatest(F.coalesce(bc("total_spend"), F.lit(1.0)), F.lit(1.0))
+    pairs = a.join(b, ac("c_nationkey") < bc("c_nationkey")).select(
+        ac("c_custkey").alias("account1_id"),
+        bc("c_custkey").alias("account2_id"),
+        ac("c_name").alias("account1_name"),
+        bc("c_name").alias("account2_name"),
+        ac("n_name").alias("org1_id"),
+        bc("n_name").alias("org2_id"),
+        F.when(ac("c_mktsegment") == bc("c_mktsegment"), 1.0).otherwise(0.0).alias("same_segment"),
+        F.when(ac("n_regionkey") == bc("n_regionkey"), 1.0).otherwise(0.0).alias("same_region"),
+        size_ratio(ac("c_acctbal"), bc("c_acctbal")).alias("size_ratio"),
+        pair_activity_score(ac("days_since_order"), bc("days_since_order")).alias("pair_activity"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.abs(F.log(spend1g / spend2g))), 9).alias("spend_compat"),
+        ac("total_spend").alias("spend1"),
+        bc("total_spend").alias("spend2"),
+    )
+
+    scored = pairs.withColumn(
+        "score",
+        F.round(
+            0.3 * F.col("same_segment")
+            + 0.25 * F.col("size_ratio")
+            + 0.25 * F.col("pair_activity")
+            + 0.2 * F.col("spend_compat"),
+            9,
+        ),
+    )
+
+    wg = Window.orderBy(F.desc("score"), F.asc("account1_id"), F.asc("account2_id"))
+    return (
+        scored.select(
+            "account1_id", "account2_id", "account1_name", "account2_name",
+            "org1_id", "org2_id", "same_segment", "size_ratio", "pair_activity",
+            "spend_compat", "score",
+            confidence_ladder(F.col("score")).alias("confidence_level"),
+            F.when(F.col("same_segment") >= 1.0, "Segment Expansion")
+            .when(F.col("same_region") < 1.0, "Market Development")
+            .otherwise("Partner Referral")
+            .alias("recommendation_type"),
+            F.round(0.1 * (F.col("spend1") + F.col("spend2")), 2).alias("estimated_value"),
+            next_best_action(F.col("score")).alias("next_best_action"),
+        )
+        .withColumn("rank", F.row_number().over(wg))
+        .orderBy(F.desc("score"), F.asc("account1_id"), F.asc("account2_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "blocked_similarity_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size,
+             SPLIT_PART(p_name, ' ', 1) AS block_key
+      FROM part
+    )
+    SELECT a.p_partkey AS part1_id, b.p_partkey AS part2_id,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance,
+           ROUND(1.0 - levenshtein(a.p_name, b.p_name)
+                 / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE), 9)
+             AS name_similarity
+    FROM p a JOIN p b
+      ON a.block_key = b.block_key AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    WHERE 1.0 - levenshtein(a.p_name, b.p_name)
+          / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE) >= 0.5
+    """,
+    tags=("join", "J2", "F4", "A1"),
+)
+def blocked_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity-resolution join (entity_resolution.py:287-294,
+    459-478): derive a blocking key, equi-join within blocks, then the
+    similarity theta-filter. The equi-join keeps the candidate space
+    O(block²) instead of O(n²) — the same reason the reference blocks,
+    but as a shuffle-partitioned hash join instead of a dict of
+    nested loops."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    sim = levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(sim >= 0.5)
+        .select(
+            F.col("a.p_partkey").alias("part1_id"),
+            F.col("b.p_partkey").alias("part2_id"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_distance"),
+            F.round(sim, 9).alias("name_similarity"),
+        )
+    )
+
+
+@register(
+    "token_jaccard_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             LIST_DISTINCT(STRING_SPLIT(p_name, ' ')) AS toks
+      FROM part
+    )
+    SELECT a.p_partkey AS part1_id, b.p_partkey AS part2_id,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 9) AS jaccard
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND ABS(a.p_size - b.p_size) <= 1
+    """,
+    tags=("setop", "SO2", "SO3", "F6"),
+)
+def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over candidate pairs
+    (entity_resolution.py:157-164; product-set overlap
+    pipeline.py:126-133) via array_intersect/array_union — set algebra
+    stays JVM-side."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 1),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part1_id"),
+            F.col("b.p_partkey").alias("part2_id"),
+            F.round(jaccard_tokens(F.col("a.toks"), F.col("b.toks")), 9).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "deterministic_pred_id",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           'pred_' || SUBSTRING(sha256(
+             CAST(LEAST(o_orderkey, o_custkey) AS VARCHAR) || ':' ||
+             CAST(GREATEST(o_orderkey, o_custkey) AS VARCHAR) || ':v1'
+           ), 1, 12) AS pred_id
+    FROM orders
+    WHERE o_totalprice > 300000
+    """,
+    tags=("hash", "F20"),
+)
+def deterministic_pred_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic prediction IDs: sha256 of the order-normalized
+    pair + version (feedback_logging.py:386-400)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_totalprice") > 300000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            deterministic_pair_id(F.col("o_orderkey"), F.col("o_custkey")).alias("pred_id"),
+        )
+    )
+
+
+@register(
+    "ab_bucket_allocation",
+    oracle="""
+    SELECT CASE WHEN TRY_CAST('0x' || SUBSTRING(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1000 < 500
+                THEN 'treatment' ELSE 'control' END AS variant,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(23,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_balance
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=("hash", "F21", "ML15"),
+)
+def ab_bucket_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash A/B routing (feedback_logging.py:546-571):
+    md5-bucket each key into [0,1000), split by cumulative allocation,
+    then per-variant funnel stats."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.withColumn("variant", ab_variant(F.col("c_custkey")))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(23,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "domain_extraction",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           'example.com' AS root,
+           source || '.example.com' AS email_host
+    FROM documents
+    """,
+    tags=("text", "F3"),
+)
+def domain_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain extraction (entity_resolution.py:109-151): parse_url HOST
+    + www-strip for URLs, '@'-split for emails, last-2-labels root
+    domain. URLs are synthesized from the documents table (testdata has
+    no URL column); the oracle states the expected value directly."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"), F.col("doc_id")
+    )
+    email = F.concat(F.lit("contact@"), F.col("source"), F.lit(".example.com"))
+    host = domain_from_url(url)
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        root_domain(host).alias("root"),
+        domain_from_url(email).alias("email_host"),
+    )

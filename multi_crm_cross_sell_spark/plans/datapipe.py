@@ -1,0 +1,376 @@
+"""LLM-training-data pipeline operators (SURVEY §7.2 step 10 /
+BASELINE.json north star) over the documents and embeddings tables:
+deduplication (exact, MinHash+LSH, SimHash), text analysis
+(token stats, quality score, language-ID heuristic, fingerprints) and
+similarity search (brute-force cosine top-k; LSH-banded scale path in
+operators/dedup.py shares the banding machinery).
+
+Oracle notes: every hash is md5-derived (identical in Spark and
+DuckDB); cross-row float reductions use decimal accumulation
+(plans/_parity.py rationale) so even the cosine scores are
+bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    A,
+    B,
+    BAND_ROWS,
+    N_HASHES,
+    P,
+    exact_duplicates,
+    near_dup_pairs,
+    simhash16,
+)
+from ..sources.bronze import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments for the md5-based hash family (must mirror
+# operators/dedup.py constants exactly).
+# ---------------------------------------------------------------------------
+_SQL_BASE_HASH = "(TRY_CAST('0x' || SUBSTRING(md5({x}), 1, 15) AS BIGINT) % {p})".format(
+    x="{x}", p=P
+)
+
+
+def _sql_minhash(k: int) -> str:
+    inner = _SQL_BASE_HASH.format(x="x")
+    return (
+        f"LIST_MIN(LIST_TRANSFORM(s, x -> ({A[k]} * {inner} + {B[k]}) % {P})) AS mh{k}"
+    )
+
+
+_N_BANDS = N_HASHES // BAND_ROWS
+
+
+def _sql_band(b: int) -> str:
+    cols = ", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    return f"CONCAT_WS('_', {cols}) AS band{b}"
+
+
+@register(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "P9"),
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via full-text hash groupBy: shuffles a 32-char key,
+    not the document bodies; representative = min(doc_id) keeps the
+    choice deterministic (dropDuplicates would be partition-order
+    dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE LEN(t) >= 3
+),
+sig AS (
+  SELECT doc_id, s, {", ".join(_sql_minhash(k) for k in range(N_HASHES))}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, {", ".join(_sql_band(b) for b in range(_N_BANDS))}
+  FROM sig
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM banded" for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       ROUND(CAST(LEN(LIST_INTERSECT(s1.s, s2.s)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(s1.s, s2.s))), 9) AS jaccard
+FROM cand c
+JOIN sh s1 ON c.doc1 = s1.doc_id
+JOIN sh s2 ON c.doc2 = s2.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(s1.s, s2.s)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(s1.s, s2.s))) >= 0.6
+"""
+
+
+@register(
+    "minhash_near_dup",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "lsh", "J2"),
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection: per-row signatures, band
+    bucket equi-join (O(n²) → O(collisions)), then exact shingle
+    Jaccard verification on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.6)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=(
+        """
+    WITH h AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+               x -> """
+        + _SQL_BASE_HASH.format(x="x")
+        + """) AS hs
+      FROM documents
+    )
+    SELECT doc_id, ("""
+        + " + ".join(
+            f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + """) AS simhash
+    FROM h
+    """
+    ),
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (per-bit weighted token-hash vote) —
+    pure column expressions, so the fingerprint costs one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_TEXT_STATS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars, STRING_SPLIT(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(t) AS INTEGER) AS n_tokens,
+       CAST(LEN(LIST_DISTINCT(t)) AS INTEGER) AS n_distinct_tokens,
+       CAST(LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x))) AS DOUBLE) / LEN(t) AS avg_token_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(LEN(LIST_FILTER(t, x -> x IN {_STOPWORDS!r})) AS DOUBLE) / LEN(t) AS stopword_ratio,
+       CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t) AS type_token_ratio,
+       0.3 * LEAST(1.0, LEN(t) / 100.0)
+         + 0.3 * (1.0 - CAST(LEN(LIST_FILTER(t, x -> x IN {_STOPWORDS!r})) AS DOUBLE) / LEN(t))
+         + 0.4 * (CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t)) AS quality_score,
+       md5(text) AS fingerprint
+FROM toks
+"""
+
+
+@register(
+    "doc_text_stats",
+    oracle=_TEXT_STATS_ORACLE,
+    tags=("text", "quality", "ML16"),
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token counts, average token length,
+    punctuation/stopword ratios, type-token ratio, a composite quality
+    score, and an md5 fingerprint — the quality-scoring pass of a
+    training-data pipeline, all in one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    tok_len_sum = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    ttr = n_distinct.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (tok_len_sum.cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast("double")
+            / F.col("n_chars")
+        ).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        (
+            0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+            + 0.3 * (F.lit(1.0) - stop_ratio)
+            + 0.4 * ttr
+        ).alias("quality_score"),
+        F.md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "es": ("el", "los", "y", "es", "una"),
+}
+
+
+def _sql_lang_score(lang: str) -> str:
+    return f"LEN(LIST_FILTER(t, x -> x IN {_LANG_MARKERS[lang]!r})) AS s_{lang}"
+
+
+_LANGID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, {", ".join(_sql_lang_score(lg) for lg in _LANG_MARKERS)}
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s_en AS INTEGER) AS s_en, CAST(s_de AS INTEGER) AS s_de,
+       CAST(s_fr AS INTEGER) AS s_fr, CAST(s_es AS INTEGER) AS s_es,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang,
+       lang AS actual_lang,
+       CAST(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+FROM scores
+"""
+
+
+@register(
+    "langid_heuristic",
+    oracle=_LANGID_ORACLE,
+    tags=("text", "langid"),
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language stopword hit
+    counts → argmax with a fixed tie order. (The testdata's text is
+    synthetic English-vocabulary salad, so this demonstrates the
+    operator shape — score columns + argmax — rather than real
+    classification accuracy; a char-n-gram NaiveBayes upgrade lives in
+    the MLlib layer.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    def contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(t, contains(arr)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ee
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+un AS (
+  SELECT query_id, vec_id, UNNEST(qe) AS x, UNNEST(ee) AS y FROM pairs
+),
+dots AS (
+  SELECT query_id, vec_id,
+    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS n1,
+    CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS n2
+  FROM un GROUP BY query_id, vec_id
+),
+cos AS (
+  SELECT query_id, vec_id,
+         ROUND(dot / (SQRT(n1) * SQRT(n2)), 9) AS cosine
+  FROM dots
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM cos
+) WHERE rk <= 10
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=_COSINE_ORACLE,
+    tags=("similarity", "ann", "multimodal"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table: broadcast
+    the (tiny) query set against all vectors, dot products via
+    zip_with + decimal-exact aggregate, per-query top-10 window. This
+    is the exactness baseline; the LSH-bucketed variant is the scale
+    path. Decimal accumulation keeps scores bit-identical to the
+    oracle (float sums are order-dependent otherwise)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    q = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dec_dot(a, b):
+        # cast back inside the merge: Spark decimal '+' widens to
+        # (38,17) which would break the accumulator type contract
+        prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,18)"))
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda acc, v: (acc + v).cast("decimal(38,18)"),
+        ).cast("double")
+
+    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dec_dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(dec_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dec_dot(F.col("v"), F.col("v")))
+            ),
+            9,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
