@@ -1,0 +1,179 @@
+"""4-member ensemble scorer on MLlib (SURVEY §2.10 ML1-ML9).
+
+Reference: PyTorch NN + XGBoost + RandomForest + GradientBoosting with
+weighted voting (/root/reference/src/ml/pipeline.py:160-290; weights
+0.3/0.3/0.2/0.2 at pipeline.py:48-54, config/ml_config.yaml:4-11).
+
+Spark re-design:
+- NN → MultilayerPerceptronClassifier(layers=[d,64,32,16,2])
+  (capability parity: same ensemble-member role; dropout/batchnorm are
+  training details MLlib's MLP doesn't expose — SURVEY §7.3(c)).
+- XGBoost → GBTClassifier(maxDepth=6, stepSize=0.1) — gradient-boosted
+  trees of the same family (xgboost is not in this environment; an
+  import-gated SparkXGBClassifier hook is provided).
+- RandomForestClassifier(numTrees=100, maxDepth=10).
+- GradientBoosting → GBTClassifier(maxIter=100, maxDepth=5, stepSize=0.1).
+- Weighted vote + per-row score stddev = column expressions
+  (functions/features.py ensemble_score / score_confidence).
+
+The decisive scale win vs the reference: inference is ONE
+model.transform over the whole pair DataFrame (ML8) instead of a
+Python loop calling predict on 1×6 matrices per pair
+(pipeline.py:338-351).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    MultilayerPerceptronClassifier,
+    RandomForestClassifier,
+)
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.features import ensemble_score, score_confidence
+
+# Reference ensemble weights (pipeline.py:48-54).
+WEIGHTS = {"nn": 0.3, "xgb": 0.3, "rf": 0.2, "gb": 0.2}
+
+# Reference pair-feature names (pipeline.py:108-157): 6-dim vector.
+PAIR_FEATURES = [
+    "industry_match",
+    "size_compatibility",
+    "geo_match",
+    "product_complementarity",
+    "maturity_alignment",
+    "activity_score",
+]
+
+
+def feature_pipeline(feature_cols: list[str], with_scaler: bool = True) -> Pipeline:
+    """VectorAssembler (+ StandardScaler) — ML1/M2. Assembler order is
+    the fixed feature spec, replacing the reference's reliance on dict
+    ordering (entity_resolution.py:420)."""
+    stages = [VectorAssembler(inputCols=feature_cols, outputCol="features_raw")]
+    if with_scaler:
+        stages.append(
+            StandardScaler(
+                inputCol="features_raw", outputCol="features", withMean=True, withStd=True
+            )
+        )
+    else:
+        stages.append(VectorAssembler(inputCols=feature_cols, outputCol="features"))
+    return Pipeline(stages=stages)
+
+
+def _xgb_member(features_col: str, label_col: str, seed: int):
+    """XGBoost member when available, GBT(depth 6) otherwise — same
+    gradient-boosting family, import-gated (environment has no
+    xgboost)."""
+    try:  # pragma: no cover - xgboost absent in this environment
+        from xgboost.spark import SparkXGBClassifier
+
+        return SparkXGBClassifier(
+            features_col=features_col,
+            label_col=label_col,
+            n_estimators=100,
+            max_depth=6,
+            learning_rate=0.1,
+        )
+    except ImportError:
+        return GBTClassifier(
+            featuresCol=features_col,
+            labelCol=label_col,
+            maxIter=20,
+            maxDepth=6,
+            stepSize=0.1,
+            seed=seed,
+        )
+
+
+@dataclass
+class EnsembleScorer:
+    """Four MLlib members + weighted vote (ML3-ML7).
+
+    ``maxIter``/``numTrees`` default to reference values scaled down;
+    pass reference-exact values for full parity runs.
+    """
+
+    feature_cols: list[str] = field(default_factory=lambda: list(PAIR_FEATURES))
+    label_col: str = "label"
+    seed: int = 42
+    nn_layers: tuple[int, ...] = (64, 32, 16)
+    rf_trees: int = 100
+    rf_depth: int = 10
+    gb_iters: int = 20
+    gb_depth: int = 5
+
+    def fit(self, train: DataFrame) -> "EnsembleModel":
+        d = len(self.feature_cols)
+        feats = feature_pipeline(self.feature_cols).fit(train)
+        prepared = feats.transform(train)
+
+        nn = MultilayerPerceptronClassifier(
+            featuresCol="features",
+            labelCol=self.label_col,
+            layers=[d, *self.nn_layers, 2],
+            maxIter=50,
+            seed=self.seed,
+        )
+        xgb = _xgb_member("features", self.label_col, self.seed)
+        rf = RandomForestClassifier(
+            featuresCol="features",
+            labelCol=self.label_col,
+            numTrees=self.rf_trees,
+            maxDepth=self.rf_depth,
+            seed=self.seed,
+        )
+        gb = GBTClassifier(
+            featuresCol="features",
+            labelCol=self.label_col,
+            maxIter=self.gb_iters,
+            maxDepth=self.gb_depth,
+            stepSize=0.1,
+            seed=self.seed,
+        )
+        members = {
+            "nn": nn.fit(prepared),
+            "xgb": xgb.fit(prepared),
+            "rf": rf.fit(prepared),
+            "gb": gb.fit(prepared),
+        }
+        return EnsembleModel(features=feats, members=members)
+
+
+@dataclass
+class EnsembleModel:
+    features: PipelineModel
+    members: dict
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Batch inference (ML8): one pass per member over the full
+        DataFrame; positive-class probability extracted from the
+        probability vector; weighted vote + confidence as expressions."""
+        out = self.features.transform(df)
+        for name, model in self.members.items():
+            scored = model.transform(out)
+            out = scored.withColumn(
+                f"score_{name}", vector_to_array(F.col("probability")).getItem(1)
+            ).drop("rawPrediction", "probability", "prediction")
+        scores = {n: F.col(f"score_{n}") for n in self.members}
+        return out.withColumn(
+            "score",
+            ensemble_score(scores["nn"], scores["xgb"], scores["rf"], scores["gb"]),
+        ).withColumn(
+            "score_std",
+            score_confidence(scores["nn"], scores["xgb"], scores["rf"], scores["gb"]),
+        )
+
+    def save(self, path: str) -> None:
+        """Persistence + registry (ML17): MLlib native save per member."""
+        self.features.write().overwrite().save(f"{path}/features")
+        for name, model in self.members.items():
+            model.write().overwrite().save(f"{path}/{name}")

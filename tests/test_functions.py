@@ -1,0 +1,96 @@
+"""Parity tests for the scalar-function library against the reference's
+documented semantics (SURVEY §2.7; cites in each function docstring)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.functions.similarity import (
+    _jaro_winkler,
+    jaro_winkler,
+    levenshtein_similarity,
+)
+from multi_crm_cross_sell_spark.functions.text import (
+    domain_from_url,
+    normalize_company_name,
+    root_domain,
+)
+
+
+@pytest.mark.parametrize(
+    "s1,s2,expected",
+    [
+        ("MARTHA", "MARHTA", 0.9611),
+        ("DIXON", "DICKSONX", 0.8133),
+        ("JELLYFISH", "SMELLYFISH", 0.8963),
+        ("same", "same", 1.0),
+        ("", "abc", 0.0),
+    ],
+)
+def test_jaro_winkler_reference_values(s1, s2, expected):
+    assert _jaro_winkler(s1, s2) == pytest.approx(expected, abs=1e-4)
+
+
+def test_jaro_winkler_udf(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("acme corp", "acme corp"), (None, "x")], ["a", "b"]
+    )
+    rows = df.select(jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()
+    assert rows[0]["jw"] == pytest.approx(0.9611, abs=1e-4)
+    assert rows[1]["jw"] == 1.0
+    assert rows[2]["jw"] is None
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # suffix stripping (entity_resolution.py:56-60, 75-98)
+        ("Acme Corporation", "acme"),
+        ("ACME Corp.", "acme"),
+        ("Acme, Inc.", "acme"),
+        # abbreviation expansion (entity_resolution.py:63-73)
+        ("Global Tech Ltd", "global technology"),
+        ("Natl Mfg Co", "national manufacturing"),
+        # punctuation keeps '&'
+        ("Smith & Sons LLC", "smith & sons"),
+        # whitespace collapse
+        ("  Double   Space   Holdings ", "double space"),
+    ],
+)
+def test_normalize_company_name(spark, raw, expected):
+    out = spark.createDataFrame([(raw,)], ["n"]).select(
+        normalize_company_name(F.col("n")).alias("x")
+    ).collect()[0]["x"]
+    assert out == expected
+
+
+@pytest.mark.parametrize(
+    "raw,host,root",
+    [
+        ("https://www.acme.com/products", "acme.com", "acme.com"),
+        ("http://portal.acme-intl.co.uk/a?b=1", "portal.acme-intl.co.uk", "co.uk"),
+        ("info@mail.acme.com", "mail.acme.com", "acme.com"),
+        ("acme.com", "acme.com", "acme.com"),
+    ],
+)
+def test_domain_extraction(spark, raw, host, root):
+    row = spark.createDataFrame([(raw,)], ["u"]).select(
+        domain_from_url(F.col("u")).alias("h"),
+        root_domain(domain_from_url(F.col("u"))).alias("r"),
+    ).collect()[0]
+    assert row["h"] == host
+    assert row["r"] == root
+
+
+def test_levenshtein_similarity(spark):
+    row = spark.createDataFrame([("kitten", "sitting"), ("", "")], ["a", "b"]).select(
+        levenshtein_similarity(F.col("a"), F.col("b")).alias("s")
+    ).collect()
+    assert row[0]["s"] == pytest.approx(1 - 3 / 7)
+    assert row[1]["s"] == 1.0

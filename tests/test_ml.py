@@ -1,0 +1,146 @@
+"""End-to-end tests for the MLlib layer: entity resolution cascade +
+RF matcher, ensemble scorer, ranking evaluation (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.ml.ensemble import EnsembleScorer
+from multi_crm_cross_sell_spark.ml.entity_resolution import (
+    candidate_pairs,
+    evaluate_matches,
+    match_decisions,
+    pair_features,
+    rule_score,
+    train_er_model,
+)
+from multi_crm_cross_sell_spark.ml.evaluate import (
+    add_baseline_scores,
+    coverage,
+    ranking_metrics,
+)
+from multi_crm_cross_sell_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def acc(spark):
+    return fixtures.accounts(spark, n_per_org=120, match_rate=0.15).cache()
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    return fixtures.er_labeled_pairs(spark, n_per_org=120, match_rate=0.15).cache()
+
+
+def test_fixture_shapes(spark, acc, truth):
+    assert acc.count() == 240
+    assert set(acc.select("_org_id").distinct().toPandas()["_org_id"]) == {"org1", "org2"}
+    pos = truth.where(F.col("is_match") == 1).count()
+    assert pos == 18  # 15% of 120
+
+
+def test_er_rule_cascade(spark, acc, truth):
+    cand = candidate_pairs(acc)
+    feat = rule_score(pair_features(cand))
+    decided = match_decisions(feat)
+    # join ground truth on the candidate pairs
+    gt = truth.withColumnRenamed("is_match", "gt_match")
+    labeled = decided.join(
+        gt,
+        (decided.id1 == gt.account1_id) & (decided.id2 == gt.account2_id),
+        "left",
+    ).withColumn("is_match_label", F.coalesce("gt_match", F.lit(0)))
+    ev = evaluate_matches(labeled).toPandas().set_index("threshold")
+    # blocking must retain most true pairs and the cascade must find them
+    found = labeled.where((F.col("is_match_label") == 1) & F.col("is_match")).count()
+    total_true_cands = labeled.where(F.col("is_match_label") == 1).count()
+    assert total_true_cands >= 10  # blocking recall on 18 planted pairs
+    assert found >= 0.7 * total_true_cands
+    assert ev.loc[0.7, "precision"] > 0.5
+
+
+def test_er_ml_model(spark, acc, truth):
+    cand = candidate_pairs(acc)
+    feat = pair_features(cand)
+    labeled = feat.join(
+        truth,
+        (feat.id1 == truth.account1_id) & (feat.id2 == truth.account2_id),
+        "left",
+    ).withColumn("is_match_label", F.coalesce("is_match", F.lit(0)))
+    model = train_er_model(labeled, num_trees=20, max_depth=5)
+    scored = model.transform(labeled)
+    pdf = scored.select("is_match_label", "ml_score").toPandas()
+    assert pdf["ml_score"].between(0, 1).all()
+    # planted matches should score clearly higher on average
+    pos = pdf[pdf.is_match_label == 1]["ml_score"].mean()
+    neg = pdf[pdf.is_match_label == 0]["ml_score"].mean()
+    assert pos > neg + 0.2
+
+
+def test_ensemble_scorer(spark):
+    # planted-signal pair features: label correlates with feature sum
+    n = 400
+    df = spark.range(n)
+    u = lambda tag: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % 1000
+    ) / 1000.0
+    feats = df.select(
+        "id",
+        u("f1").alias("industry_match"),
+        u("f2").alias("size_compatibility"),
+        u("f3").alias("geo_match"),
+        u("f4").alias("product_complementarity"),
+        u("f5").alias("maturity_alignment"),
+        u("f6").alias("activity_score"),
+    )
+    feats = feats.withColumn(
+        "label",
+        (
+            (F.col("industry_match") + F.col("size_compatibility") + F.col("activity_score"))
+            > 1.5
+        ).cast("int"),
+    )
+    train, test = feats.randomSplit([0.7, 0.3], seed=42)
+    model = EnsembleScorer(rf_trees=20, gb_iters=5).fit(train)
+    scored = model.transform(test)
+    pdf = scored.select("label", "score", "score_std").toPandas()
+    assert pdf["score"].between(0, 1).all()
+    assert (pdf["score_std"] >= 0).all()
+    pos = pdf[pdf.label == 1]["score"].mean()
+    neg = pdf[pdf.label == 0]["score"].mean()
+    assert pos > neg + 0.2  # ensemble learned the planted signal
+
+
+def test_ranking_metrics_exact(spark):
+    # 4 relevant of 6; scores rank two relevant on top
+    rows = [
+        (1.0, 1, "a"), (0.9, 1, "b"), (0.8, 0, "c"),
+        (0.7, 1, "d"), (0.6, 0, "e"), (0.5, 1, "f"),
+    ]
+    df = spark.createDataFrame(rows, ["score", "label", "id"])
+    m = ranking_metrics(df, ks=(2, 4), tiebreak_cols=("id",)).toPandas().set_index("k")
+    assert m.loc[2, "precision_at_k"] == pytest.approx(1.0)
+    assert m.loc[2, "recall_at_k"] == pytest.approx(2 / 4)
+    assert m.loc[4, "precision_at_k"] == pytest.approx(3 / 4)
+    assert m.loc[4, "ndcg_at_k"] < 1.0
+    cov = coverage(df).collect()[0]["coverage"]
+    assert cov == pytest.approx(5 / 6)
+
+
+def test_baselines(spark):
+    df = spark.createDataFrame(
+        [(0.2, 0.4, 1), (0.9, 0.1, 0), (0.5, 0.5, 1)], ["f1", "f2", "label"]
+    )
+    out = add_baseline_scores(df, ["f1", "f2"]).toPandas()
+    for c in ("score_random", "score_popularity", "score_similarity"):
+        assert c in out.columns
+    assert out["score_similarity"].between(0, 1).all()
