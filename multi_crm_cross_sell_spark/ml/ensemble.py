@@ -106,6 +106,7 @@ class EnsembleScorer:
     label_col: str = "label"
     seed: int = 42
     nn_layers: tuple[int, ...] = (64, 32, 16)
+    nn_iters: int = 50
     rf_trees: int = 100
     rf_depth: int = 10
     gb_iters: int = 20
@@ -120,7 +121,7 @@ class EnsembleScorer:
             featuresCol="features",
             labelCol=self.label_col,
             layers=[d, *self.nn_layers, 2],
-            maxIter=50,
+            maxIter=self.nn_iters,
             seed=self.seed,
         )
         xgb = _xgb_member("features", self.label_col, self.seed)
@@ -177,3 +178,54 @@ class EnsembleModel:
         self.features.write().overwrite().save(f"{path}/features")
         for name, model in self.members.items():
             model.write().overwrite().save(f"{path}/{name}")
+
+    def feature_importances(self) -> dict[str, list[float]]:
+        """ML9: native tree feature importances (the reference mocks
+        SHAP; tree importances are the built-in explainability path,
+        SHAP itself would ride mapInPandas with a broadcast model)."""
+        out = {}
+        for name, model in self.members.items():
+            fi = getattr(model, "featureImportances", None)
+            if fi is not None:
+                out[name] = list(fi.toArray())
+        return out
+
+
+def cross_validate_member(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    num_folds: int = 5,
+    seed: int = 42,
+):
+    """ML2: k-fold CV over the RF member (reference: cross_val_score
+    cv=5 scoring=f1, entity_resolution.py:539; ml_config.yaml:67-72).
+    Returns (bestModel, avgMetrics)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols, outputCol="features"),
+            RandomForestClassifier(
+                featuresCol="features", labelCol=label_col, seed=seed
+            ),
+        ]
+    )
+    rf = pipe.getStages()[1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [20, 50])
+        .addGrid(rf.maxDepth, [5, 10])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+        numFolds=num_folds,
+        seed=seed,
+        parallelism=4,
+    )
+    model = cv.fit(train)
+    return model.bestModel, list(model.avgMetrics)

@@ -1,0 +1,114 @@
+"""Approximate nearest neighbor search over embedding columns.
+
+Two paths (BASELINE.json north star):
+- brute-force cosine top-k (plans/datapipe.cosine_topk_bruteforce) —
+  the exactness baseline, O(Q·N) dot products;
+- random-hyperplane LSH (this module) — the 100 TB path: each vector
+  gets a K-bit bucket signature (sign of dot with K fixed hyperplanes);
+  candidate pairs share a bucket, so the search cost is O(Q·bucket)
+  instead of O(Q·N), and the bucket join is a plain shuffle equi-join.
+
+The hyperplanes are deterministic md5-seeded literals (generated once
+in Python, embedded in both the Spark plan and the SQL oracle), and
+dot products accumulate in decimal — so even bucket boundaries are
+bit-identical across engines and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _unit(seed: str) -> float:
+    """Deterministic uniform in [-1, 1) from md5, rounded to 6 dp so
+    the literal round-trips exactly through SQL text."""
+    h = int(hashlib.md5(seed.encode()).hexdigest()[:15], 16)
+    return round((h % 2_000_000) / 1_000_000.0 - 1.0, 6)
+
+
+HYPERPLANES: list[list[float]] = [
+    [_unit(f"plane{k}:dim{d}") for d in range(DIM)] for k in range(N_PLANES)
+]
+
+
+def dec_dot(a: Column, b: Column) -> Column:
+    """Decimal-exact dot product of two array<double> columns (order-
+    independent, engine-independent; see plans/_parity.py)."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,18)"))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    ).cast("double")
+
+
+def _plane_lit(k: int) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANES[k]])
+
+
+def bucket_id(vec: Column) -> Column:
+    """K-bit LSH bucket: bit k set iff dot(vec, plane_k) >= 0."""
+    out = F.lit(0)
+    for k in range(N_PLANES):
+        out = out + F.when(dec_dot(vec, _plane_lit(k)) >= 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-k by exact cosine among same-bucket candidates."""
+    from pyspark.sql import Window
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), dbl.alias("v")
+    ).withColumn("bucket", bucket_id(F.col("v")))
+    q = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = F.broadcast(q).join(
+        base,
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cosine = F.round(
+        dec_dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(dec_dot(F.col("qv"), F.col("qv"))) * F.sqrt(dec_dot(F.col("v"), F.col("v")))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+# --- SQL oracle fragments -------------------------------------------------
+
+def sql_plane_literal(k: int) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in HYPERPLANES[k]) + "]"
+
+
+def sql_dec_dot(a: str, b: str) -> str:
+    """DuckDB decimal-exact dot product over two DOUBLE[] expressions
+    of length DIM (list_zip + fold via unnest is heavier; generate a
+    positional sum instead)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] * {b}[{i}] AS DECIMAL(38,18))" for i in range(1, DIM + 1)
+    )
+    return f"CAST(({terms}) AS DOUBLE)"

@@ -26,6 +26,12 @@ from ..operators.dedup import (
     near_dup_pairs,
     simhash16,
 )
+from ..operators.similarity_search import (
+    N_PLANES,
+    ann_topk,
+    sql_dec_dot,
+    sql_plane_literal,
+)
 from ..sources.bronze import load_table
 from .registry import register
 
@@ -374,3 +380,53 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def _ann_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k)})')} >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(N_PLANES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM bucketed WHERE vec_id % 100 = 0
+),
+cand AS (
+  SELECT q.query_id, b.vec_id, q.qv, b.v
+  FROM q JOIN bucketed b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({sql_dec_dot('qv', 'v')}
+               / (SQRT({sql_dec_dot('qv', 'qv')}) * SQRT({sql_dec_dot('v', 'v')})), 9) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_ann_oracle(),
+    tags=("similarity", "ann", "lsh", "beyond-reference"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8-bit bucket signatures from
+    deterministic hyperplane literals, candidates restricted to the
+    query's bucket, exact cosine re-rank of candidates only. This is
+    the O(Q·bucket) scale path next to the O(Q·N) brute force — at
+    100 TB the bucket join shuffles on an int key instead of
+    broadcasting every vector everywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(e, F.col("vec_id") % 100 == 0, k=5)

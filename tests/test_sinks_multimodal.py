@@ -1,0 +1,91 @@
+"""Sinks (derived key, partitioned write, merge upsert, CSV/JSON
+round-trip, model registry) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_metadata,
+    synth_media,
+)
+from multi_crm_cross_sell_spark.sources import fixtures
+from multi_crm_cross_sell_spark.sources.sinks import (
+    derived_key,
+    export_csv,
+    export_json,
+    merge_upsert,
+    model_registry_append,
+    read_csv_export,
+    save_table,
+)
+
+
+def test_derived_key_and_partitioned_write(spark, tmp_path):
+    acc = fixtures.accounts(spark, n_per_org=40)
+    keyed = derived_key(acc)
+    assert keyed.where(F.col("record_id") == "org1_ACC1_0000").count() == 1
+    out = str(tmp_path / "accounts")
+    save_table(keyed, out, partition_by=["_org_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == keyed.count()
+    # partition pruning: reading one org must scan only its directory
+    one = spark.read.parquet(out).where(F.col("_org_id") == "org1")
+    assert one.count() == 40
+
+
+def test_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "recs")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    merge_upsert(spark, path, base, ["id"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    merge_upsert(spark, path, upd, ["id"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", 1.5), (2, "y", 2.5)], ["id", "s", "v"])
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    export_csv(df, cpath)
+    export_json(df, jpath)
+    back_c = read_csv_export(spark, cpath, schema="id INT, s STRING, v DOUBLE")
+    back_j = spark.read.json(jpath)
+    assert back_c.count() == 2 and back_j.count() == 2
+    assert {r["s"] for r in back_c.collect()} == {"x", "y"}
+
+
+def test_model_registry(spark, tmp_path):
+    path = str(tmp_path / "registry")
+    model_registry_append(spark, path, "ensemble", "v1", "production", {"auc": 0.9}, "/models/v1")
+    model_registry_append(spark, path, "ensemble", "v2", "staging", {"auc": 0.92}, "/models/v2")
+    reg = spark.read.parquet(path)
+    assert reg.count() == 2
+    assert reg.where(F.col("stage") == "production").count() == 1
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, dim=8)
+    pdf = feats.toPandas()
+    assert len(pdf) == 30
+    assert all(len(v) == 8 for v in pdf["features"])
+    # deterministic: same payload -> same hash/features on re-run
+    pdf2 = extract_features(media, dim=8).toPandas()
+    assert (pdf.sort_values("media_id")["content_hash"].values
+            == pdf2.sort_values("media_id")["content_hash"].values).all()
+
+
+def test_frame_sample_and_resize(spark):
+    media = synth_media(spark, n=30)
+    frames = frame_sample(media, every_ms=250)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_video)  # 1000ms / 250ms
+    rs = resize_metadata(media, max_side=32).collect()
+    assert all(r["target_width"] == 32 for r in rs)  # 64x64 -> 32x32
