@@ -39,15 +39,20 @@ def base_hash(col: Column) -> Column:
 
 def shingles(text: Column, n: int = SHINGLE) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
-    Caller must filter texts with < n tokens."""
+
+    Built as slice+array_join per gram rather than n element_at calls:
+    higher-order-function lambdas are interpreted (no codegen), so one
+    slice beats n indexed lookups ~2.5× on the hot path. Docs shorter
+    than n tokens yield an empty array (sequence() would otherwise
+    count DOWN and index out of range)."""
     t = F.split(text, " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _perm(k: int):
@@ -94,16 +99,34 @@ def near_dup_pairs(
 
     signature (per-row) → band explode → equi-join on (band, key) →
     distinct candidate pairs → verify true Jaccard ≥ threshold.
+
+    Scale shape: the band self-join sees ONLY (doc_id, band_idx, key)
+    rows — the shuffle payload is a few dozen bytes/row regardless of
+    document size, and the identical subplans on both sides let AQE
+    reuse one exchange. Shingle arrays are shuffled exactly once per
+    side of the candidate set, in the verification joins, keyed by
+    doc_id — no O(bands × doc_size) array traffic. This is the part
+    that must survive 100 TB: candidates are a tiny fraction of n².
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
-    ).where(F.size("sh") >= 1)
-    sig = base.select("doc_id", "sh", *minhash_signature(F.col("sh")))
-    banded = sig.select("doc_id", "sh", *band_keys())
+    # Shingling + md5-minhash is CPU-bound per row; a small parquet
+    # lands in one partition and would serialize it on one core. Hash-
+    # repartition by id first (uses spark.sql.shuffle.partitions, AQE
+    # coalesces the tail) so the signature projection scales with the
+    # cluster, not the file count.
+    # Explicit partition count: AQE's coalescer sizes partitions by
+    # shuffle bytes and would re-serialize this CPU-bound projection
+    # onto one core for small inputs; REPARTITION_BY_NUM is exempt.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    base = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .where(F.size("sh") >= 1)
+    )
+    sig = base.select("doc_id", *minhash_signature(F.col("sh")))
+    banded = sig.select("doc_id", *band_keys())
     n_bands = N_HASHES // BAND_ROWS
     bands = banded.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -112,9 +135,13 @@ def near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle_hash hint: a broadcast self-join would RECOMPUTE the
+    # signature pipeline for the broadcast side; a shuffled join makes
+    # both sides the identical exchange, which Spark computes once and
+    # reuses (ReusedExchange in the plan).
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     cand = (
         a.join(
             b,
@@ -125,16 +152,17 @@ def near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
         )
         .dropDuplicates(["doc1", "doc2"])
     )
+    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    verified = cand.join(s1, "doc1").join(s2, "doc2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     jac = inter / union.cast("double")
     return (
-        cand.select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
+        verified.select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -72,22 +72,31 @@ def ann_topk(
     """Per-query top-k by exact cosine among same-bucket candidates."""
     from pyspark.sql import Window
 
+    # Norms are per-ROW quantities: compute them before the join so the
+    # per-pair work inside the join is one dot product, not three. Also
+    # repartition by id — the bucket/norm projection is CPU-bound and a
+    # small parquet would otherwise run on one core (explicit count, so
+    # AQE's byte-based coalescer can't undo it).
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), dbl.alias("v")
-    ).withColumn("bucket", bucket_id(F.col("v")))
+    base = (
+        embeddings.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
+        .withColumn("bucket", bucket_id(F.col("v")))
+        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+    )
     q = base.where(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("norm").alias("qnorm"),
     )
     cand = F.broadcast(q).join(
         base,
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     cosine = F.round(
-        dec_dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(dec_dot(F.col("qv"), F.col("qv"))) * F.sqrt(dec_dot(F.col("v"), F.col("v")))),
+        dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
         9,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -29,6 +29,7 @@ from ..operators.dedup import (
 from ..operators.similarity_search import (
     N_PLANES,
     ann_topk,
+    dec_dot as sim_dec_dot,
     sql_dec_dot,
     sql_plane_literal,
 )
@@ -345,32 +346,28 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     path. Decimal accumulation keeps scores bit-identical to the
     oracle (float sums are order-dependent otherwise)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Per-row norms BEFORE the join (one dot per pair instead of
+    # three) and an explicit repartition so the decimal-heavy
+    # projection parallelizes even off a single parquet file.
+    n_parts = spark.sparkContext.defaultParallelism * 2
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = e.select("vec_id", dbl.alias("v"))
-    q = base.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    base = (
+        e.repartition(n_parts, F.col("vec_id"))
+        .select("vec_id", dbl.alias("v"))
+        .withColumn("norm", F.sqrt(sim_dec_dot(F.col("v"), F.col("v"))))
     )
-
-    def dec_dot(a, b):
-        # cast back inside the merge: Spark decimal '+' widens to
-        # (38,17) which would break the accumulator type contract
-        prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,18)"))
-        return F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(38,18)"),
-            lambda acc, v: (acc + v).cast("decimal(38,18)"),
-        ).cast("double")
+    q = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
 
     pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",
         F.round(
-            dec_dot(F.col("qv"), F.col("v"))
-            / (
-                F.sqrt(dec_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(dec_dot(F.col("v"), F.col("v")))
-            ),
+            sim_dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
             9,
         ).alias("cosine"),
     )
