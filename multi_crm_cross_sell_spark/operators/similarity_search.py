@@ -107,6 +107,52 @@ def ann_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
+    (vectors on the same side of all K hyperplanes), then exact cosine
+    on same-bucket pairs only.
+
+    Same narrow-join shape as the MinHash text dedup: the bucket
+    self-join sees only (vec_id, bucket) rows and reuses one exchange
+    (shuffle_hash hint); vectors and norms are joined back per side of
+    the candidate set. O(pairs-in-bucket), never O(n²)."""
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        embeddings.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
+        .withColumn("bucket", bucket_id(F.col("v")))
+        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+    )
+    ids = base.select("vec_id", "bucket")
+    a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+    s1 = base.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    )
+    s2 = base.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+    )
+    cosine = F.round(
+        dec_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", cosine.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # --- SQL oracle fragments -------------------------------------------------
 
 def sql_plane_literal(k: int) -> str:

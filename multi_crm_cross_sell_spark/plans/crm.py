@@ -442,3 +442,96 @@ def domain_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         root_domain(host).alias("root"),
         domain_from_url(email).alias("email_host"),
     )
+
+
+@register(
+    "er_match_cascade",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             SPLIT_PART(p_name, ' ', 1) AS block_key,
+             LIST_DISTINCT(STRING_SPLIT(p_name, ' ')) AS toks
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             1.0 - levenshtein(a.p_name, b.p_name)
+                   / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE) AS lev_sim,
+             CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS jac,
+             CASE WHEN a.p_brand = b.p_brand THEN 1.0 ELSE 0.0 END AS same_brand,
+             CAST(LEAST(a.p_size, b.p_size) AS DOUBLE) / GREATEST(a.p_size, b.p_size) AS size_ratio,
+             CASE WHEN a.p_name = b.p_name THEN 1 ELSE 0 END AS exact_name
+      FROM p a JOIN p b
+        ON a.block_key = b.block_key AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT id1, id2, exact_name,
+             0.4 * lev_sim + 0.3 * jac + 0.2 * same_brand + 0.1 * size_ratio AS score,
+             lev_sim, jac, same_brand
+      FROM pairs
+    )
+    SELECT id1, id2,
+           CASE WHEN exact_name = 1 THEN 'exact'
+                WHEN score >= 0.8 THEN 'strong'
+                ELSE 'weak' END AS match_tier,
+           ROUND(score, 9) AS match_score,
+           CONCAT_WS(';',
+             CASE WHEN exact_name = 1 THEN 'exact_name' END,
+             CASE WHEN lev_sim >= 0.8 THEN 'name_similar' END,
+             CASE WHEN jac >= 0.5 THEN 'tokens_overlap' END,
+             CASE WHEN same_brand = 1.0 THEN 'same_brand' END) AS reasons
+    FROM scored
+    WHERE exact_name = 1 OR score >= 0.65
+    """,
+    tags=("ml", "ML10", "J2", "F4", "F6"),
+)
+def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML10 match-decision cascade (entity_resolution.py:398-446) as
+    pure column expressions over the blocked pair frame: exact-match
+    short-circuit → weighted rule score threshold, with a reasons list
+    built from when()-guarded flags (reference builds it with Python
+    appends). One blocked join + one projection; no per-pair Python."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    lev_sim = levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name"))
+    jac = jaccard_tokens(
+        F.split(F.col("a.p_name"), " "), F.split(F.col("b.p_name"), " ")
+    )
+    same_brand = F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0).otherwise(0.0)
+    size_ratio = (
+        F.least(F.col("a.p_size"), F.col("b.p_size")).cast("double")
+        / F.greatest(F.col("a.p_size"), F.col("b.p_size"))
+    )
+    exact = F.col("a.p_name") == F.col("b.p_name")
+    score = 0.4 * lev_sim + 0.3 * jac + 0.2 * same_brand + 0.1 * size_ratio
+    reasons = F.concat_ws(
+        ";",
+        F.when(exact, F.lit("exact_name")),
+        F.when(lev_sim >= 0.8, F.lit("name_similar")),
+        F.when(jac >= 0.5, F.lit("tokens_overlap")),
+        F.when(same_brand == 1.0, F.lit("same_brand")),
+    )
+    return (
+        pairs.where(exact | (score >= 0.65))
+        .select(
+            F.col("a.p_partkey").alias("id1"),
+            F.col("b.p_partkey").alias("id2"),
+            F.when(exact, F.lit("exact"))
+            .when(score >= 0.8, F.lit("strong"))
+            .otherwise(F.lit("weak"))
+            .alias("match_tier"),
+            F.round(score, 9).alias("match_score"),
+            reasons.alias("reasons"),
+        )
+    )

@@ -22,14 +22,17 @@ from ..operators.dedup import (
     BAND_ROWS,
     N_HASHES,
     P,
+    base_hash,
     exact_duplicates,
     near_dup_pairs,
+    shingles,
     simhash16,
 )
 from ..operators.similarity_search import (
     N_PLANES,
     ann_topk,
     dec_dot as sim_dec_dot,
+    embedding_near_dup_pairs,
     sql_dec_dot,
     sql_plane_literal,
 )
@@ -427,3 +430,275 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasting every vector everywhere."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk(e, F.col("vec_id") % 100 == 0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (simhash-blocked), embedding near-dup, rolling-
+# hash / winnowing fingerprints, token counting, mapInPandas summarizer.
+# ---------------------------------------------------------------------------
+
+_SQL_SIMHASH = "(" + " + ".join(
+    f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+) + ")"
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS dt
+  FROM documents
+),
+g AS (
+  SELECT doc_id, dt,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM t0 WHERE LEN(t) >= 2
+),
+h AS (
+  SELECT doc_id, bg, LIST_TRANSFORM(dt, x -> {_SQL_BASE_HASH.format(x='x')}) AS hs
+  FROM g
+),
+s AS (SELECT doc_id, bg, {_SQL_SIMHASH} AS sh FROM h),
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.bg AS bg1, b.bg AS bg2
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2,
+       ROUND(CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(bg1, bg2))), 9) AS jaccard
+FROM cand
+WHERE CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(bg1, bg2))) >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("dedup", "ngram", "simhash", "beyond-reference"),
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup detection with SimHash blocking: docs
+    whose 16-bit simhash collides are compared on exact bigram-set
+    Jaccard. A third dedup family next to MinHash-LSH (probabilistic
+    banding) and exact hashing: simhash blocks are cheap to compute
+    (one projection) and the candidate join is a narrow equi-join on a
+    16-bit int — the verify joins ship bigram arrays only for docs
+    that actually collide."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    t = F.split(F.col("text"), " ")
+    base = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .where(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            shingles(F.col("text"), 2).alias("bg"),
+            simhash16(F.col("text")).alias("sh"),
+        )
+    )
+    ids = base.select("doc_id", "sh")
+    a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("bg").alias("bg1"))
+    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("bg").alias("bg2"))
+    jac = F.size(F.array_intersect("bg1", "bg2")) / F.size(
+        F.array_union("bg1", "bg2")
+    ).cast("double")
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .where(jac >= 0.5)
+        .select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+def _embedding_near_dup_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k)})')} >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(N_PLANES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+),
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id1, id2,
+       ROUND({sql_dec_dot('v1', 'v2')}
+             / (SQRT({sql_dec_dot('v1', 'v1')}) * SQRT({sql_dec_dot('v2', 'v2')})), 9) AS cosine
+FROM cand
+WHERE ROUND({sql_dec_dot('v1', 'v2')}
+            / (SQRT({sql_dec_dot('v1', 'v1')}) * SQRT({sql_dec_dot('v2', 'v2')})), 9) >= 0.4
+"""
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_embedding_near_dup_oracle(),
+    tags=("dedup", "similarity", "embedding", "beyond-reference"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking then
+    exact cosine on same-bucket candidates — the vector-space member
+    of the dedup family (exact hash / MinHash / SimHash / n-gram
+    Jaccard / embedding cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+_ROLL_R = 1_000_003
+_WINNOW_W = 4
+
+_ROLLING_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+h AS (
+  SELECT doc_id, t,
+         LIST_TRANSFORM(t, x -> {_SQL_BASE_HASH.format(x='x')}) AS th
+  FROM t0
+),
+g AS (
+  SELECT doc_id, th,
+         CASE WHEN LEN(t) >= 3 THEN
+           LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS grams
+  FROM h
+),
+gh AS (
+  SELECT doc_id, th,
+         LIST_TRANSFORM(grams, x -> {_SQL_BASE_HASH.format(x='x')}) AS ghs
+  FROM g
+)
+SELECT doc_id,
+       LIST_REDUCE(th, (acc, x) -> (acc * {_ROLL_R} + x) % {P}) AS rolling_fp,
+       CASE WHEN LEN(ghs) >= {_WINNOW_W} THEN
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+           LIST_TRANSFORM(RANGE(0, LEN(ghs) - {_WINNOW_W - 1}),
+                          i -> LIST_MIN(ghs[i+1:i+{_WINNOW_W}])))), ',')
+       ELSE '' END AS winnow_fp
+FROM gh
+"""
+
+
+@register(
+    "rolling_hash_fingerprints",
+    oracle=_ROLLING_ORACLE,
+    tags=("text", "fingerprint", "beyond-reference"),
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting two ways in one projection: a polynomial
+    rolling hash over the token-hash sequence (order-sensitive, one
+    BIGINT per doc) and a winnowing fingerprint (MOSS-style: minima of
+    {w}-gram-hash windows, deduped and sorted) for local similarity.
+    Both are pure column expressions — no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, base_hash)
+    rolling = F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _ROLL_R + x) % P,
+    )
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.array_join(F.slice(t, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ghs = F.transform(grams, base_hash)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(ghs) - _WINNOW_W),
+        lambda i: F.array_min(F.slice(ghs, i + 1, _WINNOW_W)),
+    )
+    winnow = F.when(
+        F.size(ghs) >= _WINNOW_W,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(wins)), lambda x: x.cast("string")
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(""))
+    return docs.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        rolling.alias("rolling_fp"),
+        winnow.alias("winnow_fp"),
+    )
+
+
+_BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_ISH}')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(CEIL(n_chars / 4.0) AS INTEGER) AS est_tokens_char4
+FROM documents
+"""
+
+
+@register(
+    "token_counting",
+    oracle=_TOKEN_COUNT_ORACLE,
+    tags=("text", "tokens", "beyond-reference"),
+)
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    segmentation (letter runs / single digits / punctuation — the
+    disjoint character classes make the split engine-independent), and
+    the chars/4 estimate used for LLM budget planning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_ISH)).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("int").alias("est_tokens_char4"),
+    )
+
+
+_SUMMARY_ORACLE = """
+WITH s AS (
+  SELECT doc_id, STRING_SPLIT(text, '. ') AS sents FROM documents
+),
+l AS (
+  SELECT doc_id, sents,
+         LIST_TRANSFORM(sents, x -> LEN(STRING_SPLIT(x, ' '))) AS lens
+  FROM s
+)
+SELECT doc_id,
+       sents[LIST_POSITION(lens, LIST_MAX(lens))] AS summary,
+       CAST(LEN(sents) AS INTEGER) AS n_sentences,
+       'extractive' AS method
+FROM l
+"""
+
+
+@register(
+    "extractive_summary",
+    oracle=_SUMMARY_ORACLE,
+    tags=("text", "ML16", "mapInPandas"),
+)
+def extractive_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML16 (summarizer) as Arrow-batched mapInPandas: model loaded
+    once per executor (lazy global; HF pipeline behind an import guard
+    with a deterministic extractive fallback), applied per column
+    batch. Reference runs distilbart per row on the driver
+    (src/ml/summarizer.py:19-33); here summarization rides the
+    executors and scales with partitions."""
+    from ..operators.summarize import summarize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return summarize(docs.repartition(n_parts, F.col("doc_id")))

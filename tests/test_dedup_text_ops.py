@@ -1,0 +1,101 @@
+"""Unit tests for the dedup / text-analysis / summarization operators
+added beyond the reference surface (BASELINE.json north star)."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.operators.dedup import P, shingles
+from multi_crm_cross_sell_spark.operators.similarity_search import (
+    embedding_near_dup_pairs,
+)
+from multi_crm_cross_sell_spark.operators.summarize import (
+    extractive_summary,
+    summarize,
+)
+
+_ROLL_R = 1_000_003
+
+
+def _py_base_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+
+class TestShingles:
+    def test_trigram_values(self, spark):
+        df = spark.createDataFrame([("a b c d",)], ["text"])
+        [row] = df.select(shingles(F.col("text")).alias("sh")).collect()
+        assert row.sh == ["a b c", "b c d"]
+
+    def test_short_doc_yields_empty_not_error(self, spark):
+        df = spark.createDataFrame([("a b",), ("a",), ("",)], ["text"])
+        rows = df.select(shingles(F.col("text")).alias("sh")).collect()
+        assert all(r.sh == [] for r in rows)
+
+    def test_distinct(self, spark):
+        df = spark.createDataFrame([("x y z x y z x y z",)], ["text"])
+        [row] = df.select(shingles(F.col("text")).alias("sh")).collect()
+        assert sorted(row.sh) == sorted(set(row.sh))
+
+
+class TestRollingHash:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        q = all_queries()["rolling_hash_fingerprints"]
+        got = {r.doc_id: r.rolling_fp for r in q.fn(spark, sf_dir).collect()}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).collect()
+        for d in docs:
+            acc = 0
+            for tok in d.text.split(" "):
+                acc = (acc * _ROLL_R + _py_base_hash(tok)) % P
+            assert got[d.doc_id] == acc
+
+
+class TestEmbeddingNearDup:
+    def test_self_pairs_excluded_and_ordered(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_near_dup_pairs(e, threshold=-1.0).limit(50).collect()
+        assert all(r.id1 < r.id2 for r in out)
+
+    def test_identical_vectors_cosine_one(self, spark):
+        rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)]
+        e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            (r.id1, r.id2): r.cosine
+            for r in embedding_near_dup_pairs(e, threshold=0.99).collect()
+        }
+        assert out == {(1, 2): 1.0}
+
+
+class TestSummarize:
+    def test_extractive_rule(self):
+        text = "short one. this sentence has the most tokens of all. tiny"
+        summary, n = extractive_summary(text)
+        assert summary == "this sentence has the most tokens of all"
+        assert n == 3
+
+    def test_tie_prefers_first_sentence(self):
+        summary, n = extractive_summary("one two three. four five six")
+        assert summary == "one two three"
+        assert n == 2
+
+    def test_mapinpandas_schema_and_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta. g"), (2, "x. y z w")], ["doc_id", "text"]
+        )
+        out = summarize(df).orderBy("doc_id").collect()
+        assert [r.summary for r in out] == ["alpha beta", "y z w"]
+        assert [r.n_sentences for r in out] == [2, 2]
+        assert all(r.method == "extractive" for r in out)
+        assert [f.name for f in summarize(df).schema.fields] == [
+            "doc_id",
+            "summary",
+            "n_sentences",
+            "method",
+        ]
