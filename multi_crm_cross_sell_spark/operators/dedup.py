@@ -170,9 +170,18 @@ def near_dup_pairs(
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over word tokens: per-bit weighted vote of token
     hashes. Small enough to stay a pure column expression; 64-bit
-    variant is the same construction over more bits."""
+    variant is the same construction over more bits.
+
+    NOTE: the token-hash array is referenced 16 times (one aggregate
+    per bit); callers on a hot path should materialize it in its own
+    projection and use simhash16_from_hashes so the md5s are computed
+    once per row, not once per bit."""
     toks = F.array_distinct(F.split(text, " "))
-    h = F.transform(toks, base_hash)
+    return simhash16_from_hashes(F.transform(toks, base_hash))
+
+
+def simhash16_from_hashes(h: Column) -> Column:
+    """16-bit SimHash over a pre-computed token-hash array column."""
 
     def bit_vote(j: int):
         return lambda x: (

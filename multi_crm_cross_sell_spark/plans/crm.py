@@ -504,34 +504,61 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.p_size") == F.col("b.p_size"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     )
-    lev_sim = levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name"))
-    jac = jaccard_tokens(
-        F.split(F.col("a.p_name"), " "), F.split(F.col("b.p_name"), " ")
+    # Feature projection first: levenshtein / jaccard feed the score,
+    # the tier ladder, the reasons list AND the filter — as bound
+    # columns they are computed once per pair instead of once per use.
+    # The explicit repartition stops AQE from coalescing the small join
+    # output onto one core before the per-pair string math runs.
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    pairs = pairs.repartition(n_parts)
+    feats = pairs.select(
+        F.col("a.p_partkey").alias("id1"),
+        F.col("b.p_partkey").alias("id2"),
+        levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name")).alias("lev_sim"),
+        jaccard_tokens(
+            F.split(F.col("a.p_name"), " "), F.split(F.col("b.p_name"), " ")
+        ).alias("jac"),
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0)
+        .otherwise(0.0)
+        .alias("same_brand"),
+        (
+            F.least(F.col("a.p_size"), F.col("b.p_size")).cast("double")
+            / F.greatest(F.col("a.p_size"), F.col("b.p_size"))
+        ).alias("size_ratio"),
+        (F.col("a.p_name") == F.col("b.p_name")).alias("exact"),
     )
-    same_brand = F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0).otherwise(0.0)
-    size_ratio = (
-        F.least(F.col("a.p_size"), F.col("b.p_size")).cast("double")
-        / F.greatest(F.col("a.p_size"), F.col("b.p_size"))
+    score = (
+        0.4 * F.col("lev_sim")
+        + 0.3 * F.col("jac")
+        + 0.2 * F.col("same_brand")
+        + 0.1 * F.col("size_ratio")
     )
-    exact = F.col("a.p_name") == F.col("b.p_name")
-    score = 0.4 * lev_sim + 0.3 * jac + 0.2 * same_brand + 0.1 * size_ratio
+    scored = feats.select(
+        "id1",
+        "id2",
+        "exact",
+        "lev_sim",
+        "jac",
+        "same_brand",
+        score.alias("score"),
+    )
     reasons = F.concat_ws(
         ";",
-        F.when(exact, F.lit("exact_name")),
-        F.when(lev_sim >= 0.8, F.lit("name_similar")),
-        F.when(jac >= 0.5, F.lit("tokens_overlap")),
-        F.when(same_brand == 1.0, F.lit("same_brand")),
+        F.when(F.col("exact"), F.lit("exact_name")),
+        F.when(F.col("lev_sim") >= 0.8, F.lit("name_similar")),
+        F.when(F.col("jac") >= 0.5, F.lit("tokens_overlap")),
+        F.when(F.col("same_brand") == 1.0, F.lit("same_brand")),
     )
     return (
-        pairs.where(exact | (score >= 0.65))
+        scored.where(F.col("exact") | (F.col("score") >= 0.65))
         .select(
-            F.col("a.p_partkey").alias("id1"),
-            F.col("b.p_partkey").alias("id2"),
-            F.when(exact, F.lit("exact"))
-            .when(score >= 0.8, F.lit("strong"))
+            "id1",
+            "id2",
+            F.when(F.col("exact"), F.lit("exact"))
+            .when(F.col("score") >= 0.8, F.lit("strong"))
             .otherwise(F.lit("weak"))
             .alias("match_tier"),
-            F.round(score, 9).alias("match_score"),
+            F.round(F.col("score"), 9).alias("match_score"),
             reasons.alias("reasons"),
         )
     )

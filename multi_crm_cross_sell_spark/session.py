@@ -56,7 +56,18 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM for driver+executors: with 32 concurrent
+        # tasks, an 8g heap GC-thrashes once a few queries' broadcast
+        # and shuffle state accumulates. Size for the harness box.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Shuffle/spill files on tmpfs: local-mode shuffles are small
+        # (MBs) but the backing block device occasionally stalls for
+        # seconds; RAM-backed local dirs remove that variance. On a
+        # real cluster this maps to fast local NVMe for shuffle.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
