@@ -264,3 +264,51 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("k_value", "sum_k"),
         )
     )
+
+
+@register(
+    "stateful_running_totals",
+    oracle=None,  # arbitrary-state streaming: genuinely non-SQL-expressible
+    tags=("streaming", "stateful", "applyInPandasWithState", "ST3"),
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count/sum maintained in the state store across
+    micro-batches (streaming/stateful.py). Runs the REAL streaming
+    query with Trigger.AvailableNow over the events table (two
+    micro-batches via maxFilesPerTrigger) and returns the final state
+    per user — which must equal the batch groupBy, which is how the
+    rows-only check stays meaningful."""
+    import tempfile
+
+    from ..streaming.stateful import running_totals
+    from ..streaming.windows import stream_source
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    work = tempfile.mkdtemp(prefix="stateful_rt_")
+    src = f"{work}/src"
+    ev.coalesce(2).write.parquet(src, mode="overwrite")
+    schema = spark.read.parquet(src).schema
+    stream = stream_source(spark, src, schema, max_files_per_trigger=1)
+    out = f"{work}/out"
+    q = (
+        running_totals(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    upd = spark.read.parquet(out)
+    return (
+        upd.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 6).alias("total_value"),
+        )
+    )

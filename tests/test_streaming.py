@@ -76,3 +76,67 @@ def test_foreach_batch_merge_idempotent(spark, events_dir, tmp_path):
     # merge keeps the log duplicate-free
     foreach_batch_log(stream_source(spark, src, schema), target, str(tmp_path / "ck2"), ["event_id"])
     assert spark.read.parquet(target).count() == n
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    from multi_crm_cross_sell_spark.streaming.stateful import running_totals
+
+    src = str(events_dir / "src")
+    schema = spark.read.parquet(src).schema
+    stream = stream_source(spark, src, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    q = (
+        running_totals(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # last emission per user must equal the batch ground truth
+    import pyspark.sql.functions as SF
+
+    last = (
+        got.groupBy("user_id")
+        .agg(SF.max("n_events").alias("n_events"), SF.max("total_value").alias("tv"))
+    )
+    truth = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(SF.count("*").alias("n_b"), SF.sum("value").alias("tv_b"))
+    )
+    j = last.join(truth, "user_id").toPandas()
+    assert len(j) > 0
+    assert (j["n_events"] == j["n_b"]).all()
+    assert (abs(j["tv"] - j["tv_b"]) < 1e-6).all()
+    # two micro-batches -> users seen in both emit twice (update stream)
+    assert got.count() >= last.count()
+
+
+def test_stateful_dedup_exactly_once(spark, events_dir, tmp_path):
+    from multi_crm_cross_sell_spark.streaming.stateful import stateful_dedup
+
+    src_dup = str(tmp_path / "dup_src")
+    ev = spark.read.parquet(str(events_dir / "src"))
+    # land the SAME events twice as two files -> duplicate micro-batches
+    ev.coalesce(1).write.parquet(src_dup, mode="overwrite")
+    ev.coalesce(1).write.parquet(src_dup, mode="append")
+    stream = stream_source(spark, src_dup, ev.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    q = (
+        stateful_dedup(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
