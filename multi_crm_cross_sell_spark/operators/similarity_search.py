@@ -153,6 +153,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN with nprobe=1: assign every vector to
+    its nearest centroid cell, search a query only within its own cell.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
+    and oracle-reproducible where a KMeans fit would not be. (A
+    production index would train centroids; the INDEX STRUCTURE —
+    cell assignment via small-side broadcast join + argmin window,
+    then an equi-join on cell id — is identical, and that is the part
+    that must scale: the per-pair search space shrinks from O(N) to
+    O(N/n_centroids) and the cell join shuffles on an int key.)"""
+    from pyspark.sql import Window
+
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        embeddings.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
+        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+    )
+    cents = base.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    # cell assignment: argmax cosine to a centroid (ties -> lowest id)
+    sim = F.round(
+        dec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    assigned = (
+        base.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "v", "norm", "cent_id", sim.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = F.broadcast(q).join(
+        assigned,
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cosine = F.round(
+        dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 9
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= k)
+    )
+
+
 # --- SQL oracle fragments -------------------------------------------------
 
 def sql_plane_literal(k: int) -> str:

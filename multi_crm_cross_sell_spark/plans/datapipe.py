@@ -755,3 +755,67 @@ def extractive_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
     return summarize(docs.repartition(n_parts, F.col("doc_id")))
+
+
+def _ivf_oracle() -> str:
+    dd = sql_dec_dot
+    return f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+  FROM norms ORDER BY vec_id LIMIT 16
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, norm, cell FROM (
+    SELECT vec_id, v, norm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell AS qcell
+  FROM assigned WHERE vec_id % 100 = 0
+),
+cand AS (
+  SELECT q.query_id, a.vec_id, q.qv, q.qnorm, a.v, a.norm
+  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({dd('qv', 'v')} / (qnorm * norm), 9) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ann", "ivf", "beyond-reference"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): nearest-centroid cell assignment via a
+    broadcast argmin join, then candidate search restricted to the
+    query's cell — the inverted-file scale path next to the LSH and
+    brute-force variants. Deterministic lowest-id centroids keep the
+    index oracle-reproducible (a trained KMeans codebook slots into
+    the same plan shape)."""
+    from ..operators.similarity_search import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=16)

@@ -99,3 +99,24 @@ class TestSummarize:
             "n_sentences",
             "method",
         ]
+
+
+class TestIvf:
+    def test_cells_partition_all_vectors(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import ivf_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ivf_topk(e, F.col("vec_id") % 50 == 0, k=3).collect()
+        assert len(out) > 0
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            assert len(rows) <= 3
+            ranks = sorted(r.rk for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            cos = [r.cosine for r in sorted(rows, key=lambda r: r.rk)]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r.vec_id != q for r in rows)
