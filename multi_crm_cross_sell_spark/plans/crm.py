@@ -497,9 +497,13 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-circuit → weighted rule score threshold, with a reasons list
     built from when()-guarded flags (reference builds it with Python
     appends). One blocked join + one projection; no per-pair Python."""
+    # Tokenize per PART (20k rows) before the join, not per PAIR
+    # (500k at sf0.1): the join carries small token arrays instead of
+    # re-splitting both names for every pair.
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
     )
     a, b = p.alias("a"), p.alias("b")
     pairs = a.join(
@@ -519,9 +523,7 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.p_partkey").alias("id1"),
         F.col("b.p_partkey").alias("id2"),
         levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name")).alias("lev_sim"),
-        jaccard_tokens(
-            F.split(F.col("a.p_name"), " "), F.split(F.col("b.p_name"), " ")
-        ).alias("jac"),
+        jaccard_tokens(F.col("a.toks"), F.col("b.toks")).alias("jac"),
         F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0)
         .otherwise(0.0)
         .alias("same_brand"),
@@ -635,4 +637,83 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.where(F.col("jw") >= 0.9).select(
         "id1", "id2", "name1", "name2", F.round("jw", 9).alias("jaro_winkler")
+    )
+
+
+def _normalize_oracle() -> str:
+    from ..functions.text import ABBREVIATIONS, LEGAL_SUFFIXES
+
+    abbrev_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in ABBREVIATIONS.items()
+    )
+    suffixes = ", ".join(f"'{s}'" for s in LEGAL_SUFFIXES)
+    return f"""
+    WITH raw AS (
+      SELECT p_partkey,
+             p_name || CASE p_partkey % 5
+               WHEN 0 THEN ' Inc.'
+               WHEN 1 THEN ' Corp'
+               WHEN 2 THEN ', LLC'
+               WHEN 3 THEN ' Intl Holdings'
+               ELSE ' & Sons Tech' END AS raw_name
+      FROM part
+    ),
+    stripped AS (
+      SELECT p_partkey, raw_name,
+             REGEXP_REPLACE(LOWER(TRIM(raw_name)), '[^a-z0-9&\\s]', ' ', 'g') AS s
+      FROM raw
+    ),
+    toks AS (
+      SELECT p_partkey, raw_name,
+             LIST_FILTER(STRING_SPLIT_REGEX(s, '\\s+'), t -> t <> '') AS t
+      FROM stripped
+    ),
+    expanded AS (
+      SELECT p_partkey, raw_name,
+             LIST_TRANSFORM(t, x -> CASE x {abbrev_case} ELSE x END) AS t
+      FROM toks
+    ),
+    kept AS (
+      SELECT p_partkey, raw_name,
+             LIST_FILTER(t, x -> x NOT IN ({suffixes})) AS t
+      FROM expanded
+    )
+    SELECT p_partkey, raw_name,
+           ARRAY_TO_STRING(t, ' ') AS normalized,
+           ARRAY_TO_STRING(LIST_FILTER(t, x -> LENGTH(x) > 2), ',') AS tokens
+    FROM kept
+    """
+
+
+@register(
+    "normalize_company_names",
+    oracle=_normalize_oracle(),
+    tags=("text", "F1", "F2"),
+)
+def normalize_company_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 company-name normalization (entity_resolution.py:52-106)
+    as one JVM-side expression chain — lowercase, punctuation strip
+    (keep '&'), literal-MAP abbreviation expansion, legal-suffix drop,
+    whitespace collapse, then >2-char token extraction. Input names
+    are p_names deterministically decorated with the suffix/abbrev
+    cases the normalizer must handle (SURVEY §7.3 calls F1 parity out
+    as one of the genuinely hard bits — this query pins it against
+    the oracle)."""
+    from ..functions.text import name_tokens, normalize_company_name
+
+    p = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.col("p_name"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(" Inc."))
+        .when(F.col("p_partkey") % 5 == 1, F.lit(" Corp"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit(", LLC"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit(" Intl Holdings"))
+        .otherwise(F.lit(" & Sons Tech")),
+    )
+    base = p.select("p_partkey", raw.alias("raw_name"))
+    return base.select(
+        "p_partkey",
+        "raw_name",
+        normalize_company_name(F.col("raw_name")).alias("normalized"),
+        F.array_join(name_tokens(F.col("raw_name")), ",").alias("tokens"),
     )

@@ -144,3 +144,57 @@ def test_baselines(spark):
     for c in ("score_random", "score_popularity", "score_similarity"):
         assert c in out.columns
     assert out["score_similarity"].between(0, 1).all()
+
+
+class TestMLlibMinHashLSH:
+    """J2's robust-blocking Spark idiom (SURVEY §2.3): MLlib MinHashLSH
+    approxSimilarityJoin over token sets, checked for recall against
+    the exact token-Jaccard join on the same frame."""
+
+    def test_approx_join_recall(self, spark, sf_dir):
+        from pyspark.ml.feature import CountVectorizer, MinHashLSH
+        from pyspark.sql import functions as F
+
+        p = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select(
+                "p_partkey",
+                F.array_distinct(F.split("p_name", " ")).alias("toks"),
+            )
+            .where(F.size("toks") >= 1)
+        )
+        cv = CountVectorizer(
+            inputCol="toks", outputCol="features", binary=True, minDF=1.0
+        ).fit(p)
+        vecs = cv.transform(p)
+        lsh = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        ).fit(vecs)
+        approx = (
+            lsh.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
+            .where(F.col("datasetA.p_partkey") < F.col("datasetB.p_partkey"))
+            .select(
+                F.col("datasetA.p_partkey").alias("id1"),
+                F.col("datasetB.p_partkey").alias("id2"),
+            )
+        )
+        got = {(r.id1, r.id2) for r in approx.collect()}
+
+        a, b = p.alias("a"), p.alias("b")
+        jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+            F.array_union("a.toks", "b.toks")
+        ).cast("double")
+        exact = (
+            a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+            .where(jac >= 0.7)
+            .select(
+                F.col("a.p_partkey").alias("id1"),
+                F.col("b.p_partkey").alias("id2"),
+            )
+        )
+        truth = {(r.id1, r.id2) for r in exact.collect()}
+        assert truth, "expected some high-jaccard pairs in testdata"
+        # approx join at distance<=0.3 (jaccard>=0.7) must recover the
+        # bulk of the exact pairs (probabilistic: 8 tables, seed fixed)
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} pairs"
