@@ -500,3 +500,45 @@ def customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(F.col("o_orderdate").cast("date")).over(w),
         ).alias("days_since_prev"),
     )
+
+
+@register(
+    "grouped_rank_applyinpandas",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+           ) AS INTEGER) AS balance_rank
+    FROM customer
+    """,
+    tags=("udf", "applyInPandas", "grouped-map", "W2"),
+)
+def grouped_rank_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas surface: per-nation balance ranking
+    computed in pandas (stable sort, deterministic tiebreak on key —
+    integer output so the oracle comparison is exact). The native
+    Window equivalent is `topk_per_group`; this entry pins the Arrow
+    grouped-map path itself — partition-per-group fan-out, pandas
+    compute, Arrow return — which is the shape every custom per-group
+    Python operator (per-org model scoring, per-group normalization)
+    rides at scale. Keys with many rows shuffle to one task each, so
+    at 100 TB the grouping key must be chosen with bounded group size
+    (nations here; never a boolean)."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        pdf["balance_rank"] = pd.array(range(1, len(pdf) + 1), dtype="int32")
+        return pdf[["c_custkey", "c_nationkey", "balance_rank"]]
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        rank_group,
+        schema="c_custkey bigint, c_nationkey int, balance_rank int",
+    )
