@@ -37,12 +37,14 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     )
 
 
-def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
+def _jaro(s1: str, s2: str, floor_transpositions: bool = False) -> float:
+    # Reference order (entity_resolution.py:201-204): emptiness beats
+    # equality, so jaro("", "") is 0.0, not 1.0.
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0
@@ -68,12 +70,24 @@ def _jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[k]:
                 t += 1
             k += 1
-    t //= 2
-    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    # The reference (entity_resolution.py:240-241) halves the raw
+    # transposition count as a FLOAT: (matches - t/2) / matches. The
+    # textbook/DuckDB convention counts transposition PAIRS (floor).
+    # They differ whenever the raw count is odd (~4% of random pairs).
+    # Reference semantics are the parity target and the default; the
+    # floor variant exists so one query can be oracle-checked against
+    # DuckDB's jaro_similarity bit-for-bit.
+    th = (t // 2) if floor_transpositions else (t / 2)
+    return (matches / len1 + matches / len2 + (matches - th) / matches) / 3.0
 
 
-def _jaro_winkler(s1: str, s2: str, scaling: float = 0.1) -> float:
-    j = _jaro(s1, s2)
+def _jaro_winkler(
+    s1: str,
+    s2: str,
+    scaling: float = 0.1,
+    floor_transpositions: bool = False,
+) -> float:
+    j = _jaro(s1, s2, floor_transpositions)
     prefix = 0
     for a, b in zip(s1, s2):
         if a != b or prefix == 4:
@@ -84,7 +98,7 @@ def _jaro_winkler(s1: str, s2: str, scaling: float = 0.1) -> float:
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler; null-safe (null → null)."""
+    """Arrow-batched Jaro-Winkler, reference semantics; null-safe."""
     out = []
     for a, b in zip(s1, s2):
         if a is None or b is None:
@@ -94,5 +108,21 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def jaro_winkler_floor_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Textbook/DuckDB transposition-pair convention (floor)."""
+    out = []
+    for a, b in zip(s1, s2):
+        if a is None or b is None:
+            out.append(None)
+        else:
+            out.append(_jaro_winkler(a, b, floor_transpositions=True))
+    return pd.Series(out, dtype="float64")
+
+
 def jaro_winkler(a: Column, b: Column) -> Column:
     return jaro_winkler_udf(a, b)
+
+
+def jaro_winkler_textbook(a: Column, b: Column) -> Column:
+    return jaro_winkler_floor_udf(a, b)

@@ -819,3 +819,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=16)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # md5-over-BLOB is not expressible in the oracle SQL
+    tags=("multimodal", "mapInPandas", "beyond-reference"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline surface: deterministic synthetic media table
+    (binary payload + typed metadata) → Arrow mapInPandas decode stub +
+    feature extraction → joined with the frame-sample timeline for
+    videos. Rows-only check: the content hash is md5 over BYTES, which
+    the SQL oracle dialect cannot express — determinism is instead
+    pinned by tests/test_sinks_multimodal.py."""
+    from ..operators.multimodal import extract_features, frame_sample, synth_media
+
+    media = synth_media(spark, 64).repartition(8, F.col("media_id"))
+    feats = extract_features(media)
+    frames = frame_sample(media).groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "content_hash",
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        )
+    )

@@ -94,3 +94,29 @@ def test_levenshtein_similarity(spark):
     ).collect()
     assert row[0]["s"] == pytest.approx(1 - 3 / 7)
     assert row[1]["s"] == 1.0
+
+
+class TestJaroWinklerConventions:
+    """The reference halves the RAW transposition count as a float
+    (entity_resolution.py:240-241); textbook/DuckDB floor it to pairs.
+    Both conventions are deliberate and pinned here on an
+    odd-transposition example where they must differ."""
+
+    def test_reference_float_halving(self):
+        assert _jaro_winkler("dabebe", "abdab") == 0.6972222222222223
+
+    def test_textbook_floor_matches_duckdb(self):
+        import duckdb
+
+        ours = _jaro_winkler("dabebe", "abdab", floor_transpositions=True)
+        assert ours == 0.7388888888888889
+        got = duckdb.connect().execute(
+            "SELECT jaro_winkler_similarity('dabebe', 'abdab')"
+        ).fetchone()[0]
+        # duckdb applies the 0.7 boost threshold; prefix here is 0 so
+        # the winkler step is a no-op either way and the cores compare
+        assert abs(ours - got) < 1e-12
+
+    def test_empty_is_zero_before_equality(self):
+        assert _jaro_winkler("", "") == 0.0
+        assert _jaro_winkler("", "x") == 0.0

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the scalar-function library —
+beyond the reference's test strategy (SURVEY §5 notes it has none).
+
+Pure-Python functions get per-example hypothesis tests; Spark column
+expressions get batch properties (one job over a seeded corpus) since
+a Spark action per hypothesis example would be pathologically slow.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.functions.similarity import _jaro, _jaro_winkler
+from multi_crm_cross_sell_spark.functions.text import normalize_company_name
+from multi_crm_cross_sell_spark.operators.summarize import extractive_summary
+
+texts = st.text(alphabet=string.ascii_lowercase + " &.,-", max_size=40)
+
+
+class TestJaroWinklerProperties:
+    @given(texts, texts)
+    @settings(max_examples=300, deadline=None)
+    def test_symmetric(self, a, b):
+        assert abs(_jaro_winkler(a, b) - _jaro_winkler(b, a)) < 1e-12
+
+    @given(texts, texts)
+    @settings(max_examples=300, deadline=None)
+    def test_bounded(self, a, b):
+        assert 0.0 <= _jaro_winkler(a, b) <= 1.0 + 1e-12
+
+    @given(texts)
+    @settings(max_examples=200, deadline=None)
+    def test_identity(self, a):
+        assert _jaro_winkler(a, a) == (1.0 if a else 0.0)
+
+    @given(texts, texts)
+    @settings(max_examples=300, deadline=None)
+    def test_winkler_never_below_jaro(self, a, b):
+        # boost = prefix * 0.1 * (1 - jaro) >= 0
+        assert _jaro_winkler(a, b) >= _jaro(a, b) - 1e-12
+
+
+class TestSummaryProperties:
+    @given(st.text(alphabet=string.ascii_lowercase + " .", min_size=1, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_summary_is_a_sentence_of_input(self, text):
+        summary, n = extractive_summary(text)
+        sentences = text.split(". ")
+        assert summary in sentences
+        assert n == len(sentences)
+        # picks a sentence with the max token count
+        lens = [len(s.split(" ")) for s in sentences]
+        assert len(summary.split(" ")) == max(lens)
+
+
+class TestNormalizeBatchProperties:
+    def test_idempotent_and_clean(self, spark):
+        rng = random.Random(42)
+        words = ["Acme", "intl", "Tech", "Global", "&", "Mfg", "Svcs", "co"]
+        suffixes = ["Inc.", "LLC", "Ltd", "GmbH", "Corp.", ""]
+        corpus = [
+            " ".join(rng.sample(words, rng.randint(1, 5)))
+            + (", " + rng.choice(suffixes) if rng.random() < 0.7 else "")
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame([(s,) for s in corpus], ["name"])
+        once = normalize_company_name(F.col("name"))
+        out = df.select(
+            once.alias("n1"), normalize_company_name(once).alias("n2")
+        ).collect()
+        for r in out:
+            assert r.n1 == r.n2, (r.n1, r.n2)  # idempotent
+            assert r.n1 == r.n1.lower()
+            assert "  " not in r.n1  # collapsed whitespace
+            assert not any(ch in r.n1 for ch in ".,")  # punctuation gone
