@@ -100,3 +100,25 @@ def model_registry_append(
         "model_name string, version string, stage string, metrics string, artifact_path string",
     ).withColumn("registered_at", F.current_timestamp())
     row.write.mode("append").parquet(registry_path)
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (SCALE.md data-layout): co-locates rows
+    by join key at WRITE time so repeated joins/aggregations on that
+    key plan with zero exchanges. This is the 100 TB answer to the
+    reference's per-key dict lookups: pay one shuffle when landing the
+    silver table, then every downstream join on the bucket key is
+    shuffle-free (verified in tests/test_sinks_multimodal.py)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

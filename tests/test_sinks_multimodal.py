@@ -89,3 +89,40 @@ def test_frame_sample_and_resize(spark):
     assert all(r["count"] == 4 for r in per_video)  # 1000ms / 250ms
     rs = resize_metadata(media, max_side=32).collect()
     assert all(r["target_width"] == 32 for r in rs)  # 64x64 -> 32x32
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        from multi_crm_cross_sell_spark.sources.sinks import save_bucketed_table
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+        save_bucketed_table(c, "b_customer", ["c_custkey"], 8)
+        save_bucketed_table(o, "b_orders", ["c_custkey"], 8)
+        bc, bo = spark.table("b_customer"), spark.table("b_orders")
+        # disable broadcast so the join strategy depends on bucketing
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bc, "c_custkey").groupBy("c_mktsegment").count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n_exchanges = plan.count("Exchange")
+            # bucketed sides: the JOIN itself needs no exchange; only
+            # the final 1-column aggregation may shuffle
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert n_exchanges <= 1, plan
+            # and the result matches the unbucketed join
+            plain = (
+                spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .withColumnRenamed("o_custkey", "c_custkey")
+                .join(c, "c_custkey")
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            assert sorted(joined.collect()) == sorted(plain.collect())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
