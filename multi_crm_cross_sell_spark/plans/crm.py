@@ -722,3 +722,66 @@ def normalize_company_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_company_name(F.col("raw_name")).alias("normalized"),
         F.array_join(name_tokens(F.col("raw_name")), ",").alias("tokens"),
     )
+
+
+@register(
+    "score_explanations",
+    oracle=f"""
+    WITH flagship AS ({_FLAGSHIP_ORACLE}),
+    contrib AS (
+      SELECT account1_id, account2_id, score,
+             ROUND(0.3 * same_segment, 9) AS c_segment,
+             ROUND(0.25 * size_ratio, 9) AS c_size,
+             ROUND(0.25 * pair_activity, 9) AS c_activity,
+             ROUND(0.2 * spend_compat, 9) AS c_spend
+      FROM flagship
+    )
+    SELECT account1_id, account2_id, score,
+           c_segment, c_size, c_activity, c_spend,
+           CASE
+             WHEN c_segment >= c_size AND c_segment >= c_activity AND c_segment >= c_spend THEN 'same_segment'
+             WHEN c_size >= c_activity AND c_size >= c_spend THEN 'size_ratio'
+             WHEN c_activity >= c_spend THEN 'pair_activity'
+             ELSE 'spend_compat'
+           END AS top_factor
+    FROM contrib
+    """,
+    tags=("ml", "ML9", "explainability"),
+)
+def score_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML9 explainability: per-feature score contributions for each
+    recommendation (weight × feature term of the rule ensemble) and
+    the dominant factor. The reference mocks SHAP (api/main.py:883-890);
+    for the linear rule score the exact decomposition IS the Shapley
+    attribution, computed as column expressions over the flagship
+    output — no model call, no Python. (Tree-model importances live in
+    ml/ensemble.EnsembleModel.feature_importances; per-row SHAP for
+    tree members would ride mapInPandas with broadcast weights.)"""
+    recs = cross_sell_recommendations(spark, sf_dir)
+    c_seg = F.round(0.3 * F.col("same_segment"), 9)
+    c_size = F.round(0.25 * F.col("size_ratio"), 9)
+    c_act = F.round(0.25 * F.col("pair_activity"), 9)
+    c_spend = F.round(0.2 * F.col("spend_compat"), 9)
+    contrib = recs.select(
+        "account1_id", "account2_id", "score",
+        c_seg.alias("c_segment"),
+        c_size.alias("c_size"),
+        c_act.alias("c_activity"),
+        c_spend.alias("c_spend"),
+    )
+    top = (
+        F.when(
+            (F.col("c_segment") >= F.col("c_size"))
+            & (F.col("c_segment") >= F.col("c_activity"))
+            & (F.col("c_segment") >= F.col("c_spend")),
+            "same_segment",
+        )
+        .when(
+            (F.col("c_size") >= F.col("c_activity"))
+            & (F.col("c_size") >= F.col("c_spend")),
+            "size_ratio",
+        )
+        .when(F.col("c_activity") >= F.col("c_spend"), "pair_activity")
+        .otherwise("spend_compat")
+    )
+    return contrib.select("*", top.alias("top_factor"))
