@@ -542,3 +542,42 @@ def grouped_rank_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_group,
         schema="c_custkey bigint, c_nationkey int, balance_rank int",
     )
+
+
+@register(
+    "weekly_order_rollup",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+           CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "A2", "A6", "F22", "ST5"),
+)
+def weekly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bucketed rollup at two grains in one pass (week +
+    month via date_trunc — both Monday/first-of-month in Spark AND the
+    oracle dialect, verified). The batch face of the streaming
+    tumbling windows; at 100 TB the date filter prunes partitions
+    before the single partial-agg shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.where(
+            F.col("o_orderdate")
+            >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy(
+            F.date_trunc("week", d).cast("date").alias("week_start"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_value"),
+        )
+    )

@@ -122,3 +122,19 @@ def save_bucketed_table(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def export_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """S12 Excel export (api/main.py:794-858's xlsx branch): a serving
+    concern over a BOUNDED result — collect via Arrow then write with
+    openpyxl if available. Guarded: this container ships no Excel
+    writer, so the capped collect is exercised and the final encode
+    raises NotImplementedError rather than silently writing nothing."""
+    bounded = df.limit(max_rows).toPandas()
+    try:  # pragma: no cover - openpyxl not installed here
+        bounded.to_excel(path, index=False)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel export requires an xlsx writer (openpyxl); "
+            f"collected {len(bounded)} rows successfully"
+        ) from exc

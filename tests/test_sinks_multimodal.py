@@ -126,3 +126,13 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS b_customer")
             spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_export_excel_stub_collects_then_raises(spark, sf_dir):
+    import pytest
+
+    from multi_crm_cross_sell_spark.sources.sinks import export_excel
+
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with pytest.raises(NotImplementedError, match="collected 25 rows"):
+        export_excel(df, "/tmp/out.xlsx")
