@@ -179,13 +179,14 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations — the 100 TB versions of COUNT DISTINCT and
     percentile (SURVEY §2.4: coverage at scale uses
     approx_count_distinct). Rows-only check: sketch estimates are
-    engine-specific by construction."""
+    engine-specific by construction. Percentiles are emitted as scalar
+    columns (not array<double>) so the result canonicalizes cleanly."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_percentile("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_percentiles"
-        ),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("price_p95"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("price_p99"),
         F.count("*").alias("exact_rows"),
     )
