@@ -19,10 +19,12 @@ from pyspark.sql.types import DoubleType
 
 
 def levenshtein_similarity(a: Column, b: Column) -> Column:
-    """1 - lev/max(len) (entity_resolution.py:188-196), guarded for
-    empty strings."""
+    """1 - lev/max(len) (entity_resolution.py:186-196). The reference's
+    emptiness guard fires BEFORE the similarity math: either side empty
+    → 0.0 (``if not s1 or not s2``), so two suffix-only names that both
+    normalize to "" are NOT a match."""
     denom = F.greatest(F.length(a), F.length(b))
-    return F.when(denom == 0, F.lit(1.0)).otherwise(
+    return F.when((F.length(a) == 0) | (F.length(b) == 0), F.lit(0.0)).otherwise(
         F.lit(1.0) - F.levenshtein(a, b) / denom.cast("double")
     )
 

@@ -13,24 +13,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Legal-suffix stoplist (entity_resolution.py:56-60).
+# Legal-suffix stoplist — the reference's NameNormalizer.SUFFIXES
+# verbatim (entity_resolution.py:56-60), including llp/nv and the
+# international/intl/global/worldwide family.
 LEGAL_SUFFIXES = (
-    "inc", "incorporated", "corp", "corporation", "llc", "ltd", "limited",
-    "co", "company", "plc", "gmbh", "ag", "sa", "holdings", "group",
+    "inc", "incorporated", "corp", "corporation", "co", "company",
+    "llc", "llp", "ltd", "limited", "plc", "gmbh", "ag", "sa", "nv",
+    "holdings", "group", "international", "intl", "global", "worldwide",
 )
 
-# Abbreviation expansions (entity_resolution.py:63-73).
+# Abbreviation expansions — NameNormalizer.ABBREVS verbatim
+# (entity_resolution.py:63-73). Expansion runs BEFORE suffix removal,
+# so e.g. intl → international → (dropped as a suffix).
 ABBREVIATIONS = {
     "intl": "international",
-    "natl": "national",
+    "corp": "corporation",
+    "inc": "incorporated",
+    "co": "company",
     "tech": "technology",
-    "mfg": "manufacturing",
-    "svcs": "services",
-    "svc": "service",
     "sys": "systems",
-    "grp": "group",
-    "assoc": "associates",
-    "mgmt": "management",
+    "svc": "services",
+    "svcs": "services",
+    "mfg": "manufacturing",
 }
 
 
@@ -48,7 +52,11 @@ def normalize_company_name(col: Column) -> Column:
     (entity_resolution.py:75-98), as one expression chain.
     """
     lowered = F.lower(F.trim(col))
-    stripped = F.regexp_replace(lowered, r"[^a-z0-9&\s]", " ")
+    # Reference char class is Python \w (unicode-aware): keep letters,
+    # digits, underscore, whitespace and '&'; everything else → space.
+    # \p{L}\p{N}_ spells that out identically in Java regex and in
+    # DuckDB's RE2, so oracles can use the same pattern.
+    stripped = F.regexp_replace(lowered, r"[^\p{L}\p{N}_&\s]", " ")
     toks = F.filter(F.split(stripped, r"\s+"), lambda t: t != "")
     m = _abbrev_map()
     expanded = F.transform(toks, lambda t: F.coalesce(m[t], t))

@@ -25,38 +25,39 @@ from pyspark.sql import functions as F
 from ..functions.similarity import jaccard_tokens, jaro_winkler, levenshtein_similarity
 from ..functions.text import domain_from_url, name_tokens, normalize_company_name, root_domain
 
-# Rule-score weights (entity_resolution.py:268-282).
-RULE_WEIGHTS = {
-    "name_similarity": 0.4,
-    "domain_match": 0.3,
-    "geo_match": 0.1,
-    "size_similarity": 0.1,
-    "token_overlap": 0.1,
-}
-
+# Score-blend weights (EntityResolver.__init__, entity_resolution.py:268-278).
+DOMAIN_WEIGHT = 0.4
+NAME_WEIGHT = 0.4
+METADATA_WEIGHT = 0.2
 MATCH_THRESHOLD = 0.7  # entity_resolution.py:273
 
+# ML feature vector = the reference's features dict in insertion order
+# (_extract_features, entity_resolution.py:298-350) — the RF sees the
+# same 9 features the reference's does.
 ER_FEATURES = [
-    "name_levenshtein",
+    "domain_exact_match",
+    "domain_similarity",
+    "name_exact_match",
     "name_jaro_winkler",
-    "token_jaccard",
-    "domain_exact",
-    "root_domain_match",
-    "geo_match",
-    "size_similarity",
+    "name_levenshtein",
+    "name_jaccard",
+    "same_country",
+    "same_industry",
+    "size_ratio",
 ]
 
 
 def blocking_key(name_col, country_col):
-    """First-3 chars of the normalized name + 2-char country prefix
-    (entity_resolution.py:287-294). At 100 TB this key is skewed
-    (common prefixes); AQE skew-join plus optional salting handles it —
-    the MinHashLSH variant in operators/dedup.py is the robust path."""
+    """First-3 chars of the normalized name + '_' + 3-char lowercased
+    country prefix (_create_blocking_key, entity_resolution.py:287-294).
+    At 100 TB this key is skewed (common prefixes); AQE skew-join plus
+    optional salting handles it — the MinHashLSH variant in
+    operators/dedup.py is the robust path."""
     norm = normalize_company_name(name_col)
     return F.concat_ws(
-        "|",
+        "_",
         F.substring(norm, 1, 3),
-        F.upper(F.substring(F.coalesce(country_col, F.lit("")), 1, 2)),
+        F.lower(F.substring(F.coalesce(country_col, F.lit("")), 1, 3)),
     )
 
 
@@ -69,6 +70,7 @@ def candidate_pairs(accounts: DataFrame, max_block: int = 1000) -> DataFrame:
         F.col("Name").alias("name"),
         F.col("Website").alias("website"),
         F.col("BillingCountry").alias("country"),
+        F.col("Industry").alias("industry"),
         F.col("NumberOfEmployees").alias("employees"),
         F.col("_org_id").alias("org_id"),
         blocking_key(F.col("Name"), F.col("BillingCountry")).alias("block_key"),
@@ -89,27 +91,28 @@ def candidate_pairs(accounts: DataFrame, max_block: int = 1000) -> DataFrame:
         F.col("b.website").alias("website2"),
         F.col("a.country").alias("country1"),
         F.col("b.country").alias("country2"),
+        F.col("a.industry").alias("industry1"),
+        F.col("b.industry").alias("industry2"),
         F.col("a.employees").alias("employees1"),
         F.col("b.employees").alias("employees2"),
     )
 
 
 def pair_features(pairs: DataFrame) -> DataFrame:
-    """ER pair features with the reference's exact semantics:
-    - name sims on NORMALIZED names (entity_resolution.py:311-321)
-    - domain exact / root-domain match (323-330)
-    - geo: both present & equal → 1.0, both present & differ → 0.0,
-      any missing → 0.3 (332-340)
-    - size: min/max ratio, 0.5 when unknown (343-348)."""
+    """ER pair features, the reference's _extract_features verbatim
+    (entity_resolution.py:298-350):
+    - domain_exact_match = ROOT domains equal, both present (305-315);
+      domain_similarity = Jaro-Winkler of the FULL domains, 0.0 when
+      either side has no domain
+    - name features on NORMALIZED names (317-330): exact flag, JW,
+      Levenshtein, token Jaccard over >2-char tokens
+    - same_country / same_industry: both present & equal → 1.0 (332-340)
+    - size_ratio: min/max of employee counts, 0.5 when unknown (343-348)."""
     n1 = normalize_company_name(F.col("name1"))
     n2 = normalize_company_name(F.col("name2"))
-    d1 = root_domain(domain_from_url(F.col("website1")))
-    d2 = root_domain(domain_from_url(F.col("website2")))
-    geo = (
-        F.when(F.col("country1").isNull() | F.col("country2").isNull(), 0.3)
-        .when(F.col("country1") == F.col("country2"), 1.0)
-        .otherwise(0.0)
-    )
+    h1 = domain_from_url(F.col("website1"))
+    h2 = domain_from_url(F.col("website2"))
+    both_domains = h1.isNotNull() & h2.isNotNull()
     e1 = F.col("employees1").cast("double")
     e2 = F.col("employees2").cast("double")
     size = (
@@ -117,38 +120,88 @@ def pair_features(pairs: DataFrame) -> DataFrame:
             e1.isNull() | e2.isNull() | (e1 <= 0) | (e2 <= 0), 0.5
         ).otherwise(F.least(e1, e2) / F.greatest(e1, e2))
     )
-    return pairs.select(
+    # Bind hosts/normalized names in their own projection so the
+    # parse_url / normalization chains run once per pair, not once per
+    # downstream reference (see SKILL.md perf note on HOF re-eval).
+    bound = pairs.select(
         "*",
-        levenshtein_similarity(n1, n2).alias("name_levenshtein"),
-        jaro_winkler(n1, n2).alias("name_jaro_winkler"),
+        n1.alias("norm_name1"),
+        n2.alias("norm_name2"),
+        h1.alias("host1"),
+        h2.alias("host2"),
+    )
+    return bound.select(
+        "*",
+        (
+            F.when(
+                both_domains
+                & (root_domain(F.col("host1")) == root_domain(F.col("host2"))),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("domain_exact_match"),
+        F.when(both_domains, jaro_winkler(F.col("host1"), F.col("host2")))
+        .otherwise(0.0)
+        .alias("domain_similarity"),
+        (F.col("norm_name1") == F.col("norm_name2"))
+        .cast("double")
+        .alias("name_exact_match"),
+        jaro_winkler(F.col("norm_name1"), F.col("norm_name2")).alias(
+            "name_jaro_winkler"
+        ),
+        levenshtein_similarity(F.col("norm_name1"), F.col("norm_name2")).alias(
+            "name_levenshtein"
+        ),
         jaccard_tokens(name_tokens(F.col("name1")), name_tokens(F.col("name2"))).alias(
-            "token_jaccard"
+            "name_jaccard"
         ),
         (
             F.when(
-                domain_from_url(F.col("website1")).isNotNull()
-                & (domain_from_url(F.col("website1")) == domain_from_url(F.col("website2"))),
+                F.col("country1").isNotNull()
+                & (F.col("country1") == F.col("country2"))
+                & (F.col("country1") != ""),
                 1.0,
             ).otherwise(0.0)
-        ).alias("domain_exact"),
-        F.when(d1.isNotNull() & (d1 == d2), 1.0).otherwise(0.0).alias("root_domain_match"),
-        geo.alias("geo_match"),
-        size.alias("size_similarity"),
-        n1.alias("norm_name1"),
-        n2.alias("norm_name2"),
+        ).alias("same_country"),
+        (
+            F.when(
+                F.col("industry1").isNotNull()
+                & (F.col("industry1") == F.col("industry2"))
+                & (F.col("industry1") != ""),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("same_industry"),
+        size.alias("size_ratio"),
     )
 
 
 def rule_score(feat: DataFrame) -> DataFrame:
-    """Weighted rule score (entity_resolution.py:352-396): name sim =
-    max(levenshtein, jaro-winkler) blended per RULE_WEIGHTS."""
-    name_sim = F.greatest(F.col("name_levenshtein"), F.col("name_jaro_winkler"))
+    """Nested rule score, the reference's _compute_score verbatim
+    (entity_resolution.py:352-396):
+    - domain_score: 1.0 on exact root-domain match, else the JW domain
+      similarity
+    - name_score: 1.0 on exact normalized-name match, else
+      max(jaro_winkler, jaccard, levenshtein)
+    - metadata_score: 0.4·country + 0.3·industry + 0.3·size_ratio
+    blended 0.4·domain + 0.4·name + 0.2·metadata."""
+    domain_score = F.when(F.col("domain_exact_match") > 0, 1.0).otherwise(
+        F.col("domain_similarity")
+    )
+    name_score = F.when(F.col("name_exact_match") > 0, 1.0).otherwise(
+        F.greatest(
+            F.col("name_jaro_winkler"),
+            F.col("name_jaccard"),
+            F.col("name_levenshtein"),
+        )
+    )
+    metadata_score = (
+        0.4 * F.col("same_country")
+        + 0.3 * F.col("same_industry")
+        + 0.3 * F.col("size_ratio")
+    )
     score = (
-        RULE_WEIGHTS["name_similarity"] * name_sim
-        + RULE_WEIGHTS["domain_match"] * F.col("root_domain_match")
-        + RULE_WEIGHTS["geo_match"] * F.col("geo_match")
-        + RULE_WEIGHTS["size_similarity"] * F.col("size_similarity")
-        + RULE_WEIGHTS["token_overlap"] * F.col("token_jaccard")
+        DOMAIN_WEIGHT * domain_score
+        + NAME_WEIGHT * name_score
+        + METADATA_WEIGHT * metadata_score
     )
     return feat.withColumn("rule_score", score)
 
@@ -157,35 +210,71 @@ def match_decisions(
     scored: DataFrame,
     threshold: float = MATCH_THRESHOLD,
     ml_score_col: str | None = None,
-    ml_threshold: float = 0.5,
+    ml_threshold: float | None = None,
 ) -> DataFrame:
-    """Decision cascade (entity_resolution.py:398-446): exact
-    (domain ∧ normalized-name) → ML probability → weighted rules.
-    Reasons emitted as a filtered array of when() literals, mirroring
-    the reference's reasons list."""
-    exact = (F.col("domain_exact") >= 1.0) & (F.col("norm_name1") == F.col("norm_name2"))
-    ml = (
-        F.col(ml_score_col) >= ml_threshold
+    """Decision cascade, the reference's match_pair verbatim
+    (entity_resolution.py:398-446): exact (root-domain ∧
+    normalized-name) short-circuits at score 1.0; else an ML
+    probability ≥ match_threshold wins; else — including when the ML
+    score is BELOW its threshold — the weighted rule score decides.
+    The ML stage gates on the same match_threshold as the rule stage
+    unless overridden, and a sub-threshold ML score falls THROUGH to
+    rules rather than vetoing the pair.
+
+    Emits match_type ('exact'/'ml'/'fuzzy', null for non-matches),
+    confidence (match_pair's high/medium/low ladders) and the
+    _compute_score reasons as a filtered array of flags."""
+    if ml_threshold is None:
+        ml_threshold = threshold
+    exact = (F.col("domain_exact_match") > 0) & (F.col("name_exact_match") > 0)
+    ml_hit = (
+        F.col(ml_score_col).isNotNull() & (F.col(ml_score_col) >= ml_threshold)
         if ml_score_col
-        else F.lit(None).cast("boolean")
+        else F.lit(False)
     )
-    rule = F.col("rule_score") >= threshold
-    is_match = F.when(exact, True).otherwise(
-        F.coalesce(ml, rule)
+    rule_hit = F.col("rule_score") >= threshold
+    is_match = exact | ml_hit | rule_hit
+    match_score = (
+        F.when(exact, F.lit(1.0))
+        .when(ml_hit, F.col(ml_score_col).cast("double") if ml_score_col else F.lit(None))
+        .otherwise(F.col("rule_score"))
     )
-    match_score = F.when(exact, F.lit(1.0)).otherwise(
-        F.coalesce(
-            F.col(ml_score_col).cast("double") if ml_score_col else F.lit(None).cast("double"),
-            F.col("rule_score"),
+    match_type = (
+        F.when(exact, F.lit("exact"))
+        .when(ml_hit, F.lit("ml"))
+        .when(rule_hit, F.lit("fuzzy"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    confidence = (
+        F.when(exact, F.lit("high"))
+        .when(ml_hit, F.when(match_score > 0.9, "high").otherwise("medium"))
+        .when(
+            rule_hit,
+            F.when(match_score > 0.9, "high")
+            .when(match_score > 0.8, "medium")
+            .otherwise("low"),
         )
+        .otherwise(F.lit(None).cast("string"))
     )
     reasons = F.filter(
         F.array(
             F.when(exact, F.lit("exact_domain_and_name")),
-            F.when(F.col("name_jaro_winkler") >= 0.9, F.lit("high_name_similarity")),
-            F.when(F.col("root_domain_match") >= 1.0, F.lit("domain_match")),
-            F.when(F.col("geo_match") >= 1.0, F.lit("same_country")),
-            F.when(F.col("token_jaccard") >= 0.5, F.lit("token_overlap")),
+            F.when(F.col("domain_exact_match") > 0, F.lit("exact_domain")),
+            F.when(F.col("name_exact_match") > 0, F.lit("exact_name")),
+            F.when(
+                (F.col("name_exact_match") <= 0)
+                & (
+                    F.greatest(
+                        F.col("name_jaro_winkler"),
+                        F.col("name_jaccard"),
+                        F.col("name_levenshtein"),
+                    )
+                    > 0.8
+                ),
+                F.lit("similar_name"),
+            ),
+            F.when(F.col("same_country") > 0, F.lit("same_country")),
+            F.when(F.col("same_industry") > 0, F.lit("same_industry")),
         ),
         lambda x: x.isNotNull(),
     )
@@ -193,6 +282,8 @@ def match_decisions(
         "*",
         is_match.alias("is_match"),
         match_score.alias("match_score"),
+        match_type.alias("match_type"),
+        confidence.alias("confidence"),
         reasons.alias("match_reasons"),
     )
 

@@ -665,7 +665,7 @@ def _normalize_oracle() -> str:
     ),
     stripped AS (
       SELECT p_partkey, raw_name,
-             REGEXP_REPLACE(LOWER(TRIM(raw_name)), '[^a-z0-9&\\s]', ' ', 'g') AS s
+             REGEXP_REPLACE(LOWER(TRIM(raw_name)), '[^\\p{{L}}\\p{{N}}_&\\s]', ' ', 'g') AS s
       FROM raw
     ),
     toks AS (

@@ -55,10 +55,17 @@ def test_jaro_winkler_udf(spark):
         ("ACME Corp.", "acme"),
         ("Acme, Inc.", "acme"),
         # abbreviation expansion (entity_resolution.py:63-73)
-        ("Global Tech Ltd", "global technology"),
-        ("Natl Mfg Co", "national manufacturing"),
-        # punctuation keeps '&'
+        ("Global Tech Ltd", "technology"),  # 'global' is a suffix too
+        ("Natl Mfg Co", "natl manufacturing"),  # natl is NOT in ABBREVS
+        # intl expands to international, which is then dropped as a
+        # suffix (entity_resolution.py:56-60) — the reference's net
+        # effect is plain 'acme'
+        ("Acme Intl", "acme"),
+        ("Acme Worldwide LLP", "acme"),
+        # punctuation keeps '&'; \w keeps unicode letters + underscore
         ("Smith & Sons LLC", "smith & sons"),
+        ("Müller GmbH", "müller"),
+        ("A_B Systems NV", "a_b systems"),
         # whitespace collapse
         ("  Double   Space   Holdings ", "double space"),
     ],
@@ -89,11 +96,16 @@ def test_domain_extraction(spark, raw, host, root):
 
 
 def test_levenshtein_similarity(spark):
-    row = spark.createDataFrame([("kitten", "sitting"), ("", "")], ["a", "b"]).select(
+    # Reference guard (entity_resolution.py:188-190): either side empty
+    # → 0.0, so suffix-only names that normalize to "" never match.
+    row = spark.createDataFrame(
+        [("kitten", "sitting"), ("", ""), ("", "acme")], ["a", "b"]
+    ).select(
         levenshtein_similarity(F.col("a"), F.col("b")).alias("s")
     ).collect()
     assert row[0]["s"] == pytest.approx(1 - 3 / 7)
-    assert row[1]["s"] == 1.0
+    assert row[1]["s"] == 0.0
+    assert row[2]["s"] == 0.0
 
 
 class TestJaroWinklerConventions:
