@@ -62,8 +62,22 @@ def _perm(k: int):
 
 
 def minhash_signature(sh: Column) -> list[Column]:
-    """N_HASHES minhash values over a shingle array column."""
+    """N_HASHES minhash values over a shingle array column.
+
+    NOTE: each returned expression embeds its own copy of the md5
+    base-hash traversal — higher-order functions are interpreted with
+    no cross-expression CSE, so the md5s run N_HASHES times per row.
+    Hot paths must materialize ``transform(sh, base_hash)`` in its own
+    projection and use minhash_signature_from_hashes (measured ~4× on
+    the near-dup bench)."""
     h = F.transform(sh, base_hash)
+    return minhash_signature_from_hashes(h)
+
+
+def minhash_signature_from_hashes(h: Column) -> list[Column]:
+    """N_HASHES minhash values over a PRE-COMPUTED base-hash array —
+    each pass is pure integer math over bigints, the expensive md5 work
+    having been bound once by the caller's projection."""
     return [
         F.array_min(F.transform(h, _perm(k))).alias(f"mh{k}") for k in range(N_HASHES)
     ]
@@ -117,12 +131,25 @@ def near_dup_pairs(
     # shuffle bytes and would re-serialize this CPU-bound projection
     # onto one core for small inputs; REPARTITION_BY_NUM is exempt.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # Two exchanges, deliberately: the first spreads the (often
+    # single-partition) scan so shingling runs on every core; the
+    # second sits ABOVE the computed shingle arrays, so the one
+    # exchange all three consumers share (signature pipeline + both
+    # verify sides) carries shingles computed exactly once — shingling
+    # above the reused exchange would re-run per consumer, shingling
+    # below the first would single-thread it.
     base = (
         docs.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        .repartition(n_parts, F.col("doc_id"))
         .where(F.size("sh") >= 1)
     )
-    sig = base.select("doc_id", *minhash_signature(F.col("sh")))
+    # Bind the md5 base-hash array ONCE in its own projection: the 16
+    # array_min(transform(...)) passes below are interpreted HOFs with
+    # no common-subexpression elimination, so referencing the raw
+    # md5-transform there would re-hash every shingle 16×.
+    hashed = base.select("doc_id", F.transform(F.col("sh"), base_hash).alias("h"))
+    sig = hashed.select("doc_id", *minhash_signature_from_hashes(F.col("h")))
     banded = sig.select("doc_id", *band_keys())
     n_bands = N_HASHES // BAND_ROWS
     bands = banded.select(

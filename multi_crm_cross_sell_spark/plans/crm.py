@@ -505,24 +505,27 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    # Repartition the LEFT side before the broadcast self-join: the
+    # pair explosion and all per-pair math then run in n_parts tasks
+    # map-side, with no exchange of the 25×-larger pair stream at all.
+    # (Repartitioning the join OUTPUT instead means one task generates
+    # every pair and shuffles ~100 MB before the parallelism kicks in.)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a, b = p.repartition(n_parts).alias("a"), F.broadcast(p).alias("b")
     pairs = a.join(
         b,
         (F.col("a.block_key") == F.col("b.block_key"))
         & (F.col("a.p_size") == F.col("b.p_size"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     )
-    # Feature projection first: levenshtein / jaccard feed the score,
-    # the tier ladder, the reasons list AND the filter — as bound
-    # columns they are computed once per pair instead of once per use.
-    # The explicit repartition stops AQE from coalescing the small join
-    # output onto one core before the per-pair string math runs.
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    pairs = pairs.repartition(n_parts)
-    feats = pairs.select(
+    # Cheap features first: jaccard over the pre-split token arrays,
+    # brand/size equality, exact-name flag — as bound columns they are
+    # computed once per pair instead of once per use.
+    cheap = pairs.select(
         F.col("a.p_partkey").alias("id1"),
         F.col("b.p_partkey").alias("id2"),
-        levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name")).alias("lev_sim"),
+        F.col("a.p_name").alias("name1"),
+        F.col("b.p_name").alias("name2"),
         jaccard_tokens(F.col("a.toks"), F.col("b.toks")).alias("jac"),
         F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0)
         .otherwise(0.0)
@@ -532,6 +535,19 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("a.p_size"), F.col("b.p_size"))
         ).alias("size_ratio"),
         (F.col("a.p_name") == F.col("b.p_name")).alias("exact"),
+    )
+    # Lossless pre-gate before the Levenshtein DP: with lev_sim ≤ 1 and
+    # size_ratio ≤ 1, score ≥ 0.65 is only reachable when the brands
+    # match or token Jaccard ≥ 0.5 (0.4·1 + 0.3·jac + 0.2·brand + 0.1
+    # ≥ 0.65 ⇒ 0.3·jac + 0.2·brand ≥ 0.15). The O(|s1|·|s2|) DP runs
+    # on the ~5% of blocked pairs that can still qualify; pruned pairs
+    # were below threshold for ANY Levenshtein value, so the output is
+    # bit-identical to the ungated plan (and the oracle).
+    feats = cheap.where(
+        F.col("exact") | (F.col("same_brand") == 1.0) | (F.col("jac") >= 0.5)
+    ).select(
+        "*",
+        levenshtein_similarity(F.col("name1"), F.col("name2")).alias("lev_sim"),
     )
     score = (
         0.4 * F.col("lev_sim")
