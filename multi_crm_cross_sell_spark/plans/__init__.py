@@ -7,7 +7,7 @@ Importing this package populates the registry.
 
 from .registry import REGISTRY, Query, register  # noqa: F401
 
-from . import crm, datapipe, events, mlmetrics, olap, relational  # noqa: E402,F401
+from . import crm, datapipe, events, mlmetrics, mltrain, olap, relational  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 

@@ -1,0 +1,121 @@
+"""ML training-path queries (SURVEY §2.10 ML1-ML8, ML11-ML12, ML17).
+
+The reference's training core is the 4-member ensemble
+(/root/reference/src/ml/pipeline.py:200-290) and the ER RandomForest
+trainer (/root/reference/src/ml/entity_resolution.py:493-552). Both
+are exercised end-to-end here as ONE registered query so the driver's
+correctness signal covers the fit→transform path, not just pytest.
+
+Rows-only by design: MLlib model scores are engine-specific (no SQL
+oracle can reproduce LBFGS/GBT training), so the stable surface is the
+summary schema and row count — one row per ensemble member, one for
+the weighted vote, one for the ER matcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.bronze import load_table
+from .registry import register
+
+
+def _u(tag: str, col):
+    """Deterministic uniform in [0,1) from md5 — same construction as
+    sources/fixtures.py, so training data is identical across runs."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0
+
+
+@register(
+    "ml_training_scores",
+    oracle=None,  # model fitting is not SQL-expressible; rows-only
+    tags=("ml", "ML1", "ML3", "ML7", "ML8", "ML11", "training"),
+)
+def ml_training_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the 4-member ensemble (pipeline.py:200-290) on planted-signal
+    pair features derived deterministically from customer keys, batch-
+    transform a held-out split, and fit the ER RandomForest matcher
+    (entity_resolution.py:493-552) on blocked fixture pairs. Returns
+    one summary row per member / vote / matcher: (model, train_rows,
+    scored_rows, mean_score). Small fixed training sizes keep the
+    query interactive; the transform path is the same single-pass
+    DataFrame inference that scales to the full pair table."""
+    from ..ml.ensemble import PAIR_FEATURES, EnsembleScorer
+    from ..ml.entity_resolution import (
+        candidate_pairs,
+        pair_features,
+        train_er_model,
+    )
+    from ..sources import fixtures
+
+    # --- ensemble on planted-signal features over customer keys ---
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .orderBy("id")
+        .limit(1000)
+    )
+    feats = cust.select(
+        "id",
+        *[_u(f"f{i}", F.col("id")).alias(name) for i, name in enumerate(PAIR_FEATURES)],
+    )
+    feats = feats.withColumn(
+        "label",
+        (
+            (
+                F.col("industry_match")
+                + F.col("size_compatibility")
+                + F.col("activity_score")
+            )
+            > 1.5
+        ).cast("int"),
+    )
+    train = feats.where(F.col("id") % 5 != 0).cache()
+    test = feats.where(F.col("id") % 5 == 0).cache()
+    scorer = EnsembleScorer(nn_iters=15, rf_trees=20, gb_iters=10)
+    model = scorer.fit(train)
+    scored = model.transform(test)
+    train_n, test_n = train.count(), test.count()
+    member_cols = [f"score_{m}" for m in model.members] + ["score"]
+    agg = scored.agg(
+        *[F.round(F.avg(c), 6).alias(c) for c in member_cols]
+    )
+    stack_expr = ", ".join(f"'{c}', {c}" for c in member_cols)
+    ens_rows = agg.select(
+        F.expr(f"stack({len(member_cols)}, {stack_expr})").alias("model", "mean_score")
+    ).select(
+        "model",
+        F.lit(train_n).alias("train_rows"),
+        F.lit(test_n).alias("scored_rows"),
+        "mean_score",
+    )
+
+    # --- ER RandomForest matcher on blocked fixture pairs (ML11) ---
+    acc = fixtures.accounts(spark, n_per_org=120, match_rate=0.15)
+    truth = fixtures.er_labeled_pairs(spark, n_per_org=120, match_rate=0.15)
+    feat = pair_features(candidate_pairs(acc))
+    labeled = feat.join(
+        truth,
+        (feat.id1 == truth.account1_id) & (feat.id2 == truth.account2_id),
+        "left",
+    ).withColumn("is_match_label", F.coalesce("is_match", F.lit(0)))
+    labeled = labeled.cache()
+    er_model = train_er_model(labeled, num_trees=20, max_depth=5)
+    er_scored = er_model.transform(labeled)
+    er_n = labeled.count()
+    er_row = er_scored.agg(F.round(F.avg("ml_score"), 6).alias("mean_score")).select(
+        F.lit("er_rf").alias("model"),
+        F.lit(er_n).alias("train_rows"),
+        F.lit(er_n).alias("scored_rows"),
+        "mean_score",
+    )
+
+    return ens_rows.unionByName(er_row).orderBy("model")

@@ -128,11 +128,76 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
-def test_export_excel_stub_collects_then_raises(spark, sf_dir):
-    import pytest
+def test_export_excel_writes_real_xlsx(spark, sf_dir, tmp_path):
+    """The encode must produce a real OOXML zip whose sheet XML
+    round-trips the cell values (api/main.py:794-858)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
 
     from multi_crm_cross_sell_spark.sources.sinks import export_excel
 
-    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    with pytest.raises(NotImplementedError, match="collected 25 rows"):
-        export_excel(df, "/tmp/out.xlsx")
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet").orderBy("n_nationkey")
+    path = str(tmp_path / "out.xlsx")
+    export_excel(df, path)
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rows = ET.fromstring(sheet).find(f"{ns}sheetData").findall(f"{ns}row")
+    assert len(rows) == 26  # header + 25 nations
+    header = [c.find(f"{ns}is/{ns}t").text for c in rows[0]]
+    assert header == df.columns
+    first = rows[1]
+    vals = {}
+    for c in first:
+        v = c.find(f"{ns}v")
+        vals[c.attrib["r"]] = (
+            v.text if v is not None else c.find(f"{ns}is/{ns}t").text
+        )
+    first_row = df.first()
+    assert float(vals["A2"]) == float(first_row["n_nationkey"])
+    assert vals["B2"] == first_row["n_name"]
+
+
+def test_export_excel_escapes_and_caps(spark, tmp_path):
+    import zipfile
+
+    from multi_crm_cross_sell_spark.sources.sinks import export_excel
+
+    df = spark.createDataFrame(
+        [(i, f'<&"{i}>') for i in range(10)], ["id", "s"]
+    )
+    path = str(tmp_path / "cap.xlsx")
+    export_excel(df, path, max_rows=3)
+    with zipfile.ZipFile(path) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert sheet.count("<row ") == 4  # header + 3 capped rows
+    assert "&lt;&amp;&quot;" in sheet and "<&" not in sheet.replace("<&amp;", "")
+
+
+def test_merge_upsert_failure_keeps_target_and_cleans_staging(spark, tmp_path):
+    """A failing merge (bad updates plan) must leave the existing
+    target intact and no staging/backup dirs behind."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    merge_upsert(spark, path, base, ["id"])
+
+    def boom(x):
+        raise ValueError("injected failure")
+
+    bad = spark.createDataFrame([(3, "c")], ["id", "v"]).withColumn(
+        "v", F.udf(boom)("v")
+    )
+    with pytest.raises(Exception):
+        merge_upsert(spark, path, bad, ["id"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    siblings = os.listdir(str(tmp_path))
+    assert not any(s.endswith("__staging__") or s.endswith("__old__") for s in siblings)
