@@ -80,21 +80,27 @@ def main() -> None:
             q.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
+    # Repeat the timed pass and report the per-query MIN: this box's
+    # wall clock swings >2x under external contention (BENCH_r02's 10x
+    # minhash outlier on unchanged code), and min-of-n is the standard
+    # steady-state estimator under one-sided noise.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        q = qs.get(name)
-        if q is None:
-            continue
-        # GC barrier: each query measured from a comparable heap state,
-        # not against the previous queries' uncollected garbage.
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            q = qs.get(name)
+            if q is None:
+                continue
+            # GC barrier: each query measured from a comparable heap
+            # state, not against previous queries' uncollected garbage.
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    total = sum(timings.values())
 
     print(
         json.dumps(

@@ -191,6 +191,47 @@ class EnsembleModel:
         return out
 
 
+def per_row_explanations(
+    model: "EnsembleModel",
+    df: DataFrame,
+    id_cols: list[str],
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """ML9 per-row explanations for the (tree) ensemble: feature
+    ablation contributions. contribution_j(x) = score(x) −
+    score(x with x_j ← global mean of x_j): how much each feature's
+    actual value moved THIS row's ensemble score away from the
+    population baseline.
+
+    The reference serves a mocked global importance list
+    (api/main.py:883-890); this is the real per-row counterpart,
+    computed model-agnostically so it covers the MLP member too (true
+    TreeSHAP needs node-level statistics MLlib does not expose).
+
+    Spark shape: d+1 full model.transform passes (one per ablated
+    feature) joined on the id — every pass is ordinary distributed
+    batch inference, no per-row Python, no driver loop. Cost is
+    O(d · inference); for the 6-feature reference spec that is 7
+    passes, embarrassingly parallel at any scale."""
+    feature_cols = feature_cols or model.features.stages[0].getInputCols()
+    means = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).first()
+    out = (
+        model.transform(df)
+        .select(*id_cols, F.col("score").alias("score"))
+    )
+    for c in feature_cols:
+        ablated = df.withColumn(c, F.lit(float(means[c])))
+        scored_c = model.transform(ablated).select(
+            *id_cols, F.col("score").alias(f"_ablated_{c}")
+        )
+        out = out.join(scored_c, id_cols)
+    contribs = [
+        (F.col("score") - F.col(f"_ablated_{c}")).alias(f"contrib_{c}")
+        for c in feature_cols
+    ]
+    return out.select(*id_cols, "score", *contribs)
+
+
 def cross_validate_member(
     train: DataFrame,
     feature_cols: list[str],

@@ -158,11 +158,15 @@ def ivf_topk(
     query_pred: Column,
     k: int = 5,
     n_centroids: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN with nprobe=1: assign every vector to
-    its nearest centroid cell, search a query only within its own cell.
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    centroid cell; a query searches its ``nprobe`` nearest cells.
+    nprobe > 1 recovers the boundary neighbors a single-cell probe
+    misses (a vector just across the Voronoi edge), at a linear cost
+    multiplier on the candidate set — the standard IVF recall knob.
 
     Centroids are the ``n_centroids`` lowest-id vectors — deterministic
     and oracle-reproducible where a KMeans fit would not be. (A
@@ -170,7 +174,7 @@ def ivf_topk(
     cell assignment via small-side broadcast join + argmin window,
     then an equi-join on cell id — is identical, and that is the part
     that must scale: the per-pair search space shrinks from O(N) to
-    O(N/n_centroids) and the cell join shuffles on an int key.)"""
+    O(nprobe·N/n_centroids) and the cell join shuffles on an int key.)"""
     from pyspark.sql import Window
 
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
@@ -185,23 +189,27 @@ def ivf_topk(
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
-    # cell assignment: argmax cosine to a centroid (ties -> lowest id)
+    # centroid ranking per vector: argmax cosine (ties -> lowest id)
     sim = F.round(
         dec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
-    assigned = (
+    ranked = (
         base.join(F.broadcast(cents), how="cross")
         .select("vec_id", "v", "norm", "cent_id", sim.alias("cent_sim"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "norm", F.col("cent_id").alias("cell"))
     )
-    q = assigned.where(query_pred).select(
+    assigned = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "v", "norm", F.col("cent_id").alias("cell")
+    )
+    # queries probe their nprobe nearest cells; data vectors live in
+    # exactly one cell, so (query, candidate) pairs stay unique without
+    # a dedup pass.
+    q = ranked.where(query_pred & (F.col("rn") <= nprobe)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        F.col("cell").alias("qcell"),
+        F.col("cent_id").alias("qcell"),
     )
     cand = F.broadcast(q).join(
         assigned,

@@ -775,20 +775,21 @@ sims AS (
          ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
   FROM norms n CROSS JOIN cents c
 ),
-assigned AS (
-  SELECT vec_id, v, norm, cell FROM (
-    SELECT vec_id, v, norm, cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
-    FROM sims
-  ) WHERE rn = 1
+ranked AS (
+  SELECT vec_id, v, norm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+  FROM sims
 ),
-q AS (
-  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell AS qcell
-  FROM assigned WHERE vec_id % 100 = 0
+assigned AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS qcell
+  FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
 ),
 cand AS (
-  SELECT q.query_id, a.vec_id, q.qv, q.qnorm, a.v, a.norm
-  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.query_id
+  SELECT p.query_id, a.vec_id, p.qv, p.qnorm, a.v, a.norm
+  FROM probes p JOIN assigned a ON a.cell = p.qcell AND a.vec_id <> p.query_id
 ),
 scored AS (
   SELECT query_id, vec_id,
@@ -809,16 +810,16 @@ SELECT query_id, vec_id, cosine, rk FROM (
     tags=("similarity", "ann", "ivf", "beyond-reference"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (nprobe=1): nearest-centroid cell assignment via a
-    broadcast argmin join, then candidate search restricted to the
-    query's cell — the inverted-file scale path next to the LSH and
-    brute-force variants. Deterministic lowest-id centroids keep the
-    index oracle-reproducible (a trained KMeans codebook slots into
-    the same plan shape)."""
+    """IVF ANN (nprobe=2): nearest-centroid cell assignment via a
+    broadcast argmin join, then candidate search across each query's
+    two nearest cells — probing past the Voronoi boundary recovers the
+    neighbors a single-cell search misses. Deterministic lowest-id
+    centroids keep the index oracle-reproducible (a trained KMeans
+    codebook slots into the same plan shape)."""
     from ..operators.similarity_search import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=16)
+    return ivf_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=16, nprobe=2)
 
 
 @register(

@@ -120,3 +120,25 @@ class TestIvf:
             cos = [r.cosine for r in sorted(rows, key=lambda r: r.rk)]
             assert cos == sorted(cos, reverse=True)
             assert all(r.vec_id != q for r in rows)
+
+    def test_nprobe_widens_search_monotonically(self, spark, sf_dir):
+        """nprobe=2 candidates are a superset of nprobe=1's, so each
+        query's top-k cosine at any rank can only improve — the IVF
+        recall knob must be monotone."""
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import ivf_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pred = F.col("vec_id") % 50 == 0
+        one = {
+            (r.query_id, r.rk): r.cosine
+            for r in ivf_topk(e, pred, k=3, nprobe=1).collect()
+        }
+        two = {
+            (r.query_id, r.rk): r.cosine
+            for r in ivf_topk(e, pred, k=3, nprobe=2).collect()
+        }
+        assert set(one) <= set(two)  # never fewer results
+        for key, cos1 in one.items():
+            assert two[key] >= cos1

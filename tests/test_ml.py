@@ -194,6 +194,24 @@ def test_ensemble_scorer(spark):
     neg = pdf[pdf.label == 0]["score"].mean()
     assert pos > neg + 0.2  # ensemble learned the planted signal
 
+    # per-row ablation explanations (ML9): signal features must carry
+    # more per-row attribution mass than the planted noise features
+    from multi_crm_cross_sell_spark.ml.ensemble import per_row_explanations
+
+    expl = per_row_explanations(model, test, id_cols=["id"]).toPandas()
+    assert len(expl) == test.count()
+    signal = (
+        expl["contrib_industry_match"].abs()
+        + expl["contrib_size_compatibility"].abs()
+        + expl["contrib_activity_score"].abs()
+    ).mean()
+    noise = (
+        expl["contrib_geo_match"].abs()
+        + expl["contrib_product_complementarity"].abs()
+        + expl["contrib_maturity_alignment"].abs()
+    ).mean()
+    assert signal > noise
+
 
 def test_ranking_metrics_exact(spark):
     # 4 relevant of 6; scores rank two relevant on top
