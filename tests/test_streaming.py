@@ -117,6 +117,55 @@ def test_stateful_running_totals(spark, events_dir, tmp_path):
     assert got.count() >= last.count()
 
 
+def test_stateful_running_totals_tws(spark, events_dir, tmp_path):
+    """transformWithStateInPandas twin must reproduce the
+    applyInPandasWithState ground truth (requires RocksDB provider).
+    The API's driver worker needs google.protobuf, which this
+    container does not ship — skip (not xfail) when absent."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState driver worker requires protobuf",
+    )
+    from multi_crm_cross_sell_spark.streaming.stateful import running_totals_tws
+
+    src = str(events_dir / "src")
+    schema = spark.read.parquet(src).schema
+    stream = stream_source(spark, src, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    q = (
+        running_totals_tws(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    import pyspark.sql.functions as SF
+
+    last = got.groupBy("user_id").agg(
+        SF.max("n_events").alias("n_events"), SF.max("total_value").alias("tv")
+    )
+    truth = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(SF.count("*").alias("n_b"), SF.sum("value").alias("tv_b"))
+    )
+    j = last.join(truth, "user_id").toPandas()
+    assert len(j) > 0
+    assert (j["n_events"] == j["n_b"]).all()
+    assert (abs(j["tv"] - j["tv_b"]) < 1e-6).all()
+
+
 def test_stateful_dedup_exactly_once(spark, events_dir, tmp_path):
     from multi_crm_cross_sell_spark.streaming.stateful import stateful_dedup
 
