@@ -537,25 +537,38 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("a.nb"), F.col("b.nb"))
             >= 0.5 * F.greatest(F.col("a.nb"), F.col("b.nb"))
         ),
-    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.col("a.nb").alias("nb1"),
+        F.col("b.nb").alias("nb2"),
+    )
     s1 = base.select(F.col("doc_id").alias("doc1"), F.col("bg").alias("bg1"))
     s2 = base.select(F.col("doc_id").alias("doc2"), F.col("bg").alias("bg2"))
-    jac = F.size(F.array_intersect("bg1", "bg2")) / F.size(
-        F.array_union("bg1", "bg2")
-    ).cast("double")
     # repartition the NARROW candidate id-pairs (not the joined rows:
     # that would shuffle the bigram arrays) so the O(|bg|) set math
     # after the broadcast-verify joins runs on all cores instead of
-    # one AQE-coalesced partition; materializing jaccard once also
-    # halves the array traversals.
-    verified = (
+    # one AQE-coalesced partition. One array pass per pair: the arrays
+    # are distinct, so |A∪B| = |A|+|B|−|A∩B| with sizes carried as
+    # ints from the candidate join — array_union would re-walk both
+    # arrays to derive what arithmetic already knows.
+    inter_bound = (
         cand.repartition(n_parts)
         .join(s1, "doc1")
         .join(s2, "doc2")
-        .select("doc1", "doc2", jac.alias("jac_raw"))
+        .select(
+            "doc1",
+            "doc2",
+            "nb1",
+            "nb2",
+            F.size(F.array_intersect("bg1", "bg2")).alias("ni"),
+        )
     )
-    return verified.where(F.col("jac_raw") >= 0.5).select(
-        "doc1", "doc2", F.round("jac_raw", 9).alias("jaccard")
+    jac = F.col("ni") / (F.col("nb1") + F.col("nb2") - F.col("ni")).cast("double")
+    return (
+        inter_bound.select("doc1", "doc2", jac.alias("jac_raw"))
+        .where(F.col("jac_raw") >= 0.5)
+        .select("doc1", "doc2", F.round("jac_raw", 9).alias("jaccard"))
     )
 
 
