@@ -194,6 +194,73 @@ def near_dup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id1_col: str = "doc1",
+    id2_col: str = "doc2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters.
+
+    Pairwise dedup output is not actionable until pairs are folded into
+    groups with one representative to keep; transitive duplicates
+    (A≈B, B≈C but A‹≉›C) only connect at the cluster level. Hash-min
+    label propagation: every node starts labeled with its own id; each
+    iteration every node takes the min label among itself and its
+    neighbors; fixpoint = min id of the component.
+
+    Scale shape: one iteration = one equi-join on src + one groupBy
+    min — both shuffle narrow (id, label) pairs, never document
+    payloads. Iterations bound by the component DIAMETER (near-dup
+    clusters are shallow — a handful of iterations), each one
+    localCheckpoint'ed so lineage and plan size stay constant. The
+    convergence check is a count action per iteration; that is the
+    idiomatic Spark shape for iterative graph algorithms (GraphX /
+    GraphFrames do the same under the hood).
+
+    Output: (doc_id, cluster_id, cluster_size, is_representative) for
+    every doc that appears in at least one pair; cluster_id = min
+    doc_id of the component, which is also the row to KEEP."""
+    fwd = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+    rev = pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").count()
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("count").alias("cluster_size"),
+            (F.col("node") == F.col("label")).alias("is_representative"),
+        )
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over word tokens: per-bit weighted vote of token
     hashes. Small enough to stay a pure column expression; 64-bit

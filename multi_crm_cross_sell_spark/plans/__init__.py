@@ -26,6 +26,7 @@ _TAIL = (
     "ann_ivf_topk",  # ANN variant; LSH + brute-force stay
     "multimodal_features",  # rows-only by design (binary cols)
     "stateful_running_totals",  # rows-only by design (streaming state)
+    "near_dup_clusters",  # cluster fold of minhash_near_dup (in-window)
 )
 
 

@@ -134,6 +134,46 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.6)
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_representative
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+@register(
+    "near_dup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "clustering", "connected-components", "beyond-reference"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS from the MinHash pair output: hash-min label
+    propagation (connected components) folds transitive near-dups into
+    groups keyed by their min doc_id — the representative to keep.
+    Each iteration shuffles only (id, label) pairs; the oracle is the
+    same fixpoint via a recursive CTE."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+
+
 @register(
     "simhash_fingerprints",
     oracle=(

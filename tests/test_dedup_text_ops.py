@@ -73,6 +73,37 @@ class TestEmbeddingNearDup:
         assert out == {(1, 2): 1.0}
 
 
+class TestDedupClusters:
+    def test_transitive_chain_folds_into_one_cluster(self, spark):
+        from multi_crm_cross_sell_spark.operators.dedup import dedup_clusters
+
+        # 1-2-3 chain (1 and 3 never paired directly), 10-11 pair,
+        # plus an isolated pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], ["doc1", "doc2"]
+        )
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_representative"])
+            for r in dedup_clusters(pairs).collect()
+        }
+        assert got[1] == (1, 3, True)
+        assert got[2] == (1, 3, False)
+        assert got[3] == (1, 3, False)  # transitive member joins via 2
+        assert got[10] == (10, 2, True) and got[11] == (10, 2, False)
+        assert got[20] == (20, 2, True) and got[21] == (20, 2, False)
+
+    def test_long_path_converges(self, spark):
+        from multi_crm_cross_sell_spark.operators.dedup import dedup_clusters
+
+        # path graph 0-1-2-...-9: worst-case diameter for propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], ["doc1", "doc2"]
+        )
+        rows = dedup_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in rows} == {0}
+        assert all(r["cluster_size"] == 10 for r in rows)
+
+
 class TestSummarize:
     def test_extractive_rule(self):
         text = "short one. this sentence has the most tokens of all. tiny"
