@@ -61,6 +61,39 @@ def _perm(k: int):
     return lambda x: (F.lit(A[k]) * x + F.lit(B[k])) % P
 
 
+# Positional combiner for word-hash n-grams (Horner, mod P each step:
+# operands stay < 2^51, no bigint overflow).
+GRAM_K = 1_000_003
+
+
+def word_hashes(text: Column) -> Column:
+    """Per-position word hash array: one md5 per WORD of the document."""
+    return F.transform(F.split(text, " "), base_hash)
+
+
+def gram_hashes_from_words(wh: Column, n: int = SHINGLE) -> Column:
+    """Distinct word n-gram hashes derived ARITHMETICALLY from a bound
+    word-hash array: gram_i = Horner-combine of n consecutive word
+    hashes mod P. The n-gram strings are never materialized and md5
+    runs once per word instead of once per (longer) gram — the gram
+    set is equivalent to string shingling up to ~60-bit hash
+    collisions, which near-dup Jaccard tolerates by construction.
+
+    ``wh`` MUST be a bound column (own projection), not an inline
+    transform: the lambda below references it n times per element and
+    HOFs get no cross-expression CSE."""
+    def gram(i):
+        acc = F.element_at(wh, i)
+        for j in range(1, n):
+            acc = (acc * GRAM_K + F.element_at(wh, i + j)) % P
+        return acc
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(wh) - (n - 1)), gram)
+    return F.when(F.size(wh) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def minhash_signature(sh: Column) -> list[Column]:
     """N_HASHES minhash values over a shingle array column.
 
@@ -132,24 +165,31 @@ def near_dup_pairs(
     # onto one core for small inputs; REPARTITION_BY_NUM is exempt.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
     # Two exchanges, deliberately: the first spreads the (often
-    # single-partition) scan so shingling runs on every core; the
-    # second sits ABOVE the computed shingle arrays, so the one
-    # exchange all three consumers share (signature pipeline + both
-    # verify sides) carries shingles computed exactly once — shingling
-    # above the reused exchange would re-run per consumer, shingling
-    # below the first would single-thread it.
+    # single-partition) scan so hashing runs on every core; the second
+    # sits ABOVE the computed gram-hash arrays, so the one exchange all
+    # three consumers share (signature pipeline + both verify sides)
+    # carries grams computed exactly once — computing above the reused
+    # exchange would re-run per consumer, below the first would
+    # single-thread it. Word hashes are bound in their OWN projection
+    # before the gram combiner references them n times per element
+    # (interpreted HOFs have no cross-expression CSE), and the n-gram
+    # STRINGS never exist: one short md5 per word, then integer
+    # combines. The 16 signature passes run over the bound bigint
+    # array directly.
+    # Pre-filter on the CHEAP equivalent (≥ SHINGLE words ⟺ non-empty
+    # gram array) BEFORE the hash pipeline: a size(sh) filter after it
+    # would be pushed below the exchanges and inline the whole
+    # md5+gram expression into the Filter node — re-evaluating the
+    # word-hash transform inside every element_at, O(words²) md5 per
+    # document (measured 20×).
     base = (
-        docs.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
+        .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
         .repartition(n_parts, F.col("doc_id"))
-        .where(F.size("sh") >= 1)
     )
-    # Bind the md5 base-hash array ONCE in its own projection: the 16
-    # array_min(transform(...)) passes below are interpreted HOFs with
-    # no common-subexpression elimination, so referencing the raw
-    # md5-transform there would re-hash every shingle 16×.
-    hashed = base.select("doc_id", F.transform(F.col("sh"), base_hash).alias("h"))
-    sig = hashed.select("doc_id", *minhash_signature_from_hashes(F.col("h")))
+    sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
     banded = sig.select("doc_id", *band_keys())
     n_bands = N_HASHES // BAND_ROWS
     bands = banded.select(
@@ -184,13 +224,26 @@ def near_dup_pairs(
     )
     s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
-    verified = cand.join(s1, "doc1").join(s2, "doc2")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size(F.array_union("sh1", "sh2"))
-    jac = inter / union.cast("double")
+    # One array pass per pair: distinct arrays, so the union size is
+    # |A|+|B|−|A∩B| — integer arithmetic instead of a second traversal.
+    # Filter on the UNROUNDED value (the oracle does too); round only
+    # the emitted column.
+    inter_bound = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+            F.size(F.array_intersect("sh1", "sh2")).alias("ni"),
+        )
+    )
+    jac = F.col("ni") / (F.col("n1") + F.col("n2") - F.col("ni")).cast("double")
     return (
-        verified.select("doc1", "doc2", F.round(jac, 9).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        inter_bound.select("doc1", "doc2", jac.alias("jac_raw"))
+        .where(F.col("jac_raw") >= threshold)
+        .select("doc1", "doc2", F.round("jac_raw", 9).alias("jaccard"))
     )
 
 

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     A,
     B,
     BAND_ROWS,
+    GRAM_K,
     N_HASHES,
     P,
     base_hash,
@@ -50,9 +51,9 @@ _SQL_BASE_HASH = "(TRY_CAST('0x' || SUBSTRING(md5({x}), 1, 15) AS BIGINT) % {p})
 
 
 def _sql_minhash(k: int) -> str:
-    inner = _SQL_BASE_HASH.format(x="x")
+    # signatures run over the PRE-COMPUTED gram-hash array `s`
     return (
-        f"LIST_MIN(LIST_TRANSFORM(s, x -> ({A[k]} * {inner} + {B[k]}) % {P})) AS mh{k}"
+        f"LIST_MIN(LIST_TRANSFORM(s, x -> ({A[k]} * x + {B[k]}) % {P})) AS mh{k}"
     )
 
 
@@ -88,11 +89,15 @@ _MINHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
 ),
+wh AS (
+  SELECT doc_id, LIST_TRANSFORM(t, x -> {_SQL_BASE_HASH.format(x='x')}) AS w
+  FROM toks WHERE LEN(t) >= 3
+),
 sh AS (
   SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
-           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-  FROM toks WHERE LEN(t) >= 3
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+           i -> ((w[i] * {GRAM_K} + w[i+1]) % {P} * {GRAM_K} + w[i+2]) % {P})) AS s
+  FROM wh
 ),
 sig AS (
   SELECT doc_id, s, {", ".join(_sql_minhash(k) for k in range(N_HASHES))}
@@ -112,12 +117,12 @@ cand AS (
 )
 SELECT c.doc1, c.doc2,
        ROUND(CAST(LEN(LIST_INTERSECT(s1.s, s2.s)) AS DOUBLE)
-             / LEN(LIST_DISTINCT(LIST_CONCAT(s1.s, s2.s))), 9) AS jaccard
+             / (LEN(s1.s) + LEN(s2.s) - LEN(LIST_INTERSECT(s1.s, s2.s))), 9) AS jaccard
 FROM cand c
 JOIN sh s1 ON c.doc1 = s1.doc_id
 JOIN sh s2 ON c.doc2 = s2.doc_id
 WHERE CAST(LEN(LIST_INTERSECT(s1.s, s2.s)) AS DOUBLE)
-      / LEN(LIST_DISTINCT(LIST_CONCAT(s1.s, s2.s))) >= 0.6
+      / (LEN(s1.s) + LEN(s2.s) - LEN(LIST_INTERSECT(s1.s, s2.s))) >= 0.6
 """
 
 
