@@ -25,8 +25,10 @@ from ..operators.dedup import (
     P,
     base_hash,
     exact_duplicates,
+    gram_hashes_from_words,
     near_dup_pairs,
     shingles,
+    word_hashes,
     simhash16,
     simhash16_from_hashes,
 )
@@ -509,18 +511,17 @@ _SQL_SIMHASH = "(" + " + ".join(
 
 _NGRAM_JACCARD_ORACLE = f"""
 WITH t0 AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
-         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS dt
-  FROM documents
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
 ),
-g AS (
-  SELECT doc_id, dt,
-         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+wh AS (
+  SELECT doc_id, LIST_TRANSFORM(t, x -> {_SQL_BASE_HASH.format(x='x')}) AS w
   FROM t0 WHERE LEN(t) >= 2
 ),
 h AS (
-  SELECT doc_id, bg, LIST_TRANSFORM(dt, x -> {_SQL_BASE_HASH.format(x='x')}) AS hs
-  FROM g
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> (w[i] * {GRAM_K} + w[i+1]) % {P})) AS bg,
+         LIST_DISTINCT(w) AS hs
+  FROM wh
 ),
 s AS (SELECT doc_id, bg, {_SQL_SIMHASH} AS sh FROM h),
 cand AS (
@@ -531,10 +532,10 @@ cand AS (
 )
 SELECT doc1, doc2,
        ROUND(CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
-             / LEN(LIST_DISTINCT(LIST_CONCAT(bg1, bg2))), 9) AS jaccard
+             / (LEN(bg1) + LEN(bg2) - LEN(LIST_INTERSECT(bg1, bg2))), 9) AS jaccard
 FROM cand
 WHERE CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
-      / LEN(LIST_DISTINCT(LIST_CONCAT(bg1, bg2))) >= 0.5
+      / (LEN(bg1) + LEN(bg2) - LEN(LIST_INTERSECT(bg1, bg2))) >= 0.5
 """
 
 
@@ -553,26 +554,38 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that actually collide."""
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
-    t = F.split(F.col("text"), " ")
-    # Token-hash array materialized in its own projection: the simhash
-    # bit votes reference it 16 times (see simhash16_from_hashes note).
+    # One md5 per word position, bound in its own projection; bigram
+    # hashes are Horner combines of adjacent word hashes (the bigram
+    # strings never exist) and the simhash votes run over the distinct
+    # word hashes — both consumers reference bound columns, never an
+    # inline transform (no HOF CSE). The word-count filter sits on the
+    # scan side so pushdown can't inline the hash pipeline into it.
     hashed = (
-        docs.repartition(n_parts, F.col("doc_id"))
-        .where(F.size(t) >= 2)
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", word_hashes(F.col("text")).alias("wh"))
         .select(
             "doc_id",
-            shingles(F.col("text"), 2).alias("bg"),
-            F.transform(F.array_distinct(t), base_hash).alias("hs"),
+            gram_hashes_from_words(F.col("wh"), 2).alias("bg"),
+            F.array_distinct(F.col("wh")).alias("hd"),
         )
     )
     base = hashed.select(
-        "doc_id", "bg", simhash16_from_hashes(F.col("hs")).alias("sh")
+        "doc_id", "bg", simhash16_from_hashes(F.col("hd")).alias("sh")
     )
     # Length filter in the candidate join is LOSSLESS for threshold t:
     # jaccard <= min(|bg1|,|bg2|)/max(|bg1|,|bg2|), so pairs failing
     # min >= t*max can never verify (PPJoin-style size filter). Cuts
     # the verify fan-in on corpora where simhash blocks run large.
-    ids = base.select("doc_id", "sh", F.size("bg").alias("nb"))
+    # coalesce makes the join keys NON-NULLABLE (they never are null in
+    # practice): otherwise constraint inference adds isnotnull(sh)
+    # filters that get pushed to the scan with the ENTIRE simhash+gram
+    # expression inlined into them — measured 8× on this query.
+    ids = base.select(
+        "doc_id",
+        F.coalesce(F.col("sh"), F.lit(0)).alias("sh"),
+        F.coalesce(F.size("bg"), F.lit(0)).alias("nb"),
+    )
     a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
     cand = a.join(
         b,
