@@ -150,7 +150,7 @@ def near_dup_pairs(
     Scale shape: the band self-join sees ONLY (doc_id, band_idx, key)
     rows — the shuffle payload is a few dozen bytes/row regardless of
     document size, and the identical subplans on both sides let AQE
-    reuse one exchange. Shingle arrays are shuffled exactly once per
+    reuse one exchange. Gram-hash arrays are shuffled exactly once per
     side of the candidate set, in the verification joins, keyed by
     doc_id — no O(bands × doc_size) array traffic. This is the part
     that must survive 100 TB: candidates are a tiny fraction of n².
