@@ -67,3 +67,27 @@ def test_topk_per_group_has_partial_windows(spark):
     # rank filter must stay a Window + Filter, not a global sort+limit
     assert "Window" in plan
     assert "GlobalLimit" not in plan.split("Window")[0]
+
+
+def test_no_hof_expressions_inside_filters(spark):
+    """Pushdown and join-constraint inference INLINE derived columns
+    into Filter nodes; if the column nests a higher-order function,
+    the whole pipeline re-runs per row (or per element) at the scan —
+    two 8-20x regressions came from exactly this. Guard the dedup
+    family's optimized plans against it."""
+    for name in (
+        "minhash_near_dup",
+        "ngram_jaccard_dedup",
+        "near_dup_clusters",
+        "embedding_near_dup",
+        "ann_lsh_topk",
+        "simhash_fingerprints",
+    ):
+        df = all_queries()[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            ls = line.strip()
+            if "Filter" in ls:
+                assert "transform(" not in ls and "aggregate(" not in ls, (
+                    f"{name}: HOF inlined into a Filter node:\n{ls[:300]}"
+                )
