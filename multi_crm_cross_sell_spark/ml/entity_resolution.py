@@ -339,21 +339,27 @@ def evaluate_matches(
     decided: DataFrame, label_col: str = "is_match_label", thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9)
 ) -> DataFrame:
     """Precision/recall/F1 threshold sweep (entity_resolution.py:554-613;
-    evaluate_entity_resolution.py:78-118) as one aggregation per
-    threshold, unioned — no driver-side loops over rows."""
-    frames = []
-    for t in thresholds:
+    evaluate_entity_resolution.py:78-118) as ONE aggregation pass:
+    every threshold's tp/fp/fn is a conditional count in the same agg,
+    then `stack` pivots the wide row into one row per threshold. The
+    input pipeline (blocked join, string kernels) therefore executes
+    once, not once per threshold — the round-3 shape (per-threshold
+    aggs unioned) re-scanned the pair frame len(thresholds) times."""
+    aggs = []
+    for i, t in enumerate(thresholds):
         pred = F.col("match_score") >= t
-        agg = decided.agg(
-            F.lit(t).alias("threshold"),
-            F.count(F.when(pred & (F.col(label_col) == 1), 1)).alias("tp"),
-            F.count(F.when(pred & (F.col(label_col) == 0), 1)).alias("fp"),
-            F.count(F.when(~pred & (F.col(label_col) == 1), 1)).alias("fn"),
+        aggs.append(F.count(F.when(pred & (F.col(label_col) == 1), 1)).alias(f"tp{i}"))
+        aggs.append(F.count(F.when(pred & (F.col(label_col) == 0), 1)).alias(f"fp{i}"))
+        aggs.append(
+            F.count(F.when(~pred & (F.col(label_col) == 1), 1)).alias(f"fn{i}")
         )
-        frames.append(agg)
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
+    wide = decided.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({t!r} AS DOUBLE), tp{i}, fp{i}, fn{i}" for i, t in enumerate(thresholds)
+    )
+    out = wide.selectExpr(
+        f"stack({len(thresholds)}, {stacked}) AS (threshold, tp, fp, fn)"
+    )
     precision = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
     recall = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     return out.select(

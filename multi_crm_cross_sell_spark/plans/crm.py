@@ -661,6 +661,116 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "er_threshold_sweep",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             SPLIT_PART(p_name, ' ', 1) AS block_key,
+             SPLIT_PART(p_name, ' ', 2) AS word2,
+             LIST_DISTINCT(STRING_SPLIT(p_name, ' ')) AS toks
+      FROM part
+    ),
+    pairs AS (
+      SELECT 1.0 - levenshtein(a.p_name, b.p_name)
+                   / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE) AS lev_sim,
+             CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS jac,
+             CASE WHEN a.p_brand = b.p_brand THEN 1.0 ELSE 0.0 END AS same_brand,
+             CAST(LEAST(a.p_size, b.p_size) AS DOUBLE) / GREATEST(a.p_size, b.p_size) AS size_ratio,
+             CASE WHEN a.word2 = b.word2 THEN 1 ELSE 0 END AS label
+      FROM p a JOIN p b
+        ON a.block_key = b.block_key AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT 0.4 * lev_sim + 0.3 * jac + 0.2 * same_brand + 0.1 * size_ratio AS score,
+             label
+      FROM pairs
+    ),
+    sweep AS (
+      SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+             COUNT(CASE WHEN score >= CAST(t.threshold AS DOUBLE) AND label = 1 THEN 1 END) AS tp,
+             COUNT(CASE WHEN score >= CAST(t.threshold AS DOUBLE) AND label = 0 THEN 1 END) AS fp,
+             COUNT(CASE WHEN score <  CAST(t.threshold AS DOUBLE) AND label = 1 THEN 1 END) AS fn
+      FROM scored CROSS JOIN (SELECT UNNEST([0.6, 0.7, 0.8, 0.9]) AS threshold) t
+      GROUP BY 1
+    )
+    SELECT threshold, tp, fp, fn,
+           ROUND(tp / GREATEST(tp + fp, 1), 9) AS precision,
+           ROUND(tp / GREATEST(tp + fn, 1), 9) AS recall,
+           ROUND(2 * (tp / GREATEST(tp + fp, 1)) * (tp / GREATEST(tp + fn, 1))
+                 / (CASE WHEN (tp / GREATEST(tp + fp, 1)) + (tp / GREATEST(tp + fn, 1)) = 0
+                         THEN 1.0
+                         ELSE (tp / GREATEST(tp + fp, 1)) + (tp / GREATEST(tp + fn, 1)) END),
+                 9) AS f1
+    FROM sweep
+    """,
+    tags=("ml", "ML12", "evaluation"),
+)
+def er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML12 ER evaluation: precision/recall/F1 threshold sweep
+    (entity_resolution.py:554-613; evaluate_entity_resolution.py:78-118)
+    over the same blocked pair universe as ``er_match_cascade``, with a
+    deterministic planted truth label (second name word equal — the
+    block key is the first word, so the label is non-degenerate inside
+    a block and only correlates loosely with the similarity score,
+    giving the sweep a real precision/recall tradeoff).
+
+    Unlike the cascade query there is NO lossless pre-gate here: the
+    sweep's fn counts need every labeled pair, including ones no
+    Levenshtein value could lift over the lowest threshold. The whole
+    sweep is evaluate_matches' single aggregation pass — one blocked
+    join feeding 12 conditional counts, stacked to one row per
+    threshold; nothing is rescanned per threshold."""
+    from ..ml.entity_resolution import evaluate_matches
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a, b = p.repartition(n_parts).alias("a"), F.broadcast(p).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        jaccard_tokens(F.col("a.toks"), F.col("b.toks")).alias("jac"),
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1.0)
+        .otherwise(0.0)
+        .alias("same_brand"),
+        (
+            F.least(F.col("a.p_size"), F.col("b.p_size")).cast("double")
+            / F.greatest(F.col("a.p_size"), F.col("b.p_size"))
+        ).alias("size_ratio"),
+        levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name")).alias("lev_sim"),
+        (F.col("a.word2") == F.col("b.word2")).cast("int").alias("is_match_label"),
+    )
+    scored = pairs.select(
+        (
+            0.4 * F.col("lev_sim")
+            + 0.3 * F.col("jac")
+            + 0.2 * F.col("same_brand")
+            + 0.1 * F.col("size_ratio")
+        ).alias("match_score"),
+        "is_match_label",
+    )
+    ev = evaluate_matches(scored, thresholds=(0.6, 0.7, 0.8, 0.9))
+    return ev.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1"),
+    )
+
+
 def _normalize_oracle() -> str:
     from ..functions.text import ABBREVIATIONS, LEGAL_SUFFIXES
 
