@@ -22,7 +22,13 @@ def levenshtein_similarity(a: Column, b: Column) -> Column:
     """1 - lev/max(len) (entity_resolution.py:186-196). The reference's
     emptiness guard fires BEFORE the similarity math: either side empty
     → 0.0 (``if not s1 or not s2``), so two suffix-only names that both
-    normalize to "" are NOT a match."""
+    normalize to "" are NOT a match. NULL inputs coalesce to empty and
+    hit the same 0.0 branch — the reference treats missing values as
+    falsy strings, and without the coalesce the when-condition itself
+    is NULL, which would leak NULL (not 0.0) into downstream feature
+    vectors and the rule score."""
+    a = F.coalesce(a, F.lit(""))
+    b = F.coalesce(b, F.lit(""))
     denom = F.greatest(F.length(a), F.length(b))
     return F.when((F.length(a) == 0) | (F.length(b) == 0), F.lit(0.0)).otherwise(
         F.lit(1.0) - F.levenshtein(a, b) / denom.cast("double")

@@ -212,7 +212,12 @@ def per_row_explanations(
     feature) joined on the id — every pass is ordinary distributed
     batch inference, no per-row Python, no driver loop. Cost is
     O(d · inference); for the 6-feature reference spec that is 7
-    passes, embarrassingly parallel at any scale."""
+    passes, embarrassingly parallel at any scale.
+
+    ``id_cols`` must uniquely key ``df`` — the ablated passes are
+    LEFT-joined back onto the base scores, so a duplicate id would
+    fan rows out (never silently drop them) and a null id keeps its
+    base row with null contributions."""
     feature_cols = feature_cols or model.features.stages[0].getInputCols()
     means = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).first()
     out = (
@@ -220,11 +225,15 @@ def per_row_explanations(
         .select(*id_cols, F.col("score").alias("score"))
     )
     for c in feature_cols:
-        ablated = df.withColumn(c, F.lit(float(means[c])))
+        # An all-null (or empty-input) feature column has a None mean;
+        # ablating with 0.0 keeps the pass well-defined instead of
+        # raising TypeError driver-side.
+        mean_c = float(means[c]) if means[c] is not None else 0.0
+        ablated = df.withColumn(c, F.lit(mean_c))
         scored_c = model.transform(ablated).select(
             *id_cols, F.col("score").alias(f"_ablated_{c}")
         )
-        out = out.join(scored_c, id_cols)
+        out = out.join(scored_c, id_cols, "left")
     contribs = [
         (F.col("score") - F.col(f"_ablated_{c}")).alias(f"contrib_{c}")
         for c in feature_cols

@@ -50,6 +50,13 @@ ER_FEATURES = [
 def blocking_key(name_col, country_col):
     """First-3 chars of the normalized name + '_' + 3-char lowercased
     country prefix (_create_blocking_key, entity_resolution.py:287-294).
+    Deliberate deviation: a NULL country coalesces to '' here, whereas
+    the reference's str() of a missing pandas value yields the literal
+    'nan' (key suffix 'nan') — an artifact of pandas stringification,
+    not a semantic choice. Accounts with null BillingCountry therefore
+    land in a ''-suffixed block instead of a 'nan'-suffixed one; both
+    conventions group all-null-country rows together, so match results
+    only differ if real countries collide with the literal 'nan'.
     At 100 TB this key is skewed (common prefixes); AQE skew-join plus
     optional salting handles it — the MinHashLSH variant in
     operators/dedup.py is the robust path."""
@@ -125,8 +132,11 @@ def pair_features(pairs: DataFrame) -> DataFrame:
     # downstream reference (see SKILL.md perf note on HOF re-eval).
     bound = pairs.select(
         "*",
-        n1.alias("norm_name1"),
-        n2.alias("norm_name2"),
+        # Coalesce to '': a NULL Name would otherwise propagate NULL
+        # through JW/Levenshtein into the feature vector (reference
+        # treats missing as empty → similarity 0.0).
+        F.coalesce(n1, F.lit("")).alias("norm_name1"),
+        F.coalesce(n2, F.lit("")).alias("norm_name2"),
         h1.alias("host1"),
         h2.alias("host2"),
     )

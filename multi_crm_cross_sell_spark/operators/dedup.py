@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -252,6 +254,7 @@ def dedup_clusters(
     id1_col: str = "doc1",
     id2_col: str = "doc2",
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → dedup clusters.
 
@@ -270,6 +273,14 @@ def dedup_clusters(
     convergence check is a count action per iteration; that is the
     idiomatic Spark shape for iterative graph algorithms (GraphX /
     GraphFrames do the same under the hood).
+
+    Convergence is VERIFIED, not assumed: if labels are still changing
+    when the iteration cap is hit, the returned clusters would be
+    silently split (wrong connected components) — so the loop raises
+    (``strict=True``, default) or warns (``strict=False``) instead of
+    returning them. Near-dup components are shallow in practice; a
+    legitimate deep-chain workload should raise ``max_iters`` (cost is
+    one join + one groupBy per extra iteration).
 
     Output: (doc_id, cluster_id, cluster_size, is_representative) for
     every doc that appears in at least one pair; cluster_id = min
@@ -302,6 +313,16 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"dedup_clusters did not converge in max_iters={max_iters} "
+            f"iterations ({changed} labels still propagating): some "
+            "component's diameter exceeds the cap and its clusters "
+            "would be split. Raise max_iters."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     sizes = labels.groupBy("label").count()
     return (
         labels.join(sizes, "label")

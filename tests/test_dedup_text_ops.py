@@ -103,6 +103,23 @@ class TestDedupClusters:
         assert {r["cluster_id"] for r in rows} == {0}
         assert all(r["cluster_size"] == 10 for r in rows)
 
+    def test_iteration_cap_detected_not_silent(self, spark):
+        # A diameter-9 path cannot converge in 2 iterations; the loop
+        # must say so (raise by default, warn when strict=False), never
+        # return silently split clusters (ADVICE r3).
+        import pytest
+
+        from multi_crm_cross_sell_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], ["doc1", "doc2"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(pairs, max_iters=2)
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            rows = dedup_clusters(pairs, max_iters=2, strict=False).collect()
+        assert len(rows) == 10  # non-strict still returns the partial fold
+
 
 class TestSummarize:
     def test_extractive_rule(self):

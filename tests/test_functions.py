@@ -108,6 +108,19 @@ def test_levenshtein_similarity(spark):
     assert row[2]["s"] == 0.0
 
 
+def test_levenshtein_similarity_null_is_zero(spark):
+    # Reference treats None as empty (str falsiness) → 0.0; a raw
+    # length(NULL) would make the when-condition NULL and leak NULL
+    # into feature vectors (ADVICE r3).
+    rows = spark.createDataFrame(
+        [(None, "acme"), ("acme", None), (None, None)],
+        "a string, b string",
+    ).select(
+        levenshtein_similarity(F.col("a"), F.col("b")).alias("s")
+    ).collect()
+    assert [r["s"] for r in rows] == [0.0, 0.0, 0.0]
+
+
 class TestJaroWinklerConventions:
     """The reference halves the RAW transposition count as a float
     (entity_resolution.py:240-241); textbook/DuckDB floor it to pairs.
