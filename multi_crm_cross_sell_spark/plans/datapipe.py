@@ -895,22 +895,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # md5-over-BLOB is not expressible in the oracle SQL
+    oracle=None,  # md5-over-BLOB / codec parsing not expressible in SQL
     tags=("multimodal", "mapInPandas", "beyond-reference"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: deterministic synthetic media table
-    (binary payload + typed metadata) → Arrow mapInPandas decode stub +
-    feature extraction → joined with the frame-sample timeline for
-    videos. Rows-only check: the content hash is md5 over BYTES, which
-    the SQL oracle dialect cannot express — determinism is instead
-    pinned by tests/test_sinks_multimodal.py."""
-    from ..operators.multimodal import extract_features, frame_sample, synth_media
+    with REAL encoded payloads (BMP images, PCM16 WAV audio, Y4M video
+    — operators/multimodal.py stdlib codecs) → Arrow mapInPandas decode
+    + per-modality signal features → joined with decoded per-frame luma
+    samples for videos. Rows-only check: codec parsing and md5 over
+    BYTES are not expressible in the oracle dialect — decode round-trip
+    and determinism are pinned by tests/test_sinks_multimodal.py."""
+    from ..operators.multimodal import extract_features, sample_frames, synth_media
 
     media = synth_media(spark, 64).repartition(8, F.col("media_id"))
     feats = extract_features(media)
-    frames = frame_sample(media).groupBy("media_id").agg(
-        F.count("*").alias("n_frames")
+    frames = sample_frames(media).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("frame_mean_y"), 6).alias("avg_frame_luma"),
     )
     return (
         feats.join(frames, "media_id", "left")
@@ -921,5 +923,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_hash",
             F.round(F.element_at("features", 1), 6).alias("f0"),
             F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.coalesce("avg_frame_luma", F.lit(0.0)).alias("avg_frame_luma"),
         )
     )

@@ -70,6 +70,85 @@ def test_model_registry(spark, tmp_path):
     assert reg.where(F.col("stage") == "production").count() == 1
 
 
+class TestCodecs:
+    """Round-trip the real stdlib codecs on known bytes — decode is
+    genuine parsing, not a deterministic fake."""
+
+    def test_bmp_round_trip_exact(self):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rgb = np.arange(5 * 3 * 3, dtype=np.uint8).tobytes()  # 5x3, padded rows
+        payload = encode_bmp(5, 3, rgb)
+        assert payload[:2] == b"BM"
+        w, h, back = decode_bmp(payload)
+        assert (w, h) == (5, 3)
+        assert back == rgb
+
+    def test_wav_round_trip_exact(self):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = np.array([0, 100, -32768, 32767, -1], dtype=np.int16)
+        rate, back = decode_wav(encode_wav(samples, 16000))
+        assert rate == 16000
+        assert (back == samples).all()
+
+    def test_y4m_round_trip_exact(self):
+        from multi_crm_cross_sell_spark.operators.multimodal import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        frames = [bytes(range(48)), bytes(reversed(range(48)))]  # 4x4 C444
+        w, h, fps, back = decode_y4m(encode_y4m(4, 4, frames, fps=30))
+        assert (w, h, fps) == (4, 4, 30)
+        assert back == frames
+
+    def test_resize_images_real_pixels(self, spark):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.multimodal import (
+            decode_bmp,
+            resize_images,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=3)  # ids 0..2 -> one image (id 0)
+        out = {r["media_id"]: r for r in resize_images(media, max_side=16).collect()}
+        assert set(out) == {0}
+        w, h, rgb = decode_bmp(bytes(out[0]["payload"]))
+        assert (w, h) == (16, 16)
+        assert len(rgb) == 16 * 16 * 3
+        # nearest-neighbor: every resized pixel exists in the source
+        src = np.random.RandomState(0).randint(0, 256, 64 * 64 * 3, dtype=np.uint8)
+        src_px = {bytes(p) for p in src.reshape(-1, 3)}
+        assert all(bytes(p) in src_px
+                   for p in np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3))
+
+    def test_sample_frames_luma(self, spark):
+        from multi_crm_cross_sell_spark.operators.multimodal import (
+            sample_frames,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=30)
+        rows = sample_frames(media, every_ms=250).collect()
+        per_video = {}
+        for r in rows:
+            per_video.setdefault(r["media_id"], []).append(r)
+        assert all(len(v) == 4 for v in per_video.values())  # 1000ms / 250ms
+        assert all(0.0 <= r["frame_mean_y"] <= 1.0 for r in rows)
+
+
 def test_multimodal_features(spark):
     media = synth_media(spark, n=30)
     feats = extract_features(media, dim=8)
