@@ -174,10 +174,39 @@ class EnsembleModel:
         )
 
     def save(self, path: str) -> None:
-        """Persistence + registry (ML17): MLlib native save per member."""
+        """Persistence + registry (ML17): MLlib native save per member.
+        Layout contract: {path}/features + one dir per fixed member
+        name (nn/xgb/rf/gb) — ``load`` relies on it."""
         self.features.write().overwrite().save(f"{path}/features")
         for name, model in self.members.items():
             model.write().overwrite().save(f"{path}/{name}")
+
+    @classmethod
+    def load(cls, path: str) -> "EnsembleModel":
+        """ML17 round-trip (reference orchestrator.py:356-373 reloads
+        the pickled ensemble; here each member reloads via its MLlib
+        model class). The xgb slot is import-gated like _xgb_member:
+        xgboost's model when the package exists, the GBT stand-in
+        otherwise."""
+        from pyspark.ml.classification import (
+            GBTClassificationModel,
+            MultilayerPerceptronClassificationModel,
+            RandomForestClassificationModel,
+        )
+
+        features = PipelineModel.load(f"{path}/features")
+        members = {
+            "nn": MultilayerPerceptronClassificationModel.load(f"{path}/nn"),
+            "rf": RandomForestClassificationModel.load(f"{path}/rf"),
+            "gb": GBTClassificationModel.load(f"{path}/gb"),
+        }
+        try:  # pragma: no cover - xgboost absent in this environment
+            from xgboost.spark import SparkXGBClassifierModel
+
+            members["xgb"] = SparkXGBClassifierModel.load(f"{path}/xgb")
+        except ImportError:
+            members["xgb"] = GBTClassificationModel.load(f"{path}/xgb")
+        return cls(features=features, members=members)
 
     def feature_importances(self) -> dict[str, list[float]]:
         """ML9: native tree feature importances (the reference mocks

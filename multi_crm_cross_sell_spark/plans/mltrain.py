@@ -44,7 +44,9 @@ def ml_training_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair features derived deterministically from customer keys, batch-
     transform a held-out split, and fit the ER RandomForest matcher
     (entity_resolution.py:493-552) on blocked fixture pairs. Returns
-    one summary row per member / vote / matcher: (model, train_rows,
+    one summary row per member / vote / matcher, plus an
+    'ensemble_reloaded' row (ML17) whose mean_score must equal the
+    'score' row's — save→load→rescore round-trip: (model, train_rows,
     scored_rows, mean_score). Small fixed training sizes keep the
     query interactive; the transform path is the same single-pass
     DataFrame inference that scales to the full pair table."""
@@ -97,6 +99,29 @@ def ml_training_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(test_n).alias("scored_rows"),
         "mean_score",
     )
+
+    # --- ML17 persistence: save → load → rescore the same split. The
+    # 'ensemble_reloaded' row must equal the 'score' row's mean_score —
+    # a driver-visible round-trip check (reference reloads its pickled
+    # ensemble at orchestrator.py:356-373). Scalar collected eagerly so
+    # the model directory can be cleaned up before returning.
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="ensemble_ml17_") as tmp:
+        model.save(f"{tmp}/model")
+        from ..ml.ensemble import EnsembleModel
+
+        reloaded = EnsembleModel.load(f"{tmp}/model")
+        reloaded_mean = (
+            reloaded.transform(test)
+            .agg(F.round(F.avg("score"), 6).alias("m"))
+            .collect()[0]["m"]
+        )
+    reload_row = spark.createDataFrame(
+        [("ensemble_reloaded", train_n, test_n, float(reloaded_mean))],
+        "model string, train_rows bigint, scored_rows bigint, mean_score double",
+    )
+    ens_rows = ens_rows.unionByName(reload_row)
 
     # --- ER RandomForest matcher on blocked fixture pairs (ML11) ---
     acc = fixtures.accounts(spark, n_per_org=120, match_rate=0.15)

@@ -158,7 +158,7 @@ def test_cascade_ml_below_threshold_falls_back_to_rules(spark):
     assert high_ml["confidence"] == "medium"
 
 
-def test_ensemble_scorer(spark):
+def test_ensemble_scorer(spark, tmp_path):
     # planted-signal pair features: label correlates with feature sum
     n = 400
     df = spark.range(n)
@@ -197,6 +197,17 @@ def test_ensemble_scorer(spark):
     # per-row ablation explanations (ML9): signal features must carry
     # more per-row attribution mass than the planted noise features
     from multi_crm_cross_sell_spark.ml.ensemble import per_row_explanations
+
+    # ML17: save -> load -> identical scores on the same test split
+    from multi_crm_cross_sell_spark.ml.ensemble import EnsembleModel
+
+    path = str(tmp_path / "ensemble")
+    model.save(path)
+    reloaded = EnsembleModel.load(path)
+    assert set(reloaded.members) == set(model.members)
+    r = reloaded.transform(test).select("id", F.col("score").alias("score_r"))
+    joined = scored.select("id", "score").join(r, "id").toPandas()
+    assert (joined["score"] - joined["score_r"]).abs().max() == 0.0
 
     expl = per_row_explanations(model, test, id_cols=["id"]).toPandas()
     assert len(expl) == test.count()
