@@ -32,9 +32,34 @@ def _unit(seed: str) -> float:
     return round((h % 2_000_000) / 1_000_000.0 - 1.0, 6)
 
 
+# Lazily extended cache: plane k is fully determined by its seed, so
+# any K-plane prefix is identical no matter how many planes a caller
+# asks for — pairs(K+1) ⊆ pairs(K) by construction.
 HYPERPLANES: list[list[float]] = [
     [_unit(f"plane{k}:dim{d}") for d in range(DIM)] for k in range(N_PLANES)
 ]
+
+
+def _plane(k: int) -> list[float]:
+    while len(HYPERPLANES) <= k:
+        kk = len(HYPERPLANES)
+        HYPERPLANES.append([_unit(f"plane{kk}:dim{d}") for d in range(DIM)])
+    return HYPERPLANES[k]
+
+
+def adaptive_n_planes(n_rows: int, target_bucket: int = 8) -> int:
+    """Plane count that keeps EXPECTED bucket occupancy constant as the
+    corpus grows: K = log2(n / target_bucket). With a fixed K, 10x the
+    vectors means 10x per bucket and ~100x in-bucket candidate pairs —
+    measured as a 39x wall-time blowup at the 10x scale point
+    (SCALE.md) — while K growing with log2(n) keeps candidate count
+    linear in n. Floor at the default so small corpora keep the
+    oracle-pinned behavior."""
+    import math
+
+    if n_rows <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def dec_dot(a: Column, b: Column) -> Column:
@@ -49,13 +74,13 @@ def dec_dot(a: Column, b: Column) -> Column:
 
 
 def _plane_lit(k: int) -> Column:
-    return F.array(*[F.lit(v) for v in HYPERPLANES[k]])
+    return F.array(*[F.lit(v) for v in _plane(k)])
 
 
-def bucket_id(vec: Column) -> Column:
+def bucket_id(vec: Column, n_planes: int = N_PLANES) -> Column:
     """K-bit LSH bucket: bit k set iff dot(vec, plane_k) >= 0."""
     out = F.lit(0)
-    for k in range(N_PLANES):
+    for k in range(n_planes):
         out = out + F.when(dec_dot(vec, _plane_lit(k)) >= 0, F.lit(1 << k)).otherwise(
             F.lit(0)
         )
@@ -112,6 +137,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
     (vectors on the same side of all K hyperplanes), then exact cosine
@@ -120,13 +146,19 @@ def embedding_near_dup_pairs(
     Same narrow-join shape as the MinHash text dedup: the bucket
     self-join sees only (vec_id, bucket) rows and reuses one exchange
     (shuffle_hash hint); vectors and norms are joined back per side of
-    the candidate set. O(pairs-in-bucket), never O(n²)."""
+    the candidate set. O(pairs-in-bucket) — which stays linear in n
+    ONLY if bucket occupancy is held constant: pass ``n_planes=None``
+    to size K = log2(n/8) from a count of the input (the 100 TB path;
+    measured restoring linearity at the 10x scale point, SCALE.md).
+    The default pins K=8 for the oracle-checked query."""
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    if n_planes is None:
+        n_planes = adaptive_n_planes(embeddings.count())
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("bucket", bucket_id(F.col("v")))
+        .withColumn("bucket", bucket_id(F.col("v"), n_planes))
         .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
     )
     ids = base.select("vec_id", "bucket")
@@ -229,7 +261,7 @@ def ivf_topk(
 # --- SQL oracle fragments -------------------------------------------------
 
 def sql_plane_literal(k: int) -> str:
-    return "[" + ", ".join(f"{v!r}" for v in HYPERPLANES[k]) + "]"
+    return "[" + ", ".join(f"{v!r}" for v in _plane(k)) + "]"
 
 
 def sql_dec_dot(a: str, b: str) -> str:

@@ -190,3 +190,37 @@ class TestIvf:
         assert set(one) <= set(two)  # never fewer results
         for key, cos1 in one.items():
             assert two[key] >= cos1
+
+
+class TestAdaptivePlanes:
+    def test_more_planes_give_pair_subset(self, spark, sf_dir):
+        """Plane k is seed-determined, so a K+1-bit bucket refines the
+        K-bit bucket: the pair set must shrink monotonically (the
+        log2(n) scaling knob is precision-only, never a new pair)."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            embedding_near_dup_pairs,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        p8 = {
+            (r.id1, r.id2)
+            for r in embedding_near_dup_pairs(e, threshold=0.2, n_planes=8).collect()
+        }
+        p10 = {
+            (r.id1, r.id2)
+            for r in embedding_near_dup_pairs(e, threshold=0.2, n_planes=10).collect()
+        }
+        assert p10 <= p8
+
+    def test_adaptive_count_grows_with_corpus(self):
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            N_PLANES,
+            adaptive_n_planes,
+        )
+
+        assert adaptive_n_planes(2_000) == N_PLANES  # sf0.1 keeps default
+        assert adaptive_n_planes(20_000) == 12  # 10x corpus: +4 bits
+        assert adaptive_n_planes(100) == N_PLANES  # floor at the default
+        # monotone non-decreasing in n
+        counts = [adaptive_n_planes(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+        assert counts == sorted(counts)

@@ -1,0 +1,192 @@
+"""Scaling measurement for the dedup/similarity family beyond sf0.1.
+
+Builds a 10x corpus from sf0.1 (the '"sf1" equivalent' for documents/
+embeddings) and times the text-dedup and ANN queries at sf0.01, sf0.1
+and 10x, so the linear-scaling claims in SCALE.md are measured curves,
+not design assertions.
+
+Replication is constructed so the similarity STRUCTURE scales
+linearly instead of degenerating into a pathological clique:
+- documents replica k prefixes every word with "r{k}" — replicas are
+  token-disjoint, so no shingle/gram/minhash collisions ever form
+  across replicas and the true near-dup pair count scales exactly
+  linearly (each replica reproduces the original corpus's structure);
+- embeddings replica k applies a deterministic per-(k, dim) sign flip
+  — a diagonal +-1 matrix is an isometry, so every within-replica
+  cosine is EXACTLY preserved while cross-replica pairs decorrelate.
+
+Usage:
+    python tools/scale_bench.py [--rebuild] [query ...]
+Prints one JSON line per scale with per-query min-of-N wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf10x")
+FACTOR = 10
+
+QUERIES = [
+    "exact_dedup_documents",
+    "doc_text_stats",
+    "token_counting",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "ngram_jaccard_dedup",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "cosine_topk_bruteforce",
+]
+
+
+def build_scaled(spark, src: str, out: str, factor: int) -> None:
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    embs = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_embs = embs.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    doc_parts = []
+    for k in range(factor):
+        d = docs
+        if k > 0:
+            new_text = F.array_join(
+                F.transform(F.split(F.col("text"), " "), lambda w: F.concat(F.lit(f"r{k}"), w)),
+                " ",
+            )
+            d = d.select(
+                (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+                new_text.alias("text"),
+                "lang",
+                "source",
+                F.length(new_text).cast("long").alias("n_chars"),
+            )
+        doc_parts.append(d)
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+
+    emb_parts = []
+    for k in range(factor):
+        e = embs
+        if k > 0:
+            flipped = F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    * (
+                        F.lit(1)
+                        - 2
+                        * F.pmod(
+                            F.xxhash64(F.concat_ws("_", F.lit(str(k)), i.cast("string"))),
+                            F.lit(2),
+                        )
+                    ).cast("float")
+                ).cast("float"),
+            )
+            e = e.select(
+                (F.col("vec_id") + F.lit(k * n_embs)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        emb_parts.append(e)
+    scaled_embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        scaled_embs = scaled_embs.unionByName(p)
+
+    os.makedirs(out, exist_ok=True)
+    # Match the source layout: one parquet FILE per table (testdata
+    # ships bare files, load_table expects the same shape).
+    for name, df in (("documents", scaled_docs), ("embeddings", scaled_embs)):
+        tmp = f"{out}/_{name}_dir"
+        df.coalesce(4).write.mode("overwrite").parquet(tmp)
+        # keep directory-parquet: spark.read.parquet handles both, and
+        # 4 files give the 10x scan some split parallelism
+        final = f"{out}/{name}.parquet"
+        if os.path.exists(final):
+            shutil.rmtree(final) if os.path.isdir(final) else os.remove(final)
+        os.rename(tmp, final)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    rebuild = "--rebuild" in sys.argv[1:]
+    wanted = args or QUERIES
+
+    from multi_crm_cross_sell_spark.plans import all_queries
+    from multi_crm_cross_sell_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if rebuild or not os.path.exists(f"{OUT}/documents.parquet"):
+        t0 = time.time()
+        build_scaled(spark, SRC, OUT, FACTOR)
+        print(f"# built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = all_queries()
+
+    # The 100 TB path for embedding near-dup: plane count sized from
+    # the corpus (constant bucket occupancy) instead of the
+    # oracle-pinned K=8 — measured against the pinned variant above.
+    def _adaptive_near_dup(spark, sf_dir):
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            embedding_near_dup_pairs,
+        )
+        from multi_crm_cross_sell_spark.sources.bronze import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs(e, threshold=0.4, n_planes=None)
+
+    runners = {name: qs[name].fn for name in wanted}
+    if "embedding_near_dup" in runners:
+        runners["embedding_near_dup_adaptive"] = _adaptive_near_dup
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    scales = [
+        ("sf0.01", "/root/testdata/sf0.01", 0.1),
+        ("sf0.1", SRC, 1.0),
+        ("sf1x10", OUT, 10.0),
+    ]
+
+    # warmup (JIT + parquet reader init)
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    for fn in runners.values():
+        fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    for label, sf_dir, rel in scales:
+        timings: dict[str, float] = {}
+        for _ in range(n_runs):
+            for name, fn in runners.items():
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+        print(
+            json.dumps(
+                {
+                    "scale": label,
+                    "relative_size": rel,
+                    "total_sec": round(sum(timings.values()), 3),
+                    "queries": timings,
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
