@@ -39,22 +39,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
-    which Spark's parquet reader rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` we read raw nanos and
-    floor-divide to micros — the exact conversion DuckDB applies, so
-    oracle comparisons stay bit-identical. Integer ``div`` is mandatory:
-    epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS,
+    isAdjustedToUTC=false) — which Spark's parquet reader rejects
+    natively — and plain TIMESTAMP(MICROS). Handle both: with
+    ``spark.sql.legacy.parquet.nanosAsLong`` a NANOS column reads as
+    raw long nanos, which we floor-divide to micros — the exact
+    conversion DuckDB applies, so oracle comparisons stay
+    bit-identical (integer ``div`` is mandatory: epoch-nanos ~1.7e18
+    exceed double's 2^53 exact-integer range). A MICROS column reads
+    as timestamp_ntz directly and passes through untouched.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn(
+                "ts",
+                F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.to_timestamp_ntz(F.col("ts")))
+        return df
     return spark.read.parquet(path)
 
 
