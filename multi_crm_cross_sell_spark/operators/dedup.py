@@ -335,6 +335,142 @@ def dedup_clusters(
     )
 
 
+# Banded SimHash blocking (the 100 TB replacement for a single
+# fixed-width fingerprint): B independent simhash sketches per doc,
+# each over a distinct affine permutation of the gram hashes, each
+# masked to an occupancy-adaptive width w. Fixing ONE 16-bit key has
+# two measured defects (SCALE.md round 5): the bucket space is capped
+# at 2^16 — candidates grow ∝ n²/2^16 — and unweighted votes over a
+# stopword-heavy vocabulary lock most bits, collapsing effective
+# entropy (437 of 5000 sf0.1 docs shared one 16-bit key). Banding over
+# the VERIFY feature space (bigram hashes, not word hashes) with B
+# OR-amplified tables measured 0.26 → 0.94 recall against exact
+# ground truth while cutting candidates 244k → 1.9k at sf0.1.
+SIMHASH_BANDS = 8
+SIMHASH_MAXBITS = 30  # affine perms live in [0, P), P ≈ 2^31
+SIMHASH_MINBITS = 16
+SIMHASH_W_MARGIN = 2  # w = clamp(ceil(log2 n) + margin, 16, 30)
+SIMHASH_A = [2_000_003 + 7_919 * j for j in range(SIMHASH_BANDS)]
+SIMHASH_B = [54_321 + 104_729 * j for j in range(SIMHASH_BANDS)]
+
+
+def adaptive_band_bits(n_col: Column) -> Column:
+    """Band width w from the corpus size, INTEGER-exact so Spark and a
+    SQL oracle can never disagree at a power-of-two boundary:
+    ceil(log2 n) = len(bin(n-1)) for n ≥ 2 — no floating log2 whose
+    17.0000000000004 would ceil differently across engines. Keeping
+    2^w ∝ n holds expected random-collision candidates ∝ n (B·n²/2^w);
+    a fixed w is the measured 38.7×-blowup defect class (SCALE.md).
+    Floor at 16 bits (small-corpus behavior, recall measured there),
+    cap at 30 (perm range); beyond n ≈ 2^28 docs, widen by
+    concatenating a second affine perm per band — same construction,
+    2 ·30 usable bits."""
+    return F.least(
+        F.lit(SIMHASH_MAXBITS),
+        F.greatest(
+            F.lit(SIMHASH_MINBITS),
+            F.length(F.bin(n_col - 1)) + F.lit(SIMHASH_W_MARGIN),
+        ),
+    )
+
+
+def banded_simhash_bands(
+    gram_rows: DataFrame,
+    n_docs: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "g",
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """(id, nb, band, key) band rows: B masked simhash sketches per doc
+    over EXPLODED distinct gram rows (one (id, gram_hash) row per
+    distinct gram — not arrays).
+
+    Row-shaped input is deliberate: every step stays inside
+    whole-stage codegen with ZERO higher-order functions — Spark's
+    Generate re-evaluates its child expression per OUTPUT element, so
+    exploding an array column produced by an interpreted HOF pipeline
+    re-runs that pipeline ~|array| times per row (measured 65s vs
+    0.15s on 5k docs), and Catalyst legally re-hoists the projection
+    above any repartition placed to materialize it. With gram rows:
+    one narrow projection computes the B affine perms per gram, then
+    ONE hash aggregate per doc counts ones per (band, bit) — reusing
+    the caller's hash-partitioning on the id, so banding adds NO
+    shuffle. Votes are integer majorities (bit set iff 2·ones >
+    n_grams: exact, engine-neutral).
+
+    ``n_docs`` is a one-row (n_docs bigint) frame joined in as a
+    broadcast so width adaptation stays inside the lazy plan; pass a
+    CHEAP subplan (e.g. a pruned scan count) — a count over the gram
+    pipeline itself would re-run the expensive hashing just to size
+    the mask. The 241-column aggregate needs
+    spark.sql.codegen.maxFields > 241 (session.tune sets 512) or the
+    whole stage silently drops to the interpreted row path (~40×)."""
+    ex = gram_rows.select(
+        id_col,
+        *[
+            (
+                (F.col(gram_col) * F.lit(SIMHASH_A[j]) + F.lit(SIMHASH_B[j]))
+                % F.lit(P)
+            ).alias(f"p{j}")
+            for j in range(n_bands)
+        ],
+    )
+    # SWAR-packed vote counters: 3 bit-positions share one bigint
+    # accumulator in 21-bit slots (counts up to 2^21−1 ≈ 2M distinct
+    # grams per doc — far beyond any real document; a doc above that
+    # would need >2M distinct bigrams). Packing cuts the aggregate
+    # from 241 to 81 columns, which roughly third-sizes the generated
+    # hash-agg code (first-run Janino compile ~25s → ~8s) without
+    # touching semantics: the oracle only has to agree with the
+    # UNPACKED per-(band, bit) ones counts.
+    n_slots = (SIMHASH_MAXBITS + 2) // 3
+    counters = [F.count("*").alias("nb")]
+    for j in range(n_bands):
+        for s in range(n_slots):
+            term = None
+            for lvl in range(3):
+                i = s + lvl * n_slots
+                if i >= SIMHASH_MAXBITS:
+                    break
+                t = F.shiftleft(
+                    F.shiftright(F.col(f"p{j}"), i).bitwiseAND(F.lit(1)),
+                    lvl * 21,
+                )
+                term = t if term is None else term + t
+            counters.append(F.sum(term).alias(f"acc_{j}_{s}"))
+    votes = ex.groupBy(id_col).agg(*counters)
+
+    def ones(j: int, i: int):
+        s, lvl = i % n_slots, i // n_slots
+        return F.shiftright(F.col(f"acc_{j}_{s}"), lvl * 21).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
+
+    keys = []
+    for j in range(n_bands):
+        k = F.lit(0).cast("bigint")
+        for i in range(SIMHASH_MAXBITS):
+            k = k + F.when(2 * ones(j, i) > F.col("nb"), F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        keys.append(k.alias(f"k{j}"))
+    sk = (
+        votes.select(id_col, "nb", *keys)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", adaptive_band_bits(F.col("n_docs")))
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), w) - 1")
+    # posexplode's per-element re-eval is harmless here: the child is
+    # integer arithmetic over already-aggregated columns.
+    return sk.select(
+        id_col,
+        "nb",
+        F.posexplode(
+            F.array(*[F.col(f"k{j}").bitwiseAND(mask) for j in range(n_bands)])
+        ).alias("band", "key"),
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over word tokens: per-bit weighted vote of token
     hashes. Small enough to stay a pure column expression; 64-bit

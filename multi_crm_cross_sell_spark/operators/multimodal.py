@@ -93,18 +93,33 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse a 24bpp BI_RGB BMP → (width, height, top-down RGB bytes)."""
-    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
-        "<IiiHHI", payload, 14
-    )
+    """Parse a 24bpp BI_RGB BMP → (width, height, top-down RGB bytes).
+
+    Decode error contract (fuzz-tested): malformed input of ANY kind —
+    truncated header, truncated pixel data, corrupt dimensions — raises
+    ValueError; struct.error never escapes. Executors surface a clean
+    per-row failure instead of an opaque codec traceback."""
+    try:
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+    except struct.error as exc:
+        raise ValueError(f"truncated BMP header: {exc}") from exc
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height <= 0 or offset < 54:
+        raise ValueError(f"corrupt BMP geometry: w={width} h={height} off={offset}")
     row_size = (width * 3 + 3) & ~3
+    if offset + height * row_size > len(payload):
+        raise ValueError(
+            f"truncated BMP pixel data: need {height * row_size} bytes at "
+            f"{offset}, have {len(payload) - offset}"
+        )
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=height * row_size, offset=offset
     ).reshape(height, row_size)[:, : width * 3]
@@ -130,12 +145,26 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Parse a PCM16 mono WAV → (sample_rate, int16 sample array)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError("unsupported WAV: need PCM16 mono")
-        rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
+    """Parse a PCM16 mono WAV → (sample_rate, int16 sample array).
+
+    Decode error contract (fuzz-tested): malformed input raises
+    ValueError — wave.Error/EOFError never escape, and TRUNCATED
+    sample data is an error, not a silently shorter array (stdlib
+    readframes returns whatever is available without complaint)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("unsupported WAV: need PCM16 mono")
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
+    if len(frames) != 2 * n_frames:
+        raise ValueError(
+            f"truncated WAV data: header promises {n_frames} frames "
+            f"({2 * n_frames} bytes), payload holds {len(frames)}"
+        )
     return rate, np.frombuffer(frames, dtype="<i2")
 
 
@@ -160,30 +189,57 @@ def encode_y4m(
 
 
 def decode_y4m(payload: bytes) -> tuple[int, int, int, list[bytes]]:
-    """Parse a C444 Y4M stream → (width, height, fps, frames)."""
-    nl = payload.index(b"\n")
-    header = payload[:nl].decode()
-    parts = header.split()
-    if parts[0] != "YUV4MPEG2":
-        raise ValueError("not a YUV4MPEG2 payload")
-    width = height = fps = None
-    for p in parts[1:]:
-        if p.startswith("W"):
-            width = int(p[1:])
-        elif p.startswith("H"):
-            height = int(p[1:])
-        elif p.startswith("F"):
-            fps = int(p[1:].split(":")[0])
-        elif p.startswith("C") and p != "C444":
-            raise ValueError(f"unsupported Y4M colorspace: {p}")
+    """Parse a C444 Y4M stream → (width, height, fps, frames).
+
+    Decode error contract (fuzz-tested): malformed input — missing
+    header fields, bad frame markers, TRUNCATED final frame (a bytes
+    slice past the end is silently short in Python), corrupt
+    dimensions, non-integer fields — raises ValueError."""
+    try:
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode()
+        parts = header.split()
+        if not parts or parts[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 payload")
+        width = height = fps = None
+        for p in parts[1:]:
+            if p.startswith("W"):
+                width = int(p[1:])
+            elif p.startswith("H"):
+                height = int(p[1:])
+            elif p.startswith("F"):
+                fps = int(p[1:].split(":")[0])
+            elif p.startswith("C") and p != "C444":
+                raise ValueError(f"unsupported Y4M colorspace: {p}")
+    except (UnicodeDecodeError, IndexError) as exc:
+        raise ValueError(f"malformed Y4M header: {exc}") from exc
+    except ValueError as exc:
+        # covers bytes.index misses and int() parse failures alike
+        if "YUV4MPEG2" in str(exc) or "colorspace" in str(exc):
+            raise
+        raise ValueError(f"malformed Y4M header: {exc}") from exc
+    if width is None or height is None or fps is None:
+        raise ValueError("Y4M header missing W/H/F fields")
+    if width <= 0 or height <= 0 or fps <= 0:
+        raise ValueError(f"corrupt Y4M geometry: w={width} h={height} f={fps}")
     frame_bytes = 3 * width * height
     frames = []
     pos = nl + 1
     while pos < len(payload):
-        fnl = payload.index(b"\n", pos)
-        if payload[pos:fnl].split()[0] != b"FRAME":
+        try:
+            fnl = payload.index(b"\n", pos)
+        except ValueError as exc:
+            raise ValueError("truncated Y4M frame marker") from exc
+        marker = payload[pos:fnl].split()
+        if not marker or marker[0] != b"FRAME":
             raise ValueError("malformed Y4M frame marker")
-        frames.append(payload[fnl + 1 : fnl + 1 + frame_bytes])
+        frame = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(frame) != frame_bytes:
+            raise ValueError(
+                f"truncated Y4M frame: need {frame_bytes} bytes, "
+                f"have {len(frame)}"
+            )
+        frames.append(frame)
         pos = fnl + 1 + frame_bytes
     return width, height, fps, frames
 

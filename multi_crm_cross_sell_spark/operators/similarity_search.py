@@ -32,19 +32,21 @@ def _unit(seed: str) -> float:
     return round((h % 2_000_000) / 1_000_000.0 - 1.0, 6)
 
 
-# Lazily extended cache: plane k is fully determined by its seed, so
-# any K-plane prefix is identical no matter how many planes a caller
-# asks for — pairs(K+1) ⊆ pairs(K) by construction.
-HYPERPLANES: list[list[float]] = [
-    [_unit(f"plane{k}:dim{d}") for d in range(DIM)] for k in range(N_PLANES)
-]
+# Lazily extended cache: plane (table, k) is fully determined by its
+# seed, so any K-plane prefix is identical no matter how many planes a
+# caller asks for — pairs(K+1) ⊆ pairs(K) by construction. Table 0
+# keeps the original seed format (oracle-pinned queries reference it);
+# tables t >= 1 are independent draws for OR-amplification.
+HYPERPLANES: dict[tuple[int, int], list[float]] = {
+    (0, k): [_unit(f"plane{k}:dim{d}") for d in range(DIM)] for k in range(N_PLANES)
+}
 
 
-def _plane(k: int) -> list[float]:
-    while len(HYPERPLANES) <= k:
-        kk = len(HYPERPLANES)
-        HYPERPLANES.append([_unit(f"plane{kk}:dim{d}") for d in range(DIM)])
-    return HYPERPLANES[k]
+def _plane(k: int, table: int = 0) -> list[float]:
+    if (table, k) not in HYPERPLANES:
+        seed = f"plane{k}" if table == 0 else f"t{table}:plane{k}"
+        HYPERPLANES[(table, k)] = [_unit(f"{seed}:dim{d}") for d in range(DIM)]
+    return HYPERPLANES[(table, k)]
 
 
 def adaptive_n_planes(n_rows: int, target_bucket: int = 8) -> int:
@@ -73,17 +75,20 @@ def dec_dot(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
-def _plane_lit(k: int) -> Column:
-    return F.array(*[F.lit(v) for v in _plane(k)])
+def _plane_lit(k: int, table: int = 0) -> Column:
+    return F.array(*[F.lit(v) for v in _plane(k, table)])
 
 
-def bucket_id(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """K-bit LSH bucket: bit k set iff dot(vec, plane_k) >= 0."""
+def bucket_id(vec: Column, n_planes: int = N_PLANES, table: int = 0) -> Column:
+    """K-bit LSH bucket: bit k set iff dot(vec, plane_k) >= 0.
+    ``table`` selects an independent hyperplane set (OR-amplification:
+    L tables recover the recall that a larger adaptive K gives away —
+    a pair is a candidate if it matches in ANY table)."""
     out = F.lit(0)
     for k in range(n_planes):
-        out = out + F.when(dec_dot(vec, _plane_lit(k)) >= 0, F.lit(1 << k)).otherwise(
-            F.lit(0)
-        )
+        out = out + F.when(
+            dec_dot(vec, _plane_lit(k, table)) >= 0, F.lit(1 << k)
+        ).otherwise(F.lit(0))
     return out
 
 
@@ -93,8 +98,18 @@ def ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Per-query top-k by exact cosine among same-bucket candidates."""
+    """Per-query top-k by exact cosine among same-bucket candidates.
+
+    ``n_planes=None`` sizes K = log2(n/8) from the corpus (constant
+    expected occupancy — the 100 TB path). ``n_tables=L`` > 1 is the
+    matching RECALL lever (OR-amplification): L independent hyperplane
+    sets, a candidate only needs to share a bucket in ANY table. Cost
+    is L× the bucket computation and candidate volume; recall curves
+    are measured in SCALE.md §ANN recall. The L=1 default keeps the
+    oracle-pinned single-table plan."""
     from pyspark.sql import Window
 
     # Norms are per-ROW quantities: compute them before the join so the
@@ -103,33 +118,89 @@ def ann_topk(
     # small parquet would otherwise run on one core (explicit count, so
     # AQE's byte-based coalescer can't undo it).
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    if n_planes is None:
+        n_planes = adaptive_n_planes(embeddings.count())
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("bucket", bucket_id(F.col("v")))
         .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
     )
-    q = base.where(query_pred).select(
+    if n_tables == 1:
+        bb = base.withColumn("bucket", bucket_id(F.col("v"), n_planes))
+        q = bb.where(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+            F.col("norm").alias("qnorm"),
+        )
+        cand = F.broadcast(q).join(
+            bb,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        cosine = F.round(
+            dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
+            9,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            cand.select("query_id", "vec_id", cosine.alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+        )
+    # Multi-table: one (vec_id, t, bucket) frame per table, UNIONed —
+    # not a posexplode of an array of bucket expressions, because
+    # Generate re-evaluates its child per output element (L× the L·K
+    # dot products). Each union branch reads the same repartition
+    # exchange; candidate ids are deduped BEFORE any cosine math, so
+    # the exact-verify cost is per unique candidate, not per (table,
+    # candidate).
+    buck = None
+    for t in range(n_tables):
+        part = base.select(
+            "vec_id",
+            F.lit(t).alias("t"),
+            bucket_id(F.col("v"), n_planes, t).alias("bucket"),
+        )
+        buck = part if buck is None else buck.unionByName(part)
+    qb = buck.join(
+        F.broadcast(base.where(query_pred).select("vec_id")),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand_ids = (
+        F.broadcast(qb)
+        .join(
+            buck,
+            (F.col("qt") == F.col("t"))
+            & (F.col("qbucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qv = base.where(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
         F.col("norm").alias("qnorm"),
     )
-    cand = F.broadcast(q).join(
-        base,
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    cosine = F.round(
-        dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
-        9,
+    scored = (
+        cand_ids.join(F.broadcast(qv), "query_id")
+        .join(base, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 9
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.select("query_id", "vec_id", cosine.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def embedding_near_dup_pairs(
@@ -138,6 +209,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
     (vectors on the same side of all K hyperplanes), then exact cosine
@@ -150,7 +222,10 @@ def embedding_near_dup_pairs(
     ONLY if bucket occupancy is held constant: pass ``n_planes=None``
     to size K = log2(n/8) from a count of the input (the 100 TB path;
     measured restoring linearity at the 10x scale point, SCALE.md).
-    The default pins K=8 for the oracle-checked query."""
+    ``n_tables=L`` > 1 adds OR-amplification (independent hyperplane
+    sets; candidate = same bucket in ANY table) — the recall lever
+    that pairs with the adaptive K, measured in SCALE.md §ANN recall.
+    The defaults pin K=8, L=1 for the oracle-checked query."""
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
@@ -158,16 +233,36 @@ def embedding_near_dup_pairs(
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("bucket", bucket_id(F.col("v"), n_planes))
         .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
     )
-    ids = base.select("vec_id", "bucket")
+    if n_tables == 1:
+        ids = base.select(
+            "vec_id", F.lit(0).alias("t"), bucket_id(F.col("v"), n_planes).alias("bucket")
+        )
+    else:
+        # UNION of per-table bucket frames (not posexplode: Generate
+        # re-evaluates its child per output element — L× the dot
+        # products); every branch reads the same repartition exchange.
+        ids = None
+        for t in range(n_tables):
+            part = base.select(
+                "vec_id",
+                F.lit(t).alias("t"),
+                bucket_id(F.col("v"), n_planes, t).alias("bucket"),
+            )
+            ids = part if ids is None else ids.unionByName(part)
     a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+    )
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id1", "id2"])
     s1 = base.select(
         F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
     )
@@ -193,6 +288,7 @@ def ivf_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "first",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     centroid cell; a query searches its ``nprobe`` nearest cells.
@@ -200,13 +296,19 @@ def ivf_topk(
     misses (a vector just across the Voronoi edge), at a linear cost
     multiplier on the candidate set — the standard IVF recall knob.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
-    and oracle-reproducible where a KMeans fit would not be. (A
-    production index would train centroids; the INDEX STRUCTURE —
-    cell assignment via small-side broadcast join + argmin window,
-    then an equi-join on cell id — is identical, and that is the part
-    that must scale: the per-pair search space shrinks from O(N) to
-    O(nprobe·N/n_centroids) and the cell join shuffles on an int key.)"""
+    ``centroids``:
+    - ``"first"`` (default): the ``n_centroids`` lowest-id vectors —
+      deterministic and oracle-reproducible where a KMeans fit would
+      not be; pinned by the registered query.
+    - ``"kmeans"``: train the codebook with MLlib KMeans (fixed seed,
+      Euclidean objective) — the production path promised in SCALE.md.
+      The INDEX STRUCTURE is identical either way (cell assignment via
+      small-side broadcast join + argmin window, then an equi-join on
+      cell id), and that is the part that must scale: the per-pair
+      search space shrinks from O(N) to O(nprobe·N/n_centroids) and
+      the cell join shuffles on an int key. Trained centroids tile the
+      data instead of echoing the first rows — measured recall@10 at
+      fixed nprobe in SCALE.md §ANN recall, pinned by a unit test."""
     from pyspark.sql import Window
 
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
@@ -216,11 +318,26 @@ def ivf_topk(
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
         .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
     )
-    cents = base.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = base.select(array_to_vector(F.col("v")).alias("features"))
+        km = KMeans(k=n_centroids, seed=1337, maxIter=20).fit(feat)
+        spark = embeddings.sparkSession
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+        ]
+        cents = (
+            spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
+            .withColumn("cnorm", F.sqrt(dec_dot(F.col("cv"), F.col("cv"))))
+        )
+    else:
+        cents = base.orderBy("vec_id").limit(n_centroids).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
     # centroid ranking per vector: argmax cosine (ties -> lowest id)
     sim = F.round(
         dec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9
@@ -260,8 +377,8 @@ def ivf_topk(
 
 # --- SQL oracle fragments -------------------------------------------------
 
-def sql_plane_literal(k: int) -> str:
-    return "[" + ", ".join(f"{v!r}" for v in _plane(k)) + "]"
+def sql_plane_literal(k: int, table: int = 0) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in _plane(k, table)) + "]"
 
 
 def sql_dec_dot(a: str, b: str) -> str:

@@ -23,15 +23,21 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # previously driver-green variants (each still §2-covered by an
 # in-window sibling, and all re-verified locally this round).
 _TAIL = (
-    "customers_without_urgent_orders",  # J7 anti; semi variant rotated in
-    "event_tumbling_windows",  # ST5; sliding + sessionization in-window
-    "approx_distinct_stats",  # rows-only sketch; exact quantiles rotated in
-    "weekly_order_rollup",  # A2 variant; daily_order_stats stays
-    "customer_order_deltas",  # lag/frames variant; other W-family stays
-    "token_jaccard_pairs",  # F6/SO2-3; jaccard also in er_match_cascade
-    "domain_extraction",  # F3; exercised inside ER pair features
-    "ab_bucket_allocation",  # F21; md5-bucket also in fixtures paths
-    "deterministic_pred_id",  # F20 sha2 id; green r01-r03, rotating out
+    # Round-5 rotation: the nine entries parked in round 4 rejoin the
+    # window (each now needs its round-5 driver row per the contract);
+    # these ten — every one driver-green in round 4 (CORRECTNESS_r04)
+    # and locally re-verified this round — park in their place. Each
+    # parked entry's §2 coverage stays in-window via the named sibling.
+    "customers_with_urgent_orders",  # J7 semi; anti variant rotated in
+    "event_sliding_windows",  # ST5; tumbling rotated in + sessionization stays
+    "nation_balance_quantiles",  # exact quantiles; approx sketch rotated in
+    "daily_order_stats",  # A2; weekly_order_rollup rotated in
+    "simhash_fingerprints",  # fingerprints; banded simhash in ngram_jaccard_dedup
+    "grouped_rank_applyinpandas",  # applyInPandas demo of W2; topk_per_group stays
+    "cosine_topk_bruteforce",  # exactness yardstick; ann_lsh/ivf/multitable stay
+    "sales_rollup_cube",  # grouping sets; order_priority_pivot (A5) stays
+    "minhash_near_dup",  # pair generation re-exercised inside near_dup_clusters
+    "filter_projection",  # S1-S3/P1/P3; pushdown is plan-asserted in tests
 )
 
 

@@ -23,6 +23,13 @@ from ..operators.dedup import (
     GRAM_K,
     N_HASHES,
     P,
+    SIMHASH_A,
+    SIMHASH_B,
+    SIMHASH_BANDS,
+    SIMHASH_MAXBITS,
+    SIMHASH_MINBITS,
+    SIMHASH_W_MARGIN,
+    banded_simhash_bands,
     base_hash,
     exact_duplicates,
     gram_hashes_from_words,
@@ -499,17 +506,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, F.col("vec_id") % 100 == 0, k=5)
 
 
+_MT_PLANES = 10
+_MT_TABLES = 2
+
+
+def _ann_multitable_oracle() -> str:
+    def bucket_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k, t)})')} >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(_MT_PLANES)
+        )
+
+    tables = ",\n".join(
+        f"b{t} AS (SELECT vec_id, v, ({bucket_terms(t)}) AS bucket FROM base)"
+        for t in range(_MT_TABLES)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, b.vec_id AS vec_id\n"
+        f"  FROM b{t} q JOIN b{t} b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id\n"
+        f"  WHERE q.vec_id % 100 = 0"
+        for t in range(_MT_TABLES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{tables},
+cand AS (
+{cand_union}
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND({sql_dec_dot('qv.v', 'bv.v')}
+               / (SQRT({sql_dec_dot('qv.v', 'qv.v')}) * SQRT({sql_dec_dot('bv.v', 'bv.v')})), 9) AS cosine
+  FROM cand c
+  JOIN base qv ON qv.vec_id = c.query_id
+  JOIN base bv ON bv.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register(
+    "ann_lsh_multitable",
+    oracle=_ann_multitable_oracle(),
+    tags=("similarity", "ann", "lsh", "or-amplification", "beyond-reference"),
+)
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH ANN: L=2 independent 10-bit hyperplane tables;
+    a candidate only needs to share a bucket in ANY table. This is the
+    100 TB recall lever named in SCALE.md — adaptive K keeps bucket
+    occupancy (and thus cost) constant as the corpus grows, and L
+    tables buy back the recall the tighter buckets give away
+    (measured recall curves: SCALE.md §ANN recall). Deterministic
+    seeded hyperplanes keep the whole thing oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(
+        e, F.col("vec_id") % 100 == 0, k=5, n_planes=_MT_PLANES, n_tables=_MT_TABLES
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (simhash-blocked), embedding near-dup, rolling-
 # hash / winnowing fingerprints, token counting, mapInPandas summarizer.
 # ---------------------------------------------------------------------------
 
-_SQL_SIMHASH = "(" + " + ".join(
-    f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(16)
-) + ")"
-
-_NGRAM_JACCARD_ORACLE = f"""
+def _sql_banded_ngram_oracle() -> str:
+    """DuckDB mirror of the banded-simhash blocking: same affine perms,
+    same integer majority votes, same integer-exact adaptive width."""
+    perms = ",\n         ".join(
+        f"LIST_TRANSFORM(bg, g -> (g * {SIMHASH_A[j]} + {SIMHASH_B[j]}) % {P}) AS p{j}"
+        for j in range(SIMHASH_BANDS)
+    )
+    keys = []
+    for j in range(SIMHASH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN 2 * LIST_SUM(LIST_TRANSFORM(p{j}, v -> (v >> {i}) & 1)) > nb"
+            f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(SIMHASH_MAXBITS)
+        )
+        keys.append(f"({bits}) AS k{j}")
+    key_exprs = ",\n       ".join(keys)
+    unions = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, k{j} & ((CAST(1 AS BIGINT) << w) - 1) AS key, nb FROM s, ws"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""
 WITH t0 AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
 ),
@@ -519,24 +605,50 @@ wh AS (
 ),
 h AS (
   SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> (w[i] * {GRAM_K} + w[i+1]) % {P})) AS bg,
-         LIST_DISTINCT(w) AS hs
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> (w[i] * {GRAM_K} + w[i+1]) % {P})) AS bg
   FROM wh
 ),
-s AS (SELECT doc_id, bg, {_SQL_SIMHASH} AS sh FROM h),
+ws AS (
+  SELECT LEAST({SIMHASH_MAXBITS},
+               GREATEST({SIMHASH_MINBITS},
+                        LENGTH(BIN(COUNT(*) - 1)) + {SIMHASH_W_MARGIN})) AS w
+  FROM h
+),
+p AS (
+  SELECT doc_id, LEN(bg) AS nb,
+         {perms}
+  FROM h
+),
+s AS (
+  SELECT doc_id, nb,
+       {key_exprs}
+  FROM p
+),
+bands AS (
+  {unions}
+),
 cand AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.bg AS bg1, b.bg AS bg2
-  FROM s a JOIN s b
-    ON a.sh = b.sh AND a.doc_id < b.doc_id
-   AND LEAST(LEN(a.bg), LEN(b.bg)) >= 0.5 * GREATEST(LEN(a.bg), LEN(b.bg))
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+   AND LEAST(a.nb, b.nb) >= 0.5 * GREATEST(a.nb, b.nb)
+),
+v AS (
+  SELECT cand.doc1, cand.doc2, ha.bg AS bg1, hb.bg AS bg2
+  FROM cand
+  JOIN h ha ON ha.doc_id = cand.doc1
+  JOIN h hb ON hb.doc_id = cand.doc2
 )
 SELECT doc1, doc2,
        ROUND(CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
              / (LEN(bg1) + LEN(bg2) - LEN(LIST_INTERSECT(bg1, bg2))), 9) AS jaccard
-FROM cand
+FROM v
 WHERE CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
       / (LEN(bg1) + LEN(bg2) - LEN(LIST_INTERSECT(bg1, bg2))) >= 0.5
 """
+
+
+_NGRAM_JACCARD_ORACLE = _sql_banded_ngram_oracle()
 
 
 @register(
@@ -545,86 +657,102 @@ WHERE CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
     tags=("dedup", "ngram", "simhash", "beyond-reference"),
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup detection with SimHash blocking: docs
-    whose 16-bit simhash collides are compared on exact bigram-set
-    Jaccard. A third dedup family next to MinHash-LSH (probabilistic
-    banding) and exact hashing: simhash blocks are cheap to compute
-    (one projection) and the candidate join is a narrow equi-join on a
-    16-bit int — the verify joins ship bigram arrays only for docs
-    that actually collide."""
+    """N-gram Jaccard near-dup detection with BANDED SimHash blocking:
+    docs colliding on any of B independent simhash sketches (computed
+    over the bigram feature space, masked to an occupancy-adaptive
+    width) are compared on exact bigram-set Jaccard. A third dedup
+    family next to MinHash-LSH (probabilistic banding) and exact
+    hashing. The round-4 single fixed 16-bit fingerprint had BOTH a
+    2^16 bucket-space scale ceiling (candidates ∝ n²/2^16) and, worse,
+    0.26 measured recall against exact ground truth — shared
+    vocabulary locks most unbanded bits. B=8 OR-amplified bands over
+    the verify features measure 0.94 recall at 1/130th the candidate
+    count (SCALE.md §Banded recall)."""
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
-    # One md5 per word position, bound in its own projection; bigram
-    # hashes are Horner combines of adjacent word hashes (the bigram
-    # strings never exist) and the simhash votes run over the distinct
-    # word hashes — both consumers reference bound columns, never an
-    # inline transform (no HOF CSE). The word-count filter sits on the
-    # scan side so pushdown can't inline the hash pipeline into it.
-    hashed = (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
-        .repartition(n_parts, F.col("doc_id"))
-        .select("doc_id", word_hashes(F.col("text")).alias("wh"))
+    # EXPLODE-FIRST gram pipeline: posexplode the words, ONE md5 per
+    # (doc, position) row, bigram = Horner combine of the next word's
+    # hash via lead() — no arrays, no higher-order functions, so the
+    # whole pipeline is whole-stage codegen (the array-HOF formulation
+    # re-evaluated its md5 pipeline per exploded element through
+    # Generate, measured 65s vs 0.15s at sf0.1). The bigram STRINGS
+    # never exist. One repartition spreads the single-file scan; the
+    # lead() window, the gram dedup and the vote aggregate all reuse
+    # that doc_id hash-partitioning — no further shuffle until the
+    # band self-join.
+    scoped = docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        scoped.repartition(n_parts, F.col("doc_id"))
         .select(
-            "doc_id",
-            gram_hashes_from_words(F.col("wh"), 2).alias("bg"),
-            F.array_distinct(F.col("wh")).alias("hd"),
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
         )
+        .select("doc_id", "pos", base_hash(F.col("word")).alias("h"))
+        .withColumn("h2", F.lead("h").over(wnd))
+        .where(F.col("h2").isNotNull())
+        .select(
+            "doc_id", ((F.col("h") * F.lit(GRAM_K) + F.col("h2")) % F.lit(P)).alias("g")
+        )
+        .dropDuplicates(["doc_id", "g"])
+        # One exchange ABOVE the computed gram rows: all three
+        # consumers (banding, both verify sides) read the same
+        # materialized shuffle (ReusedExchange) instead of re-running
+        # the md5+window pipeline per consumer — measured 9.7 → 6.9s.
+        # Safe against projection re-hoisting because the input is an
+        # aggregate, which Catalyst cannot move above an exchange.
+        .repartition(n_parts, F.col("doc_id"))
     )
-    base = hashed.select(
-        "doc_id", "bg", simhash16_from_hashes(F.col("hd")).alias("sh")
-    )
+    # Corpus count for the adaptive band width, from the PRUNED scan
+    # (no hashing in this subplan — see banded_simhash_bands).
+    n_docs = scoped.agg(F.count("*").alias("n_docs"))
+    # (doc_id, nb, band, key) rows — banding adds no shuffle.
+    bands = banded_simhash_bands(grams, n_docs)
     # Length filter in the candidate join is LOSSLESS for threshold t:
     # jaccard <= min(|bg1|,|bg2|)/max(|bg1|,|bg2|), so pairs failing
     # min >= t*max can never verify (PPJoin-style size filter). Cuts
-    # the verify fan-in on corpora where simhash blocks run large.
-    # coalesce makes the join keys NON-NULLABLE (they never are null in
-    # practice): otherwise constraint inference adds isnotnull(sh)
-    # filters that get pushed to the scan with the ENTIRE simhash+gram
-    # expression inlined into them — measured 8× on this query.
-    ids = base.select(
-        "doc_id",
-        F.coalesce(F.col("sh"), F.lit(0)).alias("sh"),
-        F.coalesce(F.size("bg"), F.lit(0)).alias("nb"),
-    )
-    a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.least(F.col("a.nb"), F.col("b.nb"))
-            >= 0.5 * F.greatest(F.col("a.nb"), F.col("b.nb"))
-        ),
-    ).select(
-        F.col("a.doc_id").alias("doc1"),
-        F.col("b.doc_id").alias("doc2"),
-        F.col("a.nb").alias("nb1"),
-        F.col("b.nb").alias("nb2"),
-    )
-    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("bg").alias("bg1"))
-    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("bg").alias("bg2"))
-    # repartition the NARROW candidate id-pairs (not the joined rows:
-    # that would shuffle the bigram arrays) so the O(|bg|) set math
-    # after the broadcast-verify joins runs on all cores instead of
-    # one AQE-coalesced partition. One array pass per pair: the arrays
-    # are distinct, so |A∪B| = |A|+|B|−|A∩B| with sizes carried as
-    # ints from the candidate join — array_union would re-walk both
-    # arrays to derive what arithmetic already knows.
-    inter_bound = (
-        cand.repartition(n_parts)
-        .join(s1, "doc1")
-        .join(s2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            "nb1",
-            "nb2",
-            F.size(F.array_intersect("bg1", "bg2")).alias("ni"),
+    # the verify fan-in before any array moves. shuffle_hash: both
+    # sides are the identical banding subplan, so the exchange is
+    # computed once and reused (a broadcast would recompute it).
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.nb"), F.col("b.nb"))
+                >= 0.5 * F.greatest(F.col("a.nb"), F.col("b.nb"))
+            ),
         )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.nb").alias("nb1"),
+            F.col("b.nb").alias("nb2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    # RELATIONAL verify — the intersection size is a join-and-count
+    # over the gram ROWS, not an array_intersect: candidates join
+    # their doc1 grams (equi-join on doc1, gram rows already
+    # partitioned), then an equi-join on (doc2, g) keeps exactly the
+    # shared grams, and one count per pair yields |A∩B|. Set sizes
+    # ride along from the vote aggregate, so |A∪B| = nb1+nb2−ni is
+    # arithmetic. Pairs sharing zero grams vanish at the inner join —
+    # lossless for any threshold > 0. Everything stays codegen'd
+    # narrow rows; nothing ever shuffles a gram ARRAY.
+    g1 = grams.select(F.col("doc_id").alias("doc1"), "g")
+    g2 = grams.select(F.col("doc_id").alias("doc2"), "g")
+    inter = (
+        cand.join(g1, "doc1")
+        .join(g2, ["doc2", "g"])
+        .groupBy("doc1", "doc2", "nb1", "nb2")
+        .agg(F.count("*").alias("ni"))
     )
     jac = F.col("ni") / (F.col("nb1") + F.col("nb2") - F.col("ni")).cast("double")
     return (
-        inter_bound.select("doc1", "doc2", jac.alias("jac_raw"))
+        inter.select("doc1", "doc2", jac.alias("jac_raw"))
         .where(F.col("jac_raw") >= 0.5)
         .select("doc1", "doc2", F.round("jac_raw", 9).alias("jaccard"))
     )

@@ -268,7 +268,20 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stateful_running_totals",
-    oracle=None,  # arbitrary-state streaming: genuinely non-SQL-expressible
+    # The PROCESS is arbitrary-state streaming, but the FINAL state is
+    # exactly the batch aggregate — the invariant the docstring always
+    # asserted, now enforced as a hard oracle: after the last
+    # micro-batch, per-user (count, sum) must equal GROUP BY user_id
+    # over the whole table. Values are exact cents, so float
+    # accumulation error (~1e-13) vanishes under ROUND(·, 6) in both
+    # engines.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "applyInPandasWithState", "ST3"),
 )
 def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,8 +290,9 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (streaming/stateful.py). Runs the REAL streaming
     query with Trigger.AvailableNow over the events table (two
     micro-batches via maxFilesPerTrigger) and returns the final state
-    per user — which must equal the batch groupBy, which is how the
-    rows-only check stays meaningful."""
+    per user — which must equal the batch groupBy over the same table,
+    encoded as the DuckDB oracle (the state-store path and the batch
+    path must agree bit-for-bit after cent-safe rounding)."""
     import tempfile
 
     from ..streaming.stateful import running_totals

@@ -85,7 +85,14 @@ def ml_training_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer = EnsembleScorer(nn_iters=15, rf_trees=20, gb_iters=10)
     model = scorer.fit(train)
     scored = model.transform(test)
-    train_n, test_n = train.count(), test.count()
+    # both split sizes from ONE aggregation pass over the parent frame
+    # (two .count() actions would scan twice for two scalars)
+    split_row = feats.agg(
+        F.count("*").alias("n_all"),
+        F.sum((F.col("id") % 5 == 0).cast("bigint")).alias("n_test"),
+    ).collect()[0]
+    test_n = int(split_row["n_test"])
+    train_n = int(split_row["n_all"]) - test_n
     member_cols = [f"score_{m}" for m in model.members] + ["score"]
     agg = scored.agg(
         *[F.round(F.avg(c), 6).alias(c) for c in member_cols]

@@ -36,6 +36,13 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Whole-stage codegen bails out above 100 fields by default; the
+    # banded-simhash vote aggregate carries 8 bands × 30 bit counters
+    # (241 columns) and falls back to the interpreted row path without
+    # this — measured 80s → ~2s at sf0.1 on that stage alone. Codegen
+    # splits wide update functions into sub-methods, so larger field
+    # counts compile fine; 512 bounds it far above any plan we build.
+    conf.set("spark.sql.codegen.maxFields", "512")
     # The events table is written with parquet TIMESTAMP(NANOS) which the
     # Spark vectorized reader cannot decode natively; read as long nanos
     # and convert (sources/bronze.py floors to micros, matching DuckDB).

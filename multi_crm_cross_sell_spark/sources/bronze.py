@@ -55,13 +55,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
+        if ts_type == "long":
             df = df.withColumn(
                 "ts",
                 F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
             )
         elif ts_type == "timestamp":
             df = df.withColumn("ts", F.to_timestamp_ntz(F.col("ts")))
+        elif ts_type != "timestamp_ntz":
+            # Fail at the read site: an unanticipated shipped type
+            # (string, int32, double, ...) would otherwise surface as a
+            # far-away date-derivation or oracle mismatch.
+            raise TypeError(
+                f"events.ts shipped as unsupported type {ts_type!r}; "
+                "expected TIMESTAMP(NANOS) [long via nanosAsLong], "
+                "TIMESTAMP(MICROS) [timestamp] or timestamp_ntz"
+            )
         return df
     return spark.read.parquet(path)
 

@@ -224,3 +224,215 @@ class TestAdaptivePlanes:
         # monotone non-decreasing in n
         counts = [adaptive_n_planes(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
         assert counts == sorted(counts)
+
+
+class TestBandedSimhash:
+    """Banded simhash blocking (operators/dedup.banded_simhash_bands):
+    the 100 TB replacement for a single fixed-width fingerprint."""
+
+    def _bands(self, spark, rows):
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            banded_simhash_bands,
+        )
+
+        grams = spark.createDataFrame(rows, "doc_id bigint, g bigint")
+        n_docs = grams.select(F.count_distinct("doc_id").alias("n_docs"))
+        return banded_simhash_bands(grams, n_docs)
+
+    def test_b_rows_per_doc_and_width_mask(self, spark):
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            SIMHASH_BANDS,
+            SIMHASH_MINBITS,
+        )
+
+        rows = [(d, (d * 37 + k * 101) % P) for d in range(6) for k in range(9)]
+        out = self._bands(spark, rows).toPandas()
+        assert len(out) == 6 * SIMHASH_BANDS
+        per_doc = out.groupby("doc_id")["band"].apply(sorted).to_dict()
+        assert all(v == list(range(SIMHASH_BANDS)) for v in per_doc.values())
+        # small corpus -> floor width; every key must fit in w bits
+        assert (out["key"] >= 0).all()
+        assert (out["key"] < (1 << SIMHASH_MINBITS)).all()
+        assert (out["nb"] == 9).all()
+
+    def test_identical_gram_sets_identical_keys(self, spark):
+        shared = [((7 * k + 3) * 10007) % P for k in range(12)]
+        rows = [(0, g) for g in shared] + [(1, g) for g in shared]
+        out = self._bands(spark, rows).toPandas()
+        k0 = out[out.doc_id == 0].sort_values("band")["key"].tolist()
+        k1 = out[out.doc_id == 1].sort_values("band")["key"].tolist()
+        assert k0 == k1
+
+    def test_adaptive_width_integer_exact(self, spark):
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            adaptive_band_bits,
+        )
+
+        df = spark.createDataFrame(
+            [(500,), (5_000,), (50_000,), (1 << 16,), ((1 << 16) + 1,), (1 << 29,)],
+            "n bigint",
+        )
+        got = (
+            df.select(F.col("n"), adaptive_band_bits(F.col("n")).alias("w"))
+            .toPandas()
+            .set_index("n")["w"]
+            .to_dict()
+        )
+        # w = clamp(ceil(log2 n) + 2, 16, 30), bin-length form
+        assert got[500] == 16
+        assert got[5_000] == 16
+        assert got[50_000] == 18
+        assert got[1 << 16] == 18  # exact power of two: ceil(log2)=16
+        assert got[(1 << 16) + 1] == 19
+        assert got[1 << 29] == 30  # capped at the perm bit budget
+
+    def test_recall_against_exact_ground_truth(self, spark):
+        """The blocking must catch >= 90% of the true near-dup pairs on
+        the sf0.001 corpus (exact all-pairs bigram Jaccard as truth).
+        The round-4 single 16-bit fingerprint measured 0.26 here."""
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        sf = "/root/testdata/sf0.001"
+        out = all_queries()["ngram_jaccard_dedup"].fn(spark, sf).toPandas()
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            GRAM_K,
+            base_hash,
+            gram_hashes_from_words,
+            word_hashes,
+        )
+
+        hashed = (
+            docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+            .select("doc_id", word_hashes(F.col("text")).alias("wh"))
+            .select(
+                "doc_id", gram_hashes_from_words(F.col("wh"), 2).alias("bg")
+            )
+            .localCheckpoint()
+        )
+        a = hashed.select(F.col("doc_id").alias("doc1"), F.col("bg").alias("b1"))
+        b = hashed.select(F.col("doc_id").alias("doc2"), F.col("bg").alias("b2"))
+        ni = F.size(F.array_intersect("b1", "b2"))
+        jac = ni / (F.size("b1") + F.size("b2") - ni).cast("double")
+        truth = (
+            a.crossJoin(b)
+            .where(F.col("doc1") < F.col("doc2"))
+            .where(jac >= 0.5)
+            .select("doc1", "doc2")
+            .toPandas()
+        )
+        assert len(truth) > 0
+        found = set(zip(out.doc1, out.doc2))
+        hits = sum((r.doc1, r.doc2) in found for r in truth.itertuples())
+        # every emitted pair must BE a true pair (verify step is exact)
+        assert len(found) == hits
+        assert hits / len(truth) >= 0.9, (hits, len(truth))
+
+
+class TestOrAmplification:
+    """Multi-table LSH (OR-amplification): the recall lever that pairs
+    with the occupancy-adaptive plane count (SCALE.md §ANN recall)."""
+
+    SF01 = "/root/testdata/sf0.01"
+
+    def _truth(self, spark, e, k=10):
+        from pyspark.sql import Window
+
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        base = e.select("vec_id", dbl.alias("v")).withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        q = base.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(base, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (dot / (F.col("qnorm") * F.col("norm"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return {
+            (r.query_id, r.vec_id)
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        }
+
+    def test_near_dup_tables_add_candidates_only(self, spark):
+        """Table 0 is shared, so L=3's candidate set contains L=1's;
+        exact verification makes the OUTPUT therefore a superset too."""
+        e = spark.read.parquet(f"{self.SF01}/embeddings.parquet")
+        p1 = {
+            (r.id1, r.id2)
+            for r in embedding_near_dup_pairs(e, threshold=0.2).collect()
+        }
+        p3 = {
+            (r.id1, r.id2)
+            for r in embedding_near_dup_pairs(
+                e, threshold=0.2, n_tables=3
+            ).collect()
+        }
+        assert p1 <= p3
+
+    def test_topk_recall_monotone_in_tables(self, spark):
+        """More tables -> candidate superset -> recall@k vs exact
+        brute force can only grow (a newcomer that displaces a truth
+        member must itself rank above it in the truth)."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ann_topk,
+        )
+
+        e = spark.read.parquet(f"{self.SF01}/embeddings.parquet")
+        truth = self._truth(spark, e)
+        pred = F.col("vec_id") % 100 == 0
+        hits = []
+        for L in (1, 2, 4):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in ann_topk(e, pred, k=10, n_planes=8, n_tables=L).collect()
+            }
+            hits.append(len(got & truth))
+        assert hits == sorted(hits), hits
+
+    def test_kmeans_codebook_beats_firstrows_centroids(self, spark):
+        """ML-trained IVF codebook (SCALE.md's promised production
+        path): recall@10 at fixed nprobe must be at least the
+        deterministic lowest-id centroids' (both seeds fixed, so this
+        pin is stable)."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf_topk,
+        )
+
+        e = spark.read.parquet(f"{self.SF01}/embeddings.parquet")
+        truth = self._truth(spark, e)
+        pred = F.col("vec_id") % 100 == 0
+        rec = {}
+        for mode in ("first", "kmeans"):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in ivf_topk(
+                    e, pred, k=10, n_centroids=8, nprobe=2, centroids=mode
+                ).collect()
+            }
+            rec[mode] = len(got & truth) / len(truth)
+        assert rec["kmeans"] >= rec["first"], rec

@@ -1,0 +1,174 @@
+"""ANN recall measurement: LSH configurations vs exact brute force.
+
+Quantifies the 100 TB precision/cost trade-off named in SCALE.md: the
+occupancy-adaptive plane count K = log2(n/8) keeps candidate volume
+linear as the corpus grows, and L-table OR-amplification is the recall
+lever that buys back what tighter buckets give away. This tool turns
+those design claims into measured recall@k curves — the same
+discipline the reference applies to its ER threshold sweep
+(/root/reference/scripts/evaluate_entity_resolution.py:78-118).
+
+Ground truth is exact brute-force cosine top-k over the same query
+set (plain-double dot products: ranking ground truth, not oracle
+parity). Recall@k = |LSH top-k ∩ exact top-k| / |exact top-k|,
+averaged over queries.
+
+Usage:
+    python tools/recall_bench.py            # sf0.1 + the 10x corpus
+    python tools/recall_bench.py sf0.1      # one scale
+Prints one JSON line per (scale, config).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+K_EVAL = 10
+QUERY_MOD = 100
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    (
+        "sf1x10",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale",
+            "sf10x",
+        ),
+    ),
+]
+
+
+def brute_force_topk(e, k: int):
+    """Exact cosine top-k per query, plain-double dots (fast path)."""
+    n_parts = e.sparkSession.sparkContext.defaultParallelism * 2
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = (
+        e.repartition(n_parts, F.col("vec_id"))
+        .select("vec_id", dbl.alias("v"))
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        (dot / (F.col("qnorm") * F.col("norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def main() -> None:
+    wanted = sys.argv[1:]
+    scales = [s for s in SCALES if not wanted or s[0] in wanted]
+
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        N_PLANES,
+        adaptive_n_planes,
+        ann_topk,
+        ivf_topk,
+    )
+    from multi_crm_cross_sell_spark.session import get_spark
+    from multi_crm_cross_sell_spark.sources.bronze import load_table
+
+    spark = get_spark("recall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for label, sf_dir in scales:
+        if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+            print(f"# {label}: missing {sf_dir}, skip", file=sys.stderr)
+            continue
+        e = load_table(spark, sf_dir, "embeddings")
+        n = e.count()
+        k_adapt = adaptive_n_planes(n)
+        t0 = time.time()
+        truth = {
+            (r.query_id, r.vec_id) for r in brute_force_topk(e, K_EVAL).collect()
+        }
+        bf_sec = round(time.time() - t0, 3)
+        n_q = len({q for q, _ in truth})
+        pred = F.col("vec_id") % QUERY_MOD == 0
+
+        def run(name, fn):
+            t0 = time.time()
+            got = {(r.query_id, r.vec_id) for r in fn().collect()}
+            dt = round(time.time() - t0, 3)
+            print(
+                json.dumps(
+                    {
+                        "scale": label,
+                        "n_vectors": n,
+                        "n_queries": n_q,
+                        "config": name,
+                        "recall_at_10": round(len(got & truth) / len(truth), 4),
+                        "ann_sec": dt,
+                        "bruteforce_sec": bf_sec,
+                    }
+                )
+            )
+
+        lsh_configs = [
+            ("lsh_K8_L1_pinned", N_PLANES, 1),
+            (f"lsh_K{k_adapt}_L1_adaptive", None, 1),
+            (f"lsh_K{k_adapt}_L2_adaptive", None, 2),
+            (f"lsh_K{k_adapt}_L4_adaptive", None, 4),
+        ]
+        for name, n_planes, n_tables in lsh_configs:
+            run(
+                name,
+                lambda n_planes=n_planes, n_tables=n_tables: ann_topk(
+                    e, pred, k=K_EVAL, n_planes=n_planes, n_tables=n_tables
+                ),
+            )
+        # IVF: same candidate-count budget family; nprobe is the
+        # recall knob, the trained codebook shifts the whole curve up.
+        n_cent = max(16, int((n / 128) ** 0.5) * 4)
+        for mode in ("first", "kmeans"):
+            for nprobe in (1, 2, 4, 8):
+                run(
+                    f"ivf_{mode}_c{n_cent}_p{nprobe}",
+                    lambda mode=mode, nprobe=nprobe: ivf_topk(
+                        e,
+                        pred,
+                        k=K_EVAL,
+                        n_centroids=n_cent,
+                        nprobe=nprobe,
+                        centroids=mode,
+                    ),
+                )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
