@@ -354,6 +354,20 @@ SIMHASH_A = [2_000_003 + 7_919 * j for j in range(SIMHASH_BANDS)]
 SIMHASH_B = [54_321 + 104_729 * j for j in range(SIMHASH_BANDS)]
 
 
+def adaptive_band_bits_py(n_docs: int) -> int:
+    """Python twin of :func:`adaptive_band_bits` — same integer-exact
+    formula (int.bit_length(n-1) == len(bin(n-1))), for callers that
+    know the corpus size driver-side and want the band pipeline to
+    compute ONLY the w live bits (57% less vote work at the w=16
+    floor, and no count-subplan/crossJoin/mask in the plan)."""
+    if n_docs <= 1:
+        return SIMHASH_MINBITS
+    return min(
+        SIMHASH_MAXBITS,
+        max(SIMHASH_MINBITS, (n_docs - 1).bit_length() + SIMHASH_W_MARGIN),
+    )
+
+
 def adaptive_band_bits(n_col: Column) -> Column:
     """Band width w from the corpus size, INTEGER-exact so Spark and a
     SQL oracle can never disagree at a power-of-two boundary:
@@ -376,7 +390,7 @@ def adaptive_band_bits(n_col: Column) -> Column:
 
 def banded_simhash_bands(
     gram_rows: DataFrame,
-    n_docs: DataFrame,
+    n_docs: DataFrame | int,
     id_col: str = "doc_id",
     gram_col: str = "g",
     n_bands: int = SIMHASH_BANDS,
@@ -398,13 +412,22 @@ def banded_simhash_bands(
     shuffle. Votes are integer majorities (bit set iff 2·ones >
     n_grams: exact, engine-neutral).
 
-    ``n_docs`` is a one-row (n_docs bigint) frame joined in as a
-    broadcast so width adaptation stays inside the lazy plan; pass a
-    CHEAP subplan (e.g. a pruned scan count) — a count over the gram
-    pipeline itself would re-run the expensive hashing just to size
-    the mask. The 241-column aggregate needs
-    spark.sql.codegen.maxFields > 241 (session.tune sets 512) or the
-    whole stage silently drops to the interpreted row path (~40×)."""
+    ``n_docs`` sizes the adaptive band width w. Pass a plain int
+    (corpus size known driver-side — one cheap pruned-scan count) and
+    the pipeline computes ONLY the w live bits per band: at the w=16
+    floor that is 57% less vote work than the 30-bit-and-mask form,
+    and the plan carries no count subplan, crossJoin or mask at all.
+    Pass a one-row (n_docs bigint) DataFrame to keep width adaptation
+    fully inside the lazy plan instead — all 30 bits are computed and
+    masked to a runtime w (pass a CHEAP subplan, e.g. a pruned scan
+    count: a count over the gram pipeline itself would re-run the
+    expensive hashing just to size the mask). Both paths emit
+    identical keys for the same corpus size. The wide aggregate needs
+    spark.sql.codegen.maxFields above its column count (session.tune
+    sets 512) or the whole stage silently drops to the interpreted
+    row path (~40×)."""
+    static_w = adaptive_band_bits_py(n_docs) if isinstance(n_docs, int) else None
+    n_bits = SIMHASH_MAXBITS if static_w is None else static_w
     ex = gram_rows.select(
         id_col,
         *[
@@ -419,18 +442,18 @@ def banded_simhash_bands(
     # accumulator in 21-bit slots (counts up to 2^21−1 ≈ 2M distinct
     # grams per doc — far beyond any real document; a doc above that
     # would need >2M distinct bigrams). Packing cuts the aggregate
-    # from 241 to 81 columns, which roughly third-sizes the generated
-    # hash-agg code (first-run Janino compile ~25s → ~8s) without
-    # touching semantics: the oracle only has to agree with the
-    # UNPACKED per-(band, bit) ones counts.
-    n_slots = (SIMHASH_MAXBITS + 2) // 3
+    # to a third of the columns, which roughly third-sizes the
+    # generated hash-agg code (first-run Janino compile ~25s → ~8s)
+    # without touching semantics: the oracle only has to agree with
+    # the UNPACKED per-(band, bit) ones counts.
+    n_slots = (n_bits + 2) // 3
     counters = [F.count("*").alias("nb")]
     for j in range(n_bands):
         for s in range(n_slots):
             term = None
             for lvl in range(3):
                 i = s + lvl * n_slots
-                if i >= SIMHASH_MAXBITS:
+                if i >= n_bits:
                     break
                 t = F.shiftleft(
                     F.shiftright(F.col(f"p{j}"), i).bitwiseAND(F.lit(1)),
@@ -449,11 +472,20 @@ def banded_simhash_bands(
     keys = []
     for j in range(n_bands):
         k = F.lit(0).cast("bigint")
-        for i in range(SIMHASH_MAXBITS):
+        for i in range(n_bits):
             k = k + F.when(2 * ones(j, i) > F.col("nb"), F.lit(1 << i)).otherwise(
                 F.lit(0)
             )
         keys.append(k.alias(f"k{j}"))
+    if static_w is not None:
+        # keys already exactly w bits wide — no mask, no count branch
+        return votes.select(id_col, "nb", *keys).select(
+            id_col,
+            "nb",
+            F.posexplode(F.array(*[F.col(f"k{j}") for j in range(n_bands)])).alias(
+                "band", "key"
+            ),
+        )
     sk = (
         votes.select(id_col, "nb", *keys)
         .crossJoin(F.broadcast(n_docs))

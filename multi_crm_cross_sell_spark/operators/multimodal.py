@@ -158,7 +158,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             rate = w.getframerate()
             n_frames = w.getnframes()
             frames = w.readframes(n_frames)
-    except (wave.Error, EOFError) as exc:
+    except (wave.Error, EOFError, RuntimeError) as exc:
+        # stdlib chunk.py raises bare RuntimeError when a corrupted
+        # chunk size seeks past the payload (found by byte-flip fuzz)
         raise ValueError(f"malformed WAV: {exc}") from exc
     if len(frames) != 2 * n_frames:
         raise ValueError(

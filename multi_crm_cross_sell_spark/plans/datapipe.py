@@ -702,9 +702,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate, which Catalyst cannot move above an exchange.
         .repartition(n_parts, F.col("doc_id"))
     )
-    # Corpus count for the adaptive band width, from the PRUNED scan
-    # (no hashing in this subplan — see banded_simhash_bands).
-    n_docs = scoped.agg(F.count("*").alias("n_docs"))
+    # Corpus count for the adaptive band width: one cheap driver-side
+    # action over the PRUNED scan (no hashing in this subplan). Known
+    # driver-side, the banding computes ONLY the w live bits — 57%
+    # less vote work at the w=16 floor and no count-subplan/crossJoin/
+    # mask in the plan. The oracle recomputes the same integer-exact w
+    # from the same COUNT(*) in SQL, so both sides always agree.
+    n_docs = scoped.count()
     # (doc_id, nb, band, key) rows — banding adds no shuffle.
     bands = banded_simhash_bands(grams, n_docs)
     # Length filter in the candidate join is LOSSLESS for threshold t:

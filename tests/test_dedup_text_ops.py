@@ -436,3 +436,23 @@ class TestOrAmplification:
             }
             rec[mode] = len(got & truth) / len(truth)
         assert rec["kmeans"] >= rec["first"], rec
+
+    def test_static_and_lazy_width_paths_agree(self, spark):
+        """banded_simhash_bands(n_docs=<int>) computes only w bits;
+        banded_simhash_bands(n_docs=<1-row frame>) computes 30 and
+        masks at runtime — both must emit identical band keys."""
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            banded_simhash_bands,
+        )
+
+        rows = [(d, ((d * 131 + k * 977) * 10007) % P) for d in range(40) for k in range(d % 7 + 3)]
+        grams = spark.createDataFrame(rows, "doc_id bigint, g bigint")
+        n = grams.select("doc_id").distinct().count()
+        lazy = banded_simhash_bands(
+            grams, grams.select(F.count_distinct("doc_id").alias("n_docs"))
+        )
+        static = banded_simhash_bands(grams, n)
+        key = lambda df: sorted(
+            (r.doc_id, r.band, r.key, r.nb) for r in df.collect()
+        )
+        assert key(static) == key(lazy)
