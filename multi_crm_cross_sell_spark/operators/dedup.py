@@ -255,6 +255,7 @@ def dedup_clusters(
     id2_col: str = "doc2",
     max_iters: int = 20,
     strict: bool = True,
+    method: str = "propagate",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → dedup clusters.
 
@@ -273,6 +274,18 @@ def dedup_clusters(
     convergence check is a count action per iteration; that is the
     idiomatic Spark shape for iterative graph algorithms (GraphX /
     GraphFrames do the same under the hood).
+
+    ``method="jump"`` adds POINTER DOUBLING (path compression) after
+    each propagation step: every node additionally adopts its label's
+    label (one extra equi-join on the narrow label table per
+    iteration), so label paths halve each round and convergence drops
+    from O(diameter) to O(log diameter) rounds. Same fixpoint, same
+    output — equivalence is unit-tested on deep chains. Use it when
+    components may be DEEP (long duplicate chains, transitive
+    citation/URL graphs at 100 TB) where diameter-many barriers would
+    dominate; plain propagation stays the default because shallow
+    near-dup clusters converge in a handful of rounds anyway and skip
+    the extra join.
 
     Convergence is VERIFIED, not assumed: if labels are still changing
     when the iteration cap is hit, the returned clusters would be
@@ -294,6 +307,8 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    if method not in ("propagate", "jump"):
+        raise ValueError(f"unknown dedup_clusters method: {method!r}")
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
@@ -302,8 +317,26 @@ def dedup_clusters(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if method == "jump":
+            # pointer doubling: node -> label(label(node)). The label
+            # table is its own lookup side — one narrow self-join;
+            # labels are min-ids so label(label) <= label always, and
+            # the left join covers labels whose node never appears as
+            # a key (component minima map to themselves).
+            lk = new_labels.select(
+                F.col("node").alias("lk_node"), F.col("label").alias("lk_label")
+            )
+            new_labels = (
+                new_labels.join(
+                    lk, new_labels["label"] == lk["lk_node"], "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("lk_label"), F.col("label")).alias("label"),
+                )
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

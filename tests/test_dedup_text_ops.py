@@ -456,3 +456,46 @@ class TestOrAmplification:
             (r.doc_id, r.band, r.key, r.nb) for r in df.collect()
         )
         assert key(static) == key(lazy)
+
+
+class TestPointerDoubling:
+    """dedup_clusters(method="jump"): pointer doubling must reach the
+    same fixpoint as plain propagation, in O(log d) rounds."""
+
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "doc1 bigint, doc2 bigint")
+
+    def test_same_clusters_on_mixed_graph(self, spark):
+        from multi_crm_cross_sell_spark.operators.dedup import dedup_clusters
+
+        edges = (
+            [(i, i + 1) for i in range(0, 12)]          # chain 0..12
+            + [(100, 101), (101, 102), (100, 102)]      # triangle
+            + [(200, 201)]                              # single pair
+            + [(300 + i, 300 + ((i * 7) % 11)) for i in range(11)]
+        )
+        pairs = self._pairs(spark, edges)
+        a = {
+            (r.doc_id, r.cluster_id, r.cluster_size, r.is_representative)
+            for r in dedup_clusters(pairs, method="propagate").collect()
+        }
+        b = {
+            (r.doc_id, r.cluster_id, r.cluster_size, r.is_representative)
+            for r in dedup_clusters(pairs, method="jump").collect()
+        }
+        assert a == b
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 60-node chain needs ~60 propagation rounds (propagate
+        raises at max_iters=10) but pointer doubling compresses label
+        paths each round and finishes well inside 10."""
+        import pytest as _pytest
+
+        from multi_crm_cross_sell_spark.operators.dedup import dedup_clusters
+
+        chain = self._pairs(spark, [(i, i + 1) for i in range(60)])
+        with _pytest.raises(RuntimeError):
+            dedup_clusters(chain, max_iters=10, method="propagate").collect()
+        out = dedup_clusters(chain, max_iters=10, method="jump").collect()
+        assert {r.cluster_id for r in out} == {0}
+        assert len(out) == 61
