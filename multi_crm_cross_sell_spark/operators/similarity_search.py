@@ -100,16 +100,23 @@ def ann_topk(
     vec_col: str = "embedding",
     n_planes: int | None = N_PLANES,
     n_tables: int = 1,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Per-query top-k by exact cosine among same-bucket candidates.
 
     ``n_planes=None`` sizes K = log2(n/8) from the corpus (constant
-    expected occupancy — the 100 TB path). ``n_tables=L`` > 1 is the
-    matching RECALL lever (OR-amplification): L independent hyperplane
-    sets, a candidate only needs to share a bucket in ANY table. Cost
-    is L× the bucket computation and candidate volume; recall curves
-    are measured in SCALE.md §ANN recall. The L=1 default keeps the
-    oracle-pinned single-table plan."""
+    expected occupancy — the 100 TB path). Two independent RECALL
+    levers compensate for the tighter adaptive buckets:
+    - ``n_tables=L`` > 1 (OR-amplification): L independent hyperplane
+      sets, a candidate only needs to share a bucket in ANY table.
+      Cost: L× bucket computation AND L× index storage.
+    - ``hamming_probes=1`` (multi-probe): each query ALSO probes the K
+      buckets at Hamming distance 1 from its own — a vector just on
+      the other side of one hyperplane lands there. Cost: (K+1)× probe
+      keys on the (small) query side only; no extra index storage or
+      per-vector compute — the classic multi-probe LSH trade.
+    Both compose; recall curves are measured in SCALE.md §ANN recall.
+    The defaults keep the oracle-pinned single-table plan."""
     from pyspark.sql import Window
 
     # Norms are per-ROW quantities: compute them before the join so the
@@ -126,7 +133,7 @@ def ann_topk(
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
         .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
     )
-    if n_tables == 1:
+    if n_tables == 1 and hamming_probes == 0:
         bb = base.withColumn("bucket", bucket_id(F.col("v"), n_planes))
         q = bb.where(query_pred).select(
             F.col("vec_id").alias("query_id"),
@@ -172,6 +179,19 @@ def ann_topk(
         F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"),
     )
+    if hamming_probes >= 1:
+        # multi-probe: the query additionally probes every bucket one
+        # bit-flip away (explode on the SMALL query side only — the
+        # data-side index is untouched). Probes beyond Hamming-1 give
+        # diminishing returns for this K range; compose with n_tables
+        # for more recall instead.
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        qb = qb.select(
+            "query_id", "qt", F.explode(probes).alias("qbucket")
+        )
     cand_ids = (
         F.broadcast(qb)
         .join(

@@ -499,3 +499,31 @@ class TestPointerDoubling:
         out = dedup_clusters(chain, max_iters=10, method="jump").collect()
         assert {r.cluster_id for r in out} == {0}
         assert len(out) == 61
+
+
+class TestMultiProbe:
+    """Multi-probe LSH (hamming_probes=1): probing the K one-bit-flip
+    buckets is a pure candidate-superset of the exact-bucket probe, so
+    recall@k vs exact truth can only grow — at zero index cost."""
+
+    def test_probe_recall_monotone(self, spark):
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ann_topk,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        pred = F.col("vec_id") % 100 == 0
+        truth = TestOrAmplification()._truth(spark, e)
+        base_hits = probe_hits = None
+        for hp in (0, 1):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in ann_topk(
+                    e, pred, k=10, n_planes=8, n_tables=1, hamming_probes=hp
+                ).collect()
+            }
+            if hp == 0:
+                base_hits = len(got & truth)
+            else:
+                probe_hits = len(got & truth)
+        assert probe_hits >= base_hits, (base_hits, probe_hits)

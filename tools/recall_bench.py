@@ -139,16 +139,24 @@ def main() -> None:
             )
 
         lsh_configs = [
-            ("lsh_K8_L1_pinned", N_PLANES, 1),
-            (f"lsh_K{k_adapt}_L1_adaptive", None, 1),
-            (f"lsh_K{k_adapt}_L2_adaptive", None, 2),
-            (f"lsh_K{k_adapt}_L4_adaptive", None, 4),
+            ("lsh_K8_L1_pinned", N_PLANES, 1, 0),
+            (f"lsh_K{k_adapt}_L1_adaptive", None, 1, 0),
+            (f"lsh_K{k_adapt}_L2_adaptive", None, 2, 0),
+            (f"lsh_K{k_adapt}_L4_adaptive", None, 4, 0),
+            (f"lsh_K{k_adapt}_L1_probe1", None, 1, 1),
+            (f"lsh_K{k_adapt}_L2_probe1", None, 2, 1),
+            (f"lsh_K{k_adapt}_L4_probe1", None, 4, 1),
         ]
-        for name, n_planes, n_tables in lsh_configs:
+        for name, n_planes, n_tables, probes in lsh_configs:
             run(
                 name,
-                lambda n_planes=n_planes, n_tables=n_tables: ann_topk(
-                    e, pred, k=K_EVAL, n_planes=n_planes, n_tables=n_tables
+                lambda n_planes=n_planes, n_tables=n_tables, probes=probes: ann_topk(
+                    e,
+                    pred,
+                    k=K_EVAL,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    hamming_probes=probes,
                 ),
             )
         # IVF: same candidate-count budget family; nprobe is the
