@@ -521,9 +521,14 @@ def _ann_multitable_oracle() -> str:
         f"b{t} AS (SELECT vec_id, v, ({bucket_terms(t)}) AS bucket FROM base)"
         for t in range(_MT_TABLES)
     )
+    # query probes its own bucket plus every Hamming-1 neighbor
+    probe_cond = " OR ".join(
+        ["b.bucket = q.bucket"]
+        + [f"b.bucket = xor(q.bucket, {1 << i})" for i in range(_MT_PLANES)]
+    )
     cand_union = "\n  UNION\n".join(
         f"  SELECT q.vec_id AS query_id, b.vec_id AS vec_id\n"
-        f"  FROM b{t} q JOIN b{t} b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id\n"
+        f"  FROM b{t} q JOIN b{t} b ON ({probe_cond}) AND b.vec_id <> q.vec_id\n"
         f"  WHERE q.vec_id % 100 = 0"
         for t in range(_MT_TABLES)
     )
@@ -557,16 +562,22 @@ SELECT query_id, vec_id, cosine, rk FROM (
     tags=("similarity", "ann", "lsh", "or-amplification", "beyond-reference"),
 )
 def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified LSH ANN: L=2 independent 10-bit hyperplane tables;
-    a candidate only needs to share a bucket in ANY table. This is the
-    100 TB recall lever named in SCALE.md — adaptive K keeps bucket
-    occupancy (and thus cost) constant as the corpus grows, and L
-    tables buy back the recall the tighter buckets give away
-    (measured recall curves: SCALE.md §ANN recall). Deterministic
-    seeded hyperplanes keep the whole thing oracle-checkable."""
+    """OR-amplified multi-probe LSH ANN: L=2 independent 10-bit
+    hyperplane tables, and each query probes its own bucket plus the
+    K Hamming-1 neighbor buckets per table. These are the two 100 TB
+    recall levers named in SCALE.md — adaptive K keeps bucket
+    occupancy (and thus cost) constant as the corpus grows; L tables
+    and query-side probes buy back the recall the tighter buckets
+    give away (measured curves: SCALE.md §ANN recall). Deterministic
+    seeded hyperplanes keep the whole lever stack oracle-checkable."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk(
-        e, F.col("vec_id") % 100 == 0, k=5, n_planes=_MT_PLANES, n_tables=_MT_TABLES
+        e,
+        F.col("vec_id") % 100 == 0,
+        k=5,
+        n_planes=_MT_PLANES,
+        n_tables=_MT_TABLES,
+        hamming_probes=1,
     )
 
 
