@@ -32,10 +32,7 @@ from ..operators.dedup import (
     banded_simhash_bands,
     base_hash,
     exact_duplicates,
-    gram_hashes_from_words,
     near_dup_pairs,
-    shingles,
-    word_hashes,
     simhash16,
     simhash16_from_hashes,
 )
