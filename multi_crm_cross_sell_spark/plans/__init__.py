@@ -38,6 +38,7 @@ _TAIL = (
     "sales_rollup_cube",  # grouping sets; order_priority_pivot (A5) stays
     "minhash_near_dup",  # pair generation re-exercised inside near_dup_clusters
     "filter_projection",  # S1-S3/P1/P3; pushdown is plan-asserted in tests
+    "normalize_company_names",  # F1-F2; chain exercised inside er_match_cascade
 )
 
 

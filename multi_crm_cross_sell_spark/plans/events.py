@@ -326,3 +326,57 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("total_value"), 6).alias("total_value"),
         )
     )
+
+
+@register(
+    "stateful_streaming_dedup",
+    # Hard oracle for streaming exact-once dedup: feed the stream TWO
+    # copies of every event (split across micro-batches), and the
+    # emitted rows must be exactly the ORIGINAL table — each event_id
+    # once, with its original fields. SQL can't express the state
+    # machine, but it states the invariant perfectly.
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    """,
+    tags=("streaming", "stateful", "dedup", "applyInPandasWithState", "ST3"),
+)
+def stateful_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (applyInPandasWithState,
+    streaming/stateful.stateful_dedup): per-event_id seen-state in the
+    state store suppresses re-deliveries across micro-batches — the
+    bounded-state answer to dropDuplicates' unbounded buffer
+    (streaming/stateful.py documents the TTL trade for 100 TB
+    streams). The harness doubles the events table (union of two
+    copies, so every id is re-delivered, many across batch
+    boundaries), streams it with Trigger.AvailableNow, and returns the
+    emitted rows — which must reproduce the original table exactly."""
+    import tempfile
+
+    from ..streaming.stateful import stateful_dedup
+    from ..streaming.windows import stream_source
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    doubled = ev.unionByName(ev)
+    work = tempfile.mkdtemp(prefix="stateful_dd_")
+    src = f"{work}/src"
+    doubled.coalesce(2).write.parquet(src, mode="overwrite")
+    schema = spark.read.parquet(src).schema
+    stream = stream_source(spark, src, schema, max_files_per_trigger=1)
+    out = f"{work}/out"
+    q = (
+        stateful_dedup(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
