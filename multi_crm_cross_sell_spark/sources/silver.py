@@ -1,0 +1,56 @@
+"""Silver-layer bucketed tables: pre-shuffled storage for repeated
+join keys.
+
+SCALE.md's data-layout note made a claim this module makes real: at
+100 TB the repeated equi-join keys (custkey, org_id) should be
+BUCKETED on disk so the per-key joins and aggregations read
+co-located data and skip their shuffle entirely — Spark's
+``bucketBy`` writes each table pre-hash-partitioned by the key, and
+the planner drops the Exchange on both sides of a join between
+tables bucketed the same way (asserted in
+``tests/test_bucketing.py``). The reference re-extracts and re-joins
+its CRM entities per run (``src/orchestrator.py:183-201``,
+``src/ml/pipeline.py``); a bucketed silver layer is the Spark-native
+answer: pay the shuffle once at ingest, never at query time.
+
+Bucketed tables must be saved through the session catalog
+(``saveAsTable`` — plain ``parquet(path)`` cannot record bucket
+metadata); ``spark.sql.warehouse.dir`` controls the storage root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a parquet table bucketed (and optionally
+    sorted) by the join key.
+
+    ``n_buckets`` must MATCH across tables that will join — the
+    planner only elides the shuffle when both sides hash into the
+    same bucket count. Sorting within buckets additionally lets a
+    sort-merge join skip its per-partition sort."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+    )
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(s[0], *s[1:])
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucket metadata (and thus the shuffle elision)
+    only applies through the catalog, not path-based reads."""
+    return spark.table(table)

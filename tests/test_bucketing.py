@@ -1,0 +1,94 @@
+"""Plan-asserted bucketing (sources/silver.py): joining two tables
+bucketed the same way on the join key must run WITHOUT any shuffle —
+the 100 TB claim in SCALE.md's data-layout note, checked against the
+executed plan rather than asserted in prose."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from multi_crm_cross_sell_spark.sources.silver import read_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(cust, "silver_customer", "c_custkey", n_buckets=4)
+    write_bucketed(orders, "silver_orders", "o_custkey", n_buckets=4)
+    yield "silver_customer", "silver_orders"
+    for t in ("silver_customer", "silver_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _executed_plan(df) -> str:
+    df.write.mode("overwrite").format("noop").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    ct, ot = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            read_table(spark, ct)
+            .join(
+                read_table(spark, ot),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # co-bucketed join AND the follow-on groupBy on the same key:
+    # zero exchanges anywhere in the executed plan
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
+    """Control: the same join through plain path reads must shuffle —
+    proving the elision above comes from the bucket metadata."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" in plan
+
+
+def test_bucketed_join_results_match_plain_join(spark, bucketed_tables):
+    ct, ot = bucketed_tables
+    bucketed = (
+        read_table(spark, ct)
+        .join(read_table(spark, ot), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
