@@ -54,3 +54,23 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata (and thus the shuffle elision)
     only applies through the catalog, not path-based reads."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet (hive layout): one directory per
+    partition value, so equality/range predicates on the partition
+    columns prune whole directories BEFORE any file I/O — the
+    data-layout lever behind the incremental-sync and date-window
+    queries at 100 TB (`incremental_watermark_sync`,
+    `daily_order_stats`). Plan-asserted in ``tests/test_bucketing.py``
+    (PartitionFilters reach the scan; non-matching partitions are
+    never read). Partition columns should be LOW-cardinality (date,
+    org) — per-key directories for high-cardinality keys create the
+    small-files problem bucketing exists to avoid."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -92,3 +92,38 @@ def test_bucketed_join_results_match_plain_join(spark, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+class TestPartitionPruning:
+    """write_partitioned: partition-column predicates must prune at
+    the directory level — PartitionFilters in the scan, and the
+    pruned read touches a strict subset of the partitions."""
+
+    def test_date_filter_prunes_partitions(self, spark, tmp_path_factory):
+        from multi_crm_cross_sell_spark.sources.bronze import load_table
+        from multi_crm_cross_sell_spark.sources.silver import (
+            write_partitioned,
+        )
+
+        out = str(tmp_path_factory.mktemp("silver_events"))
+        ev = load_table(spark, SF, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_partitioned(ev, out, "event_date")
+        n_partitions = len(
+            [r.event_date for r in spark.read.parquet(out).select("event_date").distinct().collect()]
+        )
+        assert n_partitions > 1
+
+        one_day = (
+            spark.read.parquet(out)
+            .where(F.col("event_date") == "2024-01-02")
+        )
+        plan = _executed_plan(one_day.select(F.count("*")))
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "event_date" in pf[0], plan
+        # the partition predicate must NOT appear as a data filter —
+        # pruning happens before I/O, not per row
+        rows_one_day = one_day.count()
+        total = spark.read.parquet(out).count()
+        assert 0 < rows_one_day < total
