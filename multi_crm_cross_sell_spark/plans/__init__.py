@@ -39,6 +39,7 @@ _TAIL = (
     "minhash_near_dup",  # pair generation re-exercised inside near_dup_clusters
     "filter_projection",  # S1-S3/P1/P3; pushdown is plan-asserted in tests
     "normalize_company_names",  # F1-F2; chain exercised inside er_match_cascade
+    "jaro_winkler_pairs",  # F5; driver-green r01-r04, pandas-UDF path unit-tested
 )
 
 

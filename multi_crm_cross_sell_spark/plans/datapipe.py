@@ -224,6 +224,58 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_redaction_oracle() -> str:
+    from ..functions.redaction import sql_pii_counts, sql_redact_pii
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call 555-123-4567 ssn 123-45-6789 ip 10.0.0.'"
+        " || CAST(doc_id % 250 + 1 AS VARCHAR)"
+    )
+    counts = ",\n       ".join(sql_pii_counts("raw"))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {planted} AS raw FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({sql_redact_pii('raw')}) AS redacted_hash
+FROM base
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=_pii_redaction_oracle(),
+    tags=("text", "pii", "redaction", "beyond-reference"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions/redaction.py): count and mask
+    emails/SSNs/phones/IPv4s per document — the standard pre-training
+    redaction step, entirely in codegen'd regexp column expressions.
+    The synthetic corpus carries no organic PII, so the harness plants
+    a deterministic contact line per doc (same expression in the
+    oracle); the md5 of the fully REDACTED text is compared, so the
+    oracle verifies every replacement byte-for-byte, not just the
+    counts."""
+    from ..functions.redaction import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-4567 ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+    )
+    base = docs.select("doc_id", raw.alias("raw"))
+    return base.select(
+        "doc_id",
+        *pii_counts(F.col("raw")),
+        F.md5(redact_pii(F.col("raw"))).alias("redacted_hash"),
+    )
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 _TEXT_STATS_ORACLE = f"""

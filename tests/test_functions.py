@@ -145,3 +145,82 @@ class TestJaroWinklerConventions:
     def test_empty_is_zero_before_equality(self):
         assert _jaro_winkler("", "") == 0.0
         assert _jaro_winkler("", "x") == 0.0
+
+
+class TestPiiRedaction:
+    """functions/redaction.py: crafted-string contracts for the PII
+    scrub (patterns restricted to Java-regex ∩ RE2 syntax)."""
+
+    CASES = [
+        (
+            "mail bob.smith+x@corp.example.org now",
+            "mail [EMAIL] now",
+            {"n_email": 1, "n_ssn": 0, "n_phone": 0, "n_ipv4": 0},
+        ),
+        (
+            "ssn 123-45-6789 phone 555-123-4567 mixed",
+            "ssn [SSN] phone [PHONE] mixed",
+            {"n_email": 0, "n_ssn": 1, "n_phone": 1, "n_ipv4": 0},
+        ),
+        (
+            "server 192.168.0.17 and 10.0.0.1",
+            "server [IP] and [IP]",
+            {"n_email": 0, "n_ssn": 0, "n_phone": 0, "n_ipv4": 2},
+        ),
+        (
+            "dotted phone 555.123.4567 stays a phone",
+            "dotted phone [PHONE] stays a phone",
+            {"n_email": 0, "n_ssn": 0, "n_phone": 1, "n_ipv4": 0},
+        ),
+        (
+            "clean text with no identifiers at all",
+            "clean text with no identifiers at all",
+            {"n_email": 0, "n_ssn": 0, "n_phone": 0, "n_ipv4": 0},
+        ),
+    ]
+
+    def test_redaction_and_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.functions.redaction import (
+            pii_counts,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _, _) in enumerate(self.CASES)], "i int, s string"
+        )
+        rows = {
+            r.i: r
+            for r in df.select(
+                "i", redact_pii(F.col("s")).alias("red"), *pii_counts(F.col("s"))
+            ).collect()
+        }
+        for i, (_, expected_red, expected_counts) in enumerate(self.CASES):
+            assert rows[i].red == expected_red, (i, rows[i].red)
+            for k, v in expected_counts.items():
+                assert getattr(rows[i], k) == v, (i, k, getattr(rows[i], k))
+
+    def test_duckdb_twin_matches_spark(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.functions.redaction import (
+            redact_pii,
+            sql_redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _, _) in enumerate(self.CASES)], "i int, s string"
+        )
+        got_spark = {
+            r.i: r.red
+            for r in df.select("i", redact_pii(F.col("s")).alias("red")).collect()
+        }
+        con = duckdb.connect()
+        for i, (s, _, _) in enumerate(self.CASES):
+            (got_sql,) = con.execute(
+                f"SELECT {sql_redact_pii('?')}", [s]
+            ).fetchone()
+            assert got_sql == got_spark[i], (i, got_sql, got_spark[i])
