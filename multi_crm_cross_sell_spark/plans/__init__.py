@@ -40,6 +40,7 @@ _TAIL = (
     "filter_projection",  # S1-S3/P1/P3; pushdown is plan-asserted in tests
     "normalize_company_names",  # F1-F2; chain exercised inside er_match_cascade
     "jaro_winkler_pairs",  # F5; driver-green r01-r04, pandas-UDF path unit-tested
+    "label_join",  # J5/A8; driver-green r01-r04, label-join shape also in feedback_asof_labels
 )
 
 

@@ -276,6 +276,99 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = """
+WITH scoped AS (
+  SELECT doc_id, text FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+),
+wrds AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM scoped
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM wrds GROUP BY doc_id, word
+),
+ws AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+bgl AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM scoped)
+),
+bgr AS (
+  SELECT doc_id, UNNEST(bg) AS bgram FROM bgl
+),
+bc AS (
+  SELECT doc_id, bgram, COUNT(*) AS c FROM bgr GROUP BY doc_id, bgram
+),
+bs AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+         1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id, top_word_frac, top_bigram_frac, dup_bigram_frac
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "quality", "repetition", "beyond-reference"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signals per document — the second half
+    of a training-data quality filter next to doc_text_stats'
+    length/stopword/TTR pass: most-frequent-word fraction,
+    most-frequent-bigram fraction, and duplicate-bigram fraction
+    (1 − distinct/total). High values flag machine-generated or
+    boilerplate text that length-based scores miss. All fractions are
+    integer÷integer in double — bit-deterministic without rounding.
+
+    Plan shape: one repartition by doc_id, then explode → two hash
+    aggregations per signal family (term counts, then per-doc stats),
+    every groupBy reusing the doc_id partitioning; the bigram strings
+    come from a lead() window, not arrays (explode-first discipline,
+    zero higher-order functions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    scoped = docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        scoped.repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+        )
+    )
+    wstats = (
+        words.groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias("top_word_frac")
+        )
+    )
+    bigrams = (
+        words.withColumn("nxt", F.lead("word").over(wnd))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "nxt").alias("bgram"))
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bgram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias("top_bigram_frac"),
+            (F.lit(1.0) - F.count("*").cast("double") / F.sum("count")).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+    return wstats.join(bstats, "doc_id")
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 _TEXT_STATS_ORACLE = f"""
