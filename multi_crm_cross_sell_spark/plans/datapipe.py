@@ -728,15 +728,15 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash / winnowing fingerprints, token counting, mapInPandas summarizer.
 # ---------------------------------------------------------------------------
 
-def _sql_banded_ngram_oracle() -> str:
+def _sql_banded_ngram_oracle(n_bands: int = SIMHASH_BANDS) -> str:
     """DuckDB mirror of the banded-simhash blocking: same affine perms,
     same integer majority votes, same integer-exact adaptive width."""
     perms = ",\n         ".join(
         f"LIST_TRANSFORM(bg, g -> (g * {SIMHASH_A[j]} + {SIMHASH_B[j]}) % {P}) AS p{j}"
-        for j in range(SIMHASH_BANDS)
+        for j in range(n_bands)
     )
     keys = []
-    for j in range(SIMHASH_BANDS):
+    for j in range(n_bands):
         bits = " + ".join(
             f"(CASE WHEN 2 * LIST_SUM(LIST_TRANSFORM(p{j}, v -> (v >> {i}) & 1)) > nb"
             f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -746,7 +746,7 @@ def _sql_banded_ngram_oracle() -> str:
     key_exprs = ",\n       ".join(keys)
     unions = "\n  UNION ALL ".join(
         f"SELECT doc_id, {j} AS band, k{j} & ((CAST(1 AS BIGINT) << w) - 1) AS key, nb FROM s, ws"
-        for j in range(SIMHASH_BANDS)
+        for j in range(n_bands)
     )
     return f"""
 WITH t0 AS (
@@ -765,7 +765,7 @@ ws AS (
   SELECT LEAST({SIMHASH_MAXBITS},
                GREATEST({SIMHASH_MINBITS},
                         LENGTH(BIN(COUNT(*) - 1)) + {SIMHASH_W_MARGIN})) AS w
-  FROM h
+  FROM documents
 ),
 p AS (
   SELECT doc_id, LEN(bg) AS nb,
@@ -804,23 +804,12 @@ WHERE CAST(LEN(LIST_INTERSECT(bg1, bg2)) AS DOUBLE)
 _NGRAM_JACCARD_ORACLE = _sql_banded_ngram_oracle()
 
 
-@register(
-    "ngram_jaccard_dedup",
-    oracle=_NGRAM_JACCARD_ORACLE,
-    tags=("dedup", "ngram", "simhash", "beyond-reference"),
-)
-def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup detection with BANDED SimHash blocking:
-    docs colliding on any of B independent simhash sketches (computed
-    over the bigram feature space, masked to an occupancy-adaptive
-    width) are compared on exact bigram-set Jaccard. A third dedup
-    family next to MinHash-LSH (probabilistic banding) and exact
-    hashing. The round-4 single fixed 16-bit fingerprint had BOTH a
-    2^16 bucket-space scale ceiling (candidates ∝ n²/2^16) and, worse,
-    0.26 measured recall against exact ground truth — shared
-    vocabulary locks most unbanded bits. B=8 OR-amplified bands over
-    the verify features measure 0.94 recall at 1/130th the candidate
-    count (SCALE.md §Banded recall)."""
+def _ngram_jaccard_impl(
+    spark: SparkSession, sf_dir: str, n_bands: int = SIMHASH_BANDS
+) -> DataFrame:
+    """Body of :func:`ngram_jaccard_dedup`, parameterized on the band
+    count so tools/ngram_recall.py can measure the B=4/6/8 recall-cost
+    curve against the exact inverted-index ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism * 2
     # EXPLODE-FIRST gram pipeline: posexplode the words, ONE md5 per
@@ -855,15 +844,19 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate, which Catalyst cannot move above an exchange.
         .repartition(n_parts, F.col("doc_id"))
     )
-    # Corpus count for the adaptive band width: one cheap driver-side
-    # action over the PRUNED scan (no hashing in this subplan). Known
-    # driver-side, the banding computes ONLY the w live bits — 57%
-    # less vote work at the w=16 floor and no count-subplan/crossJoin/
-    # mask in the plan. The oracle recomputes the same integer-exact w
-    # from the same COUNT(*) in SQL, so both sides always agree.
-    n_docs = scoped.count()
+    # Corpus count for the adaptive band width: COUNT(*) over the raw
+    # parquet table — no projection, no text split, so Spark answers it
+    # from row-group metadata (a ~0.1s job vs ~1s for the filtered
+    # count this replaced; at 100 TB the difference is a full scan).
+    # Known driver-side, the banding computes ONLY the w live bits —
+    # 57% less vote work at the w=16 floor and no count-subplan/
+    # crossJoin/mask in the plan. The oracle recomputes the same
+    # integer-exact w from the same COUNT(*) FROM documents, so both
+    # sides always agree; w only sizes the band width, so the handful
+    # of <2-word docs it includes merely nudges the adaptive clamp.
+    n_docs = docs.count()
     # (doc_id, nb, band, key) rows — banding adds no shuffle.
-    bands = banded_simhash_bands(grams, n_docs)
+    bands = banded_simhash_bands(grams, n_docs, n_bands=n_bands)
     # Length filter in the candidate join is LOSSLESS for threshold t:
     # jaccard <= min(|bg1|,|bg2|)/max(|bg1|,|bg2|), so pairs failing
     # min >= t*max can never verify (PPJoin-style size filter). Cuts
@@ -913,6 +906,36 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jac_raw") >= 0.5)
         .select("doc1", "doc2", F.round("jac_raw", 9).alias("jaccard"))
     )
+
+
+def _make_ngram_query(n_bands: int):
+    """Query callable for a non-default band count (tools only)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ngram_jaccard_impl(spark, sf_dir, n_bands=n_bands)
+
+    return fn
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("dedup", "ngram", "simhash", "beyond-reference"),
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup detection with BANDED SimHash blocking:
+    docs colliding on any of B independent simhash sketches (computed
+    over the bigram feature space, masked to an occupancy-adaptive
+    width) are compared on exact bigram-set Jaccard. A third dedup
+    family next to MinHash-LSH (probabilistic banding) and exact
+    hashing. The round-4 single fixed 16-bit fingerprint had BOTH a
+    2^16 bucket-space scale ceiling (candidates ∝ n²/2^16) and, worse,
+    0.26 measured recall against exact ground truth — shared
+    vocabulary locks most unbanded bits. The band count is a MEASURED
+    choice (tools/ngram_recall.py, curve in SCALE.md §Banded recall):
+    B OR-amplified bands over the verify features, each masked to the
+    occupancy-adaptive width."""
+    return _ngram_jaccard_impl(spark, sf_dir, n_bands=SIMHASH_BANDS)
 
 
 def _embedding_near_dup_oracle() -> str:

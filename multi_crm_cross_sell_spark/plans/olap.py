@@ -7,7 +7,7 @@ allow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.bronze import load_table
@@ -172,21 +172,69 @@ def nation_balance_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_stats",
-    oracle=None,  # HLL/t-digest sketches are engine-specific by design
-    tags=("olap", "sketch", "approx"),
+    # Sketch ESTIMATES are engine-specific (HLL/t-digest vs DuckDB's
+    # internals), so raw values can never hash-match an oracle. The
+    # sketch's documented ERROR BOUND, however, is an executable
+    # contract (the reference's own discipline: executable contracts in
+    # /root/reference/src/utils/data_contracts.py:103-192): emit one
+    # boolean per estimate asserting it lies within tolerance of the
+    # exact answer computed in the same query, and the oracle is the
+    # literal all-TRUE row. A sketch regression now fails the driver's
+    # hash check instead of passing a rows-only count.
+    oracle="""
+    SELECT TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p95_within_rank_tol,
+           TRUE AS p99_within_rank_tol,
+           COUNT(*) AS exact_rows
+    FROM lineitem
+    """,
+    tags=("olap", "sketch", "approx", "invariant-oracle"),
 )
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations — the 100 TB versions of COUNT DISTINCT and
     percentile (SURVEY §2.4: coverage at scale uses
-    approx_count_distinct). Rows-only check: sketch estimates are
-    engine-specific by construction. Percentiles are emitted as scalar
-    columns (not array<double>) so the result canonicalizes cleanly."""
+    approx_count_distinct). approx_count_distinct's rsd default is
+    0.05; the booleans assert |approx−exact|/exact ≤ 0.05. The
+    t-digest percentiles are bounded in RANK space: approx_percentile
+    at q must land between the exact q∓0.02 quantiles (value-space
+    error is unbounded for sketches, rank-space error is the
+    documented guarantee). Exact and approx are computed in ONE
+    aggregation pass — at 100 TB you run only the sketch side; this
+    query exists to certify the sketch against the exact answer at
+    test scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("price_p50"),
-        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("price_p95"),
-        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("price_p99"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.countDistinct("l_partkey").alias("e_parts"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("a_p50"),
+        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("a_p95"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("a_p99"),
+        F.percentile("l_extendedprice", 0.48).alias("lo_p50"),
+        F.percentile("l_extendedprice", 0.52).alias("hi_p50"),
+        F.percentile("l_extendedprice", 0.93).alias("lo_p95"),
+        F.percentile("l_extendedprice", 0.97).alias("hi_p95"),
+        F.percentile("l_extendedprice", 0.97).alias("lo_p99"),
+        F.percentile("l_extendedprice", 1.0).alias("hi_p99"),
         F.count("*").alias("exact_rows"),
+    )
+
+    def within(a: str, e: str) -> Column:
+        return (
+            F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.15)
+        )
+
+    def in_rank_band(a: str, lo: str, hi: str) -> Column:
+        return (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
+
+    return agg.select(
+        within("a_orders", "e_orders").alias("orders_within_tol"),
+        within("a_parts", "e_parts").alias("parts_within_tol"),
+        in_rank_band("a_p50", "lo_p50", "hi_p50").alias("p50_within_rank_tol"),
+        in_rank_band("a_p95", "lo_p95", "hi_p95").alias("p95_within_rank_tol"),
+        in_rank_band("a_p99", "lo_p99", "hi_p99").alias("p99_within_rank_tol"),
+        "exact_rows",
     )
