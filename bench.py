@@ -84,7 +84,7 @@ def main() -> None:
     # wall clock swings >2x under external contention (BENCH_r02's 10x
     # minhash outlier on unchanged code), and min-of-n is the standard
     # steady-state estimator under one-sided noise.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     for _ in range(n_runs):
         for name in HEADLINE:
@@ -93,7 +93,13 @@ def main() -> None:
                 continue
             # GC barrier: each query measured from a comparable heap
             # state, not against previous queries' uncollected garbage.
+            # The brief pause after it lets ContextCleaner drain the
+            # weak-ref queue the GC just populated (broadcast/shuffle
+            # unpersists are processed asynchronously and would
+            # otherwise land INSIDE the next timed query — deep-DAG
+            # queries with many scheduler round-trips are hit hardest).
             spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

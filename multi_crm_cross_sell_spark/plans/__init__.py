@@ -23,24 +23,26 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # previously driver-green variants (each still §2-covered by an
 # in-window sibling, and all re-verified locally this round).
 _TAIL = (
-    # Round-5 rotation: the nine entries parked in round 4 rejoin the
-    # window (each now needs its round-5 driver row per the contract);
-    # these ten — every one driver-green in round 4 (CORRECTNESS_r04)
-    # and locally re-verified this round — park in their place. Each
-    # parked entry's §2 coverage stays in-window via the named sibling.
-    "customers_with_urgent_orders",  # J7 semi; anti variant rotated in
-    "event_sliding_windows",  # ST5; tumbling rotated in + sessionization stays
-    "nation_balance_quantiles",  # exact quantiles; approx sketch rotated in
-    "daily_order_stats",  # A2; weekly_order_rollup rotated in
-    "simhash_fingerprints",  # fingerprints; banded simhash in ngram_jaccard_dedup
-    "grouped_rank_applyinpandas",  # applyInPandas demo of W2; topk_per_group stays
-    "cosine_topk_bruteforce",  # exactness yardstick; ann_lsh/ivf/multitable stay
-    "sales_rollup_cube",  # grouping sets; order_priority_pivot (A5) stays
-    "minhash_near_dup",  # pair generation re-exercised inside near_dup_clusters
-    "filter_projection",  # S1-S3/P1/P3; pushdown is plan-asserted in tests
-    "normalize_company_names",  # F1-F2; chain exercised inside er_match_cascade
-    "jaro_winkler_pairs",  # F5; driver-green r01-r04, pandas-UDF path unit-tested
-    "label_join",  # J5/A8; driver-green r01-r04, label-join shape also in feedback_asof_labels
+    # Round-6 rotation: the thirteen entries parked in round 5 rejoin
+    # the window (each gets its round-6 driver row per the contract);
+    # these thirteen — every one driver-green in round 5
+    # (CORRECTNESS_r05) — park in their place. Each parked entry's §2
+    # coverage stays in-window via the named sibling. The three
+    # queries whose oracles changed this round (ngram_jaccard_dedup,
+    # approx_distinct_stats, ml_training_scores) all stay in-window.
+    "customers_without_urgent_orders",  # J7 anti; semi variant rotated back in
+    "event_tumbling_windows",  # ST5; sliding rotated back in + sessionization stays
+    "weekly_order_rollup",  # A2; daily_order_stats rotated back in
+    "order_priority_pivot",  # A5; sales_rollup_cube rotated back in
+    "ann_lsh_multitable",  # ANN family; ann_lsh_topk + ann_ivf_topk stay
+    "token_jaccard_pairs",  # SO2-SO3; token sets also inside er_match_cascade
+    "deterministic_pred_id",  # F20; hashing family sibling md5 path in window r6
+    "ab_bucket_allocation",  # F21; same hashing family, driver-green r5
+    "domain_extraction",  # F3; normalization chain inside er_match_cascade
+    "near_dup_clusters",  # clustering; minhash pair generation rotated back in
+    "string_agg_per_group",  # J4/M5; driver-green r4+r5
+    "trend_with_date_spine",  # A6; date bucketing via daily_order_stats in window
+    "distinct_union_nations",  # SO1/SO4; driver-green r4+r5
 )
 
 

@@ -49,10 +49,15 @@ def _units(scale: str) -> int:
 # BigDecimal path (measured 6.7× slower than the long path on
 # pricing_summary, 1.8s → 0.4s at sf0.1).
 # Overflow bound: |Σ x·10^f| must stay under 2^63 ≈ 9.2e18 — with
-# f=6 that is ~9.2e12 in value units, far above any local sf. The
-# 100 TB deployment flips to plain double aggregation (SCALE.md) or
-# widens to decimal; the long-units path is the test-scale parity
-# anchor.
+# f=6 that is ~9.2e12 in value units, crossed near sf≈40 on lineitem
+# sums. In non-ANSI Spark a crossing would WRAP silently, so the
+# guard is spark.sql.ansi.enabled: under ANSI the same long sum
+# throws on overflow instead of wrapping, and
+# tests/test_parity_guard.py runs the dsum/davg queries under ANSI to
+# pin that the bound holds at test scale and that the failure mode at
+# production scale is loud. Deployments beyond the bound flip to
+# plain double aggregation (SCALE.md) or widen to decimal; the
+# long-units path is the test-scale parity anchor.
 
 
 def dsum(col: Column | str, alias: str, scale: str = MONEY) -> Column:

@@ -811,7 +811,13 @@ def _ngram_jaccard_impl(
     count so tools/ngram_recall.py can measure the B=4/6/8 recall-cost
     curve against the exact inverted-index ground truth."""
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    # One task wave (defaultParallelism, not 2x): this query's cost at
+    # test scale is STAGE SCHEDULING, not compute (9 AQE jobs / 22
+    # stages), so extra waves of sub-30k-row tasks only add launch
+    # latency. At cluster scale the same expression tracks the
+    # executor-core count, which is the right spread for the md5/
+    # window stage there too.
+    n_parts = spark.sparkContext.defaultParallelism
     # EXPLODE-FIRST gram pipeline: posexplode the words, ONE md5 per
     # (doc, position) row, bigram = Horner combine of the next word's
     # hash via lead() — no arrays, no higher-order functions, so the
@@ -836,13 +842,30 @@ def _ngram_jaccard_impl(
             "doc_id", ((F.col("h") * F.lit(GRAM_K) + F.col("h2")) % F.lit(P)).alias("g")
         )
         .dropDuplicates(["doc_id", "g"])
+        # Declare the join keys non-null BELOW the materialization
+        # exchange: the verify joins infer isnotnull(doc_id)/
+        # isnotnull(g) constraints and push them under the exchange,
+        # which would make each consumer's exchange subplan
+        # canonically DIFFERENT (no ReusedExchange, gram pipeline
+        # re-run per consumer). With the filter already present, the
+        # inferred constraints are subsumed and every consumer sees
+        # the identical subplan.
+        .where(F.col("doc_id").isNotNull() & F.col("g").isNotNull())
         # One exchange ABOVE the computed gram rows: all three
         # consumers (banding, both verify sides) read the same
         # materialized shuffle (ReusedExchange) instead of re-running
-        # the md5+window pipeline per consumer — measured 9.7 → 6.9s.
-        # Safe against projection re-hoisting because the input is an
-        # aggregate, which Catalyst cannot move above an exchange.
-        .repartition(n_parts, F.col("doc_id"))
+        # the md5+window pipeline per consumer. The partition count
+        # MUST differ from the upstream repartition's: with the same
+        # (key, count) Catalyst deletes this exchange as redundant —
+        # the partitioning is already satisfied — and with it the
+        # materialization point, silently re-running the whole gram
+        # pipeline once per consumer (measured: 5 FileScans / 7 Window
+        # nodes in the executed plan, ~4.5s → ~2.5s when the exchange
+        # survives). Halving to defaultParallelism keeps the exchange
+        # real at the cost of one narrow
+        # (doc_id, g) shuffle — rows are two bigints, so this is the
+        # cheapest materialization Spark offers.
+        .repartition(max(2, n_parts // 2), F.col("doc_id"))
     )
     # Corpus count for the adaptive band width: COUNT(*) over the raw
     # parquet table — no projection, no text split, so Spark answers it
@@ -883,22 +906,36 @@ def _ngram_jaccard_impl(
         )
         .dropDuplicates(["doc1", "doc2"])
     )
-    # RELATIONAL verify — the intersection size is a join-and-count
-    # over the gram ROWS, not an array_intersect: candidates join
-    # their doc1 grams (equi-join on doc1, gram rows already
-    # partitioned), then an equi-join on (doc2, g) keeps exactly the
-    # shared grams, and one count per pair yields |A∩B|. Set sizes
+    # COMPACT-ARRAY verify: collect each doc's distinct grams into one
+    # array (the aggregate runs directly on the reused gram exchange —
+    # already partitioned by doc_id, so NO shuffle), broadcast that
+    # 5k-row doc_id→array map to both sides of the candidate stream,
+    # and take |A∩B| = size(array_intersect(...)) per pair. Compared
+    # to the round-5 relational verify (two 256k-row broadcast hash
+    # relations + a (doc2, g) equi-join + a final count aggregate with
+    # its own exchange), this builds two SMALL broadcast maps (one row
+    # per doc, ~300 longs each) and finishes in the candidate
+    # projection — two fewer stages, and the per-run broadcast build
+    # cost no longer scales with the gram count. The round-3 "never
+    # shuffle gram arrays" rule still holds: the arrays move only via
+    # broadcast, never through an exchange, and array_intersect is a
+    # codegen'd builtin (not an interpreted lambda HOF). Set sizes
     # ride along from the vote aggregate, so |A∪B| = nb1+nb2−ni is
-    # arithmetic. Pairs sharing zero grams vanish at the inner join —
-    # lossless for any threshold > 0. Everything stays codegen'd
-    # narrow rows; nothing ever shuffles a gram ARRAY.
-    g1 = grams.select(F.col("doc_id").alias("doc1"), "g")
-    g2 = grams.select(F.col("doc_id").alias("doc2"), "g")
+    # arithmetic; candidates sharing zero grams yield ni=0 and fail
+    # the threshold, exactly as the inner join did.
+    garr = grams.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
+    a1 = garr.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
+    a2 = garr.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
     inter = (
-        cand.join(g1, "doc1")
-        .join(g2, ["doc2", "g"])
-        .groupBy("doc1", "doc2", "nb1", "nb2")
-        .agg(F.count("*").alias("ni"))
+        cand.join(F.broadcast(a1), "doc1")
+        .join(F.broadcast(a2), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "nb1",
+            "nb2",
+            F.size(F.array_intersect("arr1", "arr2")).alias("ni"),
+        )
     )
     jac = F.col("ni") / (F.col("nb1") + F.col("nb2") - F.col("ni")).cast("double")
     return (

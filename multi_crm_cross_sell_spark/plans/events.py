@@ -317,7 +317,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query did not finish within 600s"
     upd = spark.read.parquet(out)
     return (
         upd.groupBy("user_id")
@@ -335,6 +335,11 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emitted rows must be exactly the ORIGINAL table — each event_id
     # once, with its original fields. SQL can't express the state
     # machine, but it states the invariant perfectly.
+    # FIXTURE INVARIANT: this oracle is only correct because event_id
+    # is unique in the source table (a duplicate id would be collapsed
+    # by the dedup and fail the oracle for a data reason, not a code
+    # bug). tests/test_streaming.py asserts that uniqueness so a
+    # fixture change fails loudly at the right place.
     oracle="""
     SELECT event_id, ts, user_id, event_type, value
     FROM events
@@ -376,7 +381,7 @@ def stateful_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query did not finish within 600s"
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -76,6 +76,16 @@ def get_spark(
             os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC conf (builder-only): the generated-class cache holds
+        # 100 entries; a session that runs the full query catalog
+        # executes well over 100 codegen stages, so the LARGEST class
+        # (the banded-simhash vote aggregate, Janino compile measured
+        # in seconds) gets evicted between repeat runs and recompiled
+        # EVERY run — measured as ngram_jaccard_dedup at ~12s inside
+        # the 22-query bench vs ~4s isolated, with min-of-5 unable to
+        # recover. 1000 entries keeps the whole catalog warm; the
+        # cache stores compiled classes, so the cost is tens of MB.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
     )
     return tune(builder.getOrCreate())

@@ -189,3 +189,23 @@ def test_stateful_dedup_exactly_once(spark, events_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_event_id_unique_fixture_invariant(spark, sf_dir):
+    """The stateful_streaming_dedup oracle (SELECT * FROM events) is
+    only correct if event_id is unique in the source table — a
+    duplicate id would be collapsed by the dedup and fail the oracle
+    for a data reason. Pin the fixture invariant here so a testdata
+    change fails loudly at the right place (plans/events.py documents
+    the dependency next to the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("nd"),
+    ).collect()[0]
+    assert row.n == row.nd, (
+        f"events.event_id not unique at {sf_dir}: {row.n} rows, "
+        f"{row.nd} distinct — stateful_streaming_dedup's oracle "
+        "assumption is broken"
+    )
