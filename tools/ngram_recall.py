@@ -86,19 +86,55 @@ def exact_truth(grams):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # args: [sf_dir] [--bands=8[,6,...]] [--no-time]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
+    bands_arg = [a for a in sys.argv[1:] if a.startswith("--bands=")]
+    band_list = (
+        tuple(int(x) for x in bands_arg[0].split("=", 1)[1].split(","))
+        if bands_arg
+        else (4, 6, 8)
+    )
+    do_time = "--no-time" not in sys.argv[1:]
+    tfb = [a for a in sys.argv[1:] if a.startswith("--truth-from-base=")]
     spark = get_spark("ngram-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
     grams = gram_rows(spark, sf_dir).cache()
     n_docs = grams.select("doc_id").distinct().count()
-    truth = exact_truth(grams).cache()
+    if tfb:
+        # Scaled corpora from tools/scale_bench.py are token-disjoint
+        # replicas (replica k prefixes every word with "rk"), so the
+        # exact truth at K× is EXACTLY K shifted copies of the base
+        # truth — no cross-replica pair can share a gram, let alone
+        # reach jaccard 0.5. Computing it this way avoids the base
+        # inverted-index join's Σ df² shuffle growing 100× (measured:
+        # it filled the 126G tmpfs at 100×); the CANDIDATE side is
+        # still computed genuinely on the full scaled corpus.
+        factor = int(tfb[0].split("=", 1)[1])
+        base = "/root/testdata/sf0.1"
+        bg = gram_rows(spark, base).cache()
+        base_n = bg.select("doc_id").distinct().count()
+        bt = exact_truth(bg)
+        parts = [
+            bt.select(
+                (F.col("doc1") + F.lit(k * base_n)).alias("doc1"),
+                (F.col("doc2") + F.lit(k * base_n)).alias("doc2"),
+            )
+            for k in range(factor)
+        ]
+        truth = parts[0]
+        for p in parts[1:]:
+            truth = truth.unionByName(p)
+        truth = truth.cache()
+    else:
+        truth = exact_truth(grams).cache()
     n_truth = truth.count()
     print(f"# n_docs={n_docs} truth_pairs={n_truth}", file=sys.stderr)
 
     from multi_crm_cross_sell_spark.plans.datapipe import _make_ngram_query
 
-    for n_bands in (4, 6, 8):
+    for n_bands in band_list:
         bands = banded_simhash_bands(grams, n_docs, n_bands=n_bands)
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
@@ -121,14 +157,15 @@ def main() -> None:
         cand.unpersist()
 
         # steady-state wall: full query with this band count
-        fn = _make_ngram_query(n_bands=n_bands)
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         times = []
-        for _ in range(3):
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times.append(round(time.time() - t0, 3))
+        if do_time:
+            fn = _make_ngram_query(n_bands=n_bands)
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+            for _ in range(3):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                times.append(round(time.time() - t0, 3))
         print(
             json.dumps(
                 {
@@ -138,7 +175,7 @@ def main() -> None:
                     "candidates": n_cand,
                     "found": n_found,
                     "recall": round(n_found / n_truth, 4) if n_truth else None,
-                    "wall_min": min(times),
+                    "wall_min": min(times) if times else None,
                     "wall_all": times,
                 }
             )

@@ -33,8 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf10x")
+# --factor N (default 10) builds .scale/sf{N}x; round 6 adds the 100x
+# decade so the adaptive-w claims are measured where w moves off its
+# 16-bit floor (w = ceil(log2 500k)+2 = 21 at 100x).
 FACTOR = 10
+for _a in sys.argv[1:]:
+    if _a.startswith("--factor="):
+        FACTOR = int(_a.split("=", 1)[1])
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    f"sf{FACTOR}x",
+)
 
 QUERIES = [
     "exact_dedup_documents",
@@ -108,7 +118,7 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
     # ships bare files, load_table expects the same shape).
     for name, df in (("documents", scaled_docs), ("embeddings", scaled_embs)):
         tmp = f"{out}/_{name}_dir"
-        df.coalesce(4).write.mode("overwrite").parquet(tmp)
+        df.coalesce(max(4, factor // 2)).write.mode("overwrite").parquet(tmp)
         # keep directory-parquet: spark.read.parquet handles both, and
         # 4 files give the 10x scan some split parallelism
         final = f"{out}/{name}.parquet"
@@ -118,7 +128,11 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a != "--rebuild" and not a.startswith("--factor=")
+    ]
     rebuild = "--rebuild" in sys.argv[1:]
     wanted = args or QUERIES
 
@@ -155,7 +169,7 @@ def main() -> None:
     scales = [
         ("sf0.01", "/root/testdata/sf0.01", 0.1),
         ("sf0.1", SRC, 1.0),
-        ("sf1x10", OUT, 10.0),
+        (f"sf1x{FACTOR}", OUT, float(FACTOR)),
     ]
 
     # warmup (JIT + parquet reader init)
