@@ -427,6 +427,7 @@ def banded_simhash_bands(
     id_col: str = "doc_id",
     gram_col: str = "g",
     n_bands: int = SIMHASH_BANDS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, nb, band, key) band rows: B masked simhash sketches per doc
     over EXPLODED distinct gram rows (one (id, gram_hash) row per
@@ -463,6 +464,7 @@ def banded_simhash_bands(
     n_bits = SIMHASH_MAXBITS if static_w is None else static_w
     ex = gram_rows.select(
         id_col,
+        *([weight_col] if weight_col else []),
         *[
             (
                 (F.col(gram_col) * F.lit(SIMHASH_A[j]) + F.lit(SIMHASH_B[j]))
@@ -479,8 +481,21 @@ def banded_simhash_bands(
     # generated hash-agg code (first-run Janino compile ~25s → ~8s)
     # without touching semantics: the oracle only has to agree with
     # the UNPACKED per-(band, bit) ones counts.
+    #
+    # ``weight_col`` switches to WEIGHTED votes (bit set iff
+    # 2·Σ w over set-bit grams > Σ w over all grams): each slot then
+    # accumulates weight, so the per-doc bound tightens to
+    # 2^21 / max_weight distinct grams — with IDF weights capped by
+    # bit_length(n_docs) ≤ 31, that is ≥ 67k distinct grams per doc,
+    # still far beyond real documents. nb stays the UNWEIGHTED set
+    # size: weights shape only the BLOCKING keys, never the exact
+    # Jaccard verify or its length filter.
     n_slots = (n_bits + 2) // 3
+    wt = F.col(weight_col) if weight_col else F.lit(1)
     counters = [F.count("*").alias("nb")]
+    if weight_col:
+        counters.append(F.sum(wt).alias("tw"))
+    total = F.col("tw") if weight_col else F.col("nb")
     for j in range(n_bands):
         for s in range(n_slots):
             term = None
@@ -489,7 +504,7 @@ def banded_simhash_bands(
                 if i >= n_bits:
                     break
                 t = F.shiftleft(
-                    F.shiftright(F.col(f"p{j}"), i).bitwiseAND(F.lit(1)),
+                    F.shiftright(F.col(f"p{j}"), i).bitwiseAND(F.lit(1)) * wt,
                     lvl * 21,
                 )
                 term = t if term is None else term + t
@@ -506,7 +521,7 @@ def banded_simhash_bands(
     for j in range(n_bands):
         k = F.lit(0).cast("bigint")
         for i in range(n_bits):
-            k = k + F.when(2 * ones(j, i) > F.col("nb"), F.lit(1 << i)).otherwise(
+            k = k + F.when(2 * ones(j, i) > total, F.lit(1 << i)).otherwise(
                 F.lit(0)
             )
         keys.append(k.alias(f"k{j}"))

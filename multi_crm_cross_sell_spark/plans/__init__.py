@@ -43,6 +43,10 @@ _TAIL = (
     "string_agg_per_group",  # J4/M5; driver-green r4+r5
     "trend_with_date_spine",  # A6; date bucketing via daily_order_stats in window
     "distinct_union_nations",  # SO1/SO4; driver-green r4+r5
+    # NEW in round 6 — parked at birth: a weighted variant of the
+    # in-window ngram_jaccard_dedup (same §2 coverage), locally
+    # oracle-verified; rotates into the window next round.
+    "ngram_jaccard_dedup_idf",
 )
 
 

@@ -527,3 +527,49 @@ class TestMultiProbe:
             else:
                 probe_hits = len(got & truth)
         assert probe_hits >= base_hits, (base_hits, probe_hits)
+
+
+class TestWeightedBanding:
+    def test_constant_weight_equals_unweighted(self, spark):
+        """weight_col with all-1 weights must reproduce the unweighted
+        band keys bit for bit (2·Σ1[bit] > Σ1 == 2·ones > nb) — pins
+        that the weighted accumulation path changes nothing except the
+        vote weights themselves."""
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            banded_simhash_bands,
+        )
+
+        grams = (
+            spark.range(0, 2000)
+            .select(
+                (F.col("id") % 40).alias("doc_id"),
+                ((F.col("id") * 7919 + 13) % P).alias("g"),
+            )
+            .dropDuplicates(["doc_id", "g"])
+        )
+        plain = banded_simhash_bands(grams, 40).orderBy("doc_id", "band")
+        weighted = (
+            banded_simhash_bands(
+                grams.withColumn("wt", F.lit(1).cast("bigint")),
+                40,
+                weight_col="wt",
+            )
+            .orderBy("doc_id", "band")
+        )
+        assert [r.asDict() for r in plain.collect()] == [
+            r.asDict() for r in weighted.collect()
+        ]
+
+    def test_idf_variant_oracle_shape(self, spark):
+        """The IDF variant returns the same schema/threshold contract
+        as the unweighted query (candidates differ, verify does not)."""
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        out = (
+            all_queries()["ngram_jaccard_dedup_idf"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .toPandas()
+        )
+        assert list(out.columns) == ["doc1", "doc2", "jaccard"]
+        assert (out["jaccard"] >= 0.5).all()
+        assert (out["doc1"] < out["doc2"]).all()

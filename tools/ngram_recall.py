@@ -96,6 +96,7 @@ def main() -> None:
         else (4, 6, 8)
     )
     do_time = "--no-time" not in sys.argv[1:]
+    use_idf = "--weights=idf" in sys.argv[1:]
     tfb = [a for a in sys.argv[1:] if a.startswith("--truth-from-base=")]
     spark = get_spark("ngram-recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,7 +136,19 @@ def main() -> None:
     from multi_crm_cross_sell_spark.plans.datapipe import _make_ngram_query
 
     for n_bands in band_list:
-        bands = banded_simhash_bands(grams, n_docs, n_bands=n_bands)
+        if use_idf:
+            df_tbl = grams.groupBy("g").agg(F.count("*").alias("df"))
+            wgrams = grams.join(df_tbl, "g").withColumn(
+                "wt",
+                F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) div df"))).cast(
+                    "bigint"
+                ),
+            )
+            bands = banded_simhash_bands(
+                wgrams, n_docs, n_bands=n_bands, weight_col="wt"
+            )
+        else:
+            bands = banded_simhash_bands(grams, n_docs, n_bands=n_bands)
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
             a.join(
@@ -171,6 +184,7 @@ def main() -> None:
                 {
                     "sf_dir": sf_dir,
                     "n_bands": n_bands,
+                    "weights": "idf" if use_idf else "uniform",
                     "truth": n_truth,
                     "candidates": n_cand,
                     "found": n_found,
