@@ -1394,34 +1394,119 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # md5-over-BLOB / codec parsing not expressible in SQL
-    tags=("multimodal", "mapInPandas", "beyond-reference"),
+    # Codec parsing / md5-over-BLOB cannot be expressed in the oracle
+    # dialect, but the pipeline's CONTRACT can (same upgrade as
+    # approx_distinct_stats / ml_training_scores this round): each row
+    # below is an invariant any correct decode must satisfy, emitted
+    # as a boolean against a literal all-TRUE oracle — so a codec or
+    # Arrow-boundary regression fails the driver's hash check instead
+    # of hiding behind a row count. Detailed per-media values remain
+    # pinned by tests/test_sinks_multimodal.py + hypothesis fuzzing.
+    oracle="""
+    SELECT 'all_media_rows_decoded' AS invariant, TRUE AS passed
+    UNION ALL SELECT 'bytes_positive_all_kinds', TRUE
+    UNION ALL SELECT 'features_deterministic_across_passes', TRUE
+    UNION ALL SELECT 'luma_within_unit_range', TRUE
+    UNION ALL SELECT 'three_kinds_present', TRUE
+    UNION ALL SELECT 'video_frames_video_only', TRUE
+    ORDER BY invariant
+    """,
+    tags=("multimodal", "mapInPandas", "invariant-oracle", "beyond-reference"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: deterministic synthetic media table
     with REAL encoded payloads (BMP images, PCM16 WAV audio, Y4M video
     — operators/multimodal.py stdlib codecs) → Arrow mapInPandas decode
-    + per-modality signal features → joined with decoded per-frame luma
-    samples for videos. Rows-only check: codec parsing and md5 over
-    BYTES are not expressible in the oracle dialect — decode round-trip
-    and determinism are pinned by tests/test_sinks_multimodal.py."""
+    + per-modality signal features → per-frame luma samples for videos.
+    Returns one (invariant, passed) row per pipeline contract:
+
+    - ``all_media_rows_decoded``: every synthesized row survives the
+      decode (non-null hash + features) — a codec parse failure or a
+      dropped Arrow batch flips this.
+    - ``features_deterministic_across_passes``: two INDEPENDENT
+      mapInPandas passes produce identical content hashes and leading
+      features — the decode is a pure function of the bytes.
+    - ``video_frames_video_only``: frame sampling yields ≥1 frame for
+      every video and nothing for images/audio.
+    - ``luma_within_unit_range``: decoded per-frame mean luma stays
+      in the normalized [0, 1] range the decoder promises.
+    - ``bytes_positive_all_kinds`` / ``three_kinds_present``: the
+      synthesizer emits all three modalities with non-empty payloads.
+    """
     from ..operators.multimodal import extract_features, sample_frames, synth_media
 
     media = synth_media(spark, 64).repartition(8, F.col("media_id"))
     feats = extract_features(media)
+    feats2 = extract_features(media)
     frames = sample_frames(media).groupBy("media_id").agg(
         F.count("*").alias("n_frames"),
-        F.round(F.avg("frame_mean_y"), 6).alias("avg_frame_luma"),
+        F.min("frame_mean_y").alias("min_luma"),
+        F.max("frame_mean_y").alias("max_luma"),
     )
-    return (
-        feats.join(frames, "media_id", "left")
-        .select(
-            "media_id",
-            "kind",
-            "n_bytes",
-            "content_hash",
-            F.round(F.element_at("features", 1), 6).alias("f0"),
-            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
-            F.coalesce("avg_frame_luma", F.lit(0.0)).alias("avg_frame_luma"),
+    joined = feats.join(frames, "media_id", "left")
+    decode_stats = joined.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("content_hash").isNotNull() & F.col("features").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_decoded"),
+        F.sum((F.col("n_bytes") > 0).cast("bigint")).alias("n_nonempty"),
+        F.countDistinct("kind").alias("n_kinds"),
+        F.sum(
+            ((F.col("kind") == "video") & (F.coalesce("n_frames", F.lit(0)) >= 1))
+            .cast("bigint")
+        ).alias("videos_with_frames"),
+        F.sum((F.col("kind") == "video").cast("bigint")).alias("n_videos"),
+        F.sum(
+            ((F.col("kind") != "video") & F.col("n_frames").isNotNull()).cast("bigint")
+        ).alias("nonvideo_with_frames"),
+        F.min(F.coalesce("min_luma", F.lit(0.0))).alias("min_luma"),
+        F.max(F.coalesce("max_luma", F.lit(0.0))).alias("max_luma"),
+    )
+    pass1 = feats.select(
+        "media_id",
+        F.col("content_hash").alias("h1"),
+        F.round(F.element_at("features", 1), 6).alias("f1"),
+    )
+    pass2 = feats2.select(
+        "media_id",
+        F.col("content_hash").alias("h2"),
+        F.round(F.element_at("features", 1), 6).alias("f2"),
+    )
+    det = (
+        pass1.join(pass2, "media_id")
+        .agg(
+            F.sum(
+                ((F.col("h1") == F.col("h2")) & (F.col("f1") == F.col("f2"))).cast(
+                    "bigint"
+                )
+            ).alias("n_same"),
+            F.count("*").alias("n_cmp"),
         )
+    )
+    inv = decode_stats.crossJoin(det)
+    checks = [
+        ("all_media_rows_decoded", F.col("n_decoded") == F.col("n_rows")),
+        ("bytes_positive_all_kinds", F.col("n_nonempty") == F.col("n_rows")),
+        (
+            "features_deterministic_across_passes",
+            (F.col("n_same") == F.col("n_cmp")) & (F.col("n_cmp") == F.col("n_rows")),
+        ),
+        (
+            "luma_within_unit_range",
+            (F.col("min_luma") >= 0.0) & (F.col("max_luma") <= 1.0),
+        ),
+        ("three_kinds_present", F.col("n_kinds") == 3),
+        (
+            "video_frames_video_only",
+            (F.col("videos_with_frames") == F.col("n_videos"))
+            & (F.col("nonvideo_with_frames") == 0),
+        ),
+    ]
+    stack = ", ".join(f"'{name}', `__c{i}`" for i, (name, _) in enumerate(checks))
+    return (
+        inv.select(*[expr.alias(f"__c{i}") for i, (_, expr) in enumerate(checks)])
+        .select(F.expr(f"stack({len(checks)}, {stack})").alias("invariant", "passed"))
+        .orderBy("invariant")
     )
