@@ -91,3 +91,25 @@ def test_no_hof_expressions_inside_filters(spark):
                 assert "transform(" not in ls and "aggregate(" not in ls, (
                     f"{name}: HOF inlined into a Filter node:\n{ls[:300]}"
                 )
+
+
+def test_ngram_gram_pipeline_runs_once(spark):
+    """Round-6 regression pin: the gram pipeline (scan → explode → md5
+    → window → dedup) must execute ONCE, with every consumer (banding,
+    both verify array sides) reading the materialization exchange via
+    ReusedExchange. The failure mode this guards: a repartition with
+    the same (key, count) as its upstream gets deleted as redundant by
+    Catalyst, silently re-running the pipeline per consumer (measured
+    as 5 FileScans / 7 Window nodes and a 2-3x run-to-run swing)."""
+    df = all_queries()["ngram_jaccard_dedup"].fn(spark, SF)
+    # collect, not a noop write: df._jdf.queryExecution() is only the
+    # execution that ran for actions on the SAME DataFrame — a write
+    # spawns its own QueryExecution, leaving this one un-finalized
+    # (isFinalPlan=false, inline duplicate subplans, no reuse info).
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"FileScan parquet", final)) == 1, final
+    assert len(re.findall(r"Window", final)) == 1, final
+    assert "ReusedExchange" in final, final
