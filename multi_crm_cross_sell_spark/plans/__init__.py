@@ -47,6 +47,8 @@ _TAIL = (
     # in-window ngram_jaccard_dedup (same §2 coverage), locally
     # oracle-verified; rotates into the window next round.
     "ngram_jaccard_dedup_idf",
+    "dataset_mix_downsample",  # NEW r6, parked at birth; rotates in next round
+    "dataset_split_assignments",  # NEW r6, parked at birth; rotates in next round
 )
 
 

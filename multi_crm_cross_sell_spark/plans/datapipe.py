@@ -1510,3 +1510,103 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr(f"stack({len(checks)}, {stack})").alias("invariant", "passed"))
         .orderBy("invariant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset curation: deterministic source balancing and split assignment
+# — the two sampling primitives every large-scale training-data mix
+# needs, built hash-deterministic so runs are reproducible and the
+# oracle can replay them exactly (a seeded RNG sample would be
+# engine-specific; md5 priorities are not).
+# ---------------------------------------------------------------------------
+
+_MIX_CAP = 120
+
+
+@register(
+    "dataset_mix_downsample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang
+    FROM ranked WHERE rn <= {_MIX_CAP}
+    """,
+    tags=("curation", "sampling", "stratified", "beyond-reference"),
+)
+def dataset_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source balanced downsampling: cap every source at N docs,
+    keeping each source's lowest-md5-priority rows — deterministic
+    stratified sampling, the standard fix for over-represented sources
+    in a training mix. The md5 priority makes the SAMPLE ITSELF stable
+    across runs, partitionings and engines (rerunning the pipeline
+    after adding one source re-selects byte-identical rows for the
+    others — incremental mix updates don't churn the corpus).
+
+    Scale shape: one shuffle on `source` for the rank window. Sources
+    are few and can be huge (skew): at 100 TB either pre-aggregate a
+    per-source md5-priority THRESHOLD (two scans, no window — keeps
+    everything map-side) or let AQE skew-split the window partitions;
+    the windowed form here is the exact-semantics anchor the
+    threshold form must reproduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _MIX_CAP)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "dataset_split_assignments",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN b < 90 THEN 'train'
+             WHEN b < 95 THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id,
+             TRY_CAST('0x' || SUBSTRING(md5('split42_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+    tags=("curation", "splitting", "beyond-reference"),
+)
+def dataset_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test assignment by salted
+    md5 bucket — pure projection (no shuffle, no RNG state), so the
+    split is identical on every engine, at every scale, under any
+    partitioning, and a document NEVER migrates between splits when
+    the corpus grows (the property randomSplit cannot give you: its
+    assignment depends on partition layout). The salt pins the split
+    family; changing it re-draws all assignments at once."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42_"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
