@@ -49,6 +49,7 @@ _TAIL = (
     "ngram_jaccard_dedup_idf",
     "dataset_mix_downsample",  # NEW r6, parked at birth; rotates in next round
     "dataset_split_assignments",  # NEW r6, parked at birth; rotates in next round
+    "sequence_packing",  # NEW r6, parked at birth; rotates in next round
 )
 
 

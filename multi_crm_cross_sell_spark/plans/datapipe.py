@@ -1610,3 +1610,64 @@ def dataset_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_index,
+           CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS token_offset
+    FROM c
+    """,
+    tags=("curation", "packing", "beyond-reference"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a
+    training-sequence index and token offset from the running token
+    total within its source shard — the standard way LLM pipelines
+    fill fixed-length context windows without padding waste. The
+    assignment is a pure function of (source, doc_id order, token
+    counts), so it is reproducible across engines and runs, and a doc
+    that straddles a boundary is detectable as
+    token_offset + n_tok > budget (the consumer decides chunk vs
+    drop; the MAP is what the engine owes).
+
+    Scale shape: one shuffle on `source`, then a per-partition
+    cumulative sum — the same per-shard discipline real packers use
+    (a GLOBAL running sum would serialize the corpus through one
+    partition; per-source packing is embarrassingly parallel and is
+    what shard-local packing does on a 1000-executor cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(start / F.lit(_PACK_BUDGET)).cast("bigint").alias("seq_index"),
+        (start % F.lit(_PACK_BUDGET)).cast("bigint").alias("token_offset"),
+    )
