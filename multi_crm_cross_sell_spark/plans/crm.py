@@ -297,7 +297,12 @@ def blocked_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    # shuffle_hash, not broadcast: both sides are the IDENTICAL
+    # scan+block-key projection, so the shuffled join computes that
+    # subplan once and reuses the exchange; an AQE broadcast would
+    # re-run the projection to build the hash relation (round-1
+    # lesson, re-measured this round: ~0.2s at sf0.1).
+    a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     sim = levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
