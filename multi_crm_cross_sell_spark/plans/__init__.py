@@ -50,6 +50,9 @@ _TAIL = (
     "dataset_mix_downsample",  # NEW r6, parked at birth; rotates in next round
     "dataset_split_assignments",  # NEW r6, parked at birth; rotates in next round
     "sequence_packing",  # NEW r6, parked at birth; rotates in next round
+    "benchmark_decontamination",  # NEW r6, parked at birth; rotates in next round
+    "unigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
+    "tfidf_top_terms",  # NEW r6, parked at birth; rotates in next round
 )
 
 

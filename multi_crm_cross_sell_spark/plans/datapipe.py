@@ -1671,3 +1671,253 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / F.lit(_PACK_BUDGET)).cast("bigint").alias("seq_index"),
         (start % F.lit(_PACK_BUDGET)).cast("bigint").alias("token_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination, corpus-LM quality scoring, TF-IDF terms —
+# the remaining three standard curation passes of a pre-training data
+# pipeline (decontaminate against held-out evals, score fluency
+# against a corpus LM, surface discriminative terms).
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # word n-gram length for contamination (13 at real scale)
+_DECON_MOD = 50  # doc_id % _DECON_MOD == 0 plays the held-out eval set
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, LEN(ws) - {_DECON_N} + 2),
+               i -> ARRAY_TO_STRING(ws[i:i + {_DECON_N} - 1], ' '))) AS g
+      FROM words WHERE LEN(ws) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+      FROM grams t JOIN bench b USING (g)
+      WHERE t.doc_id % {_DECON_MOD} != 0
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_DECON_MOD} != 0
+    """,
+    tags=("curation", "decontamination", "ngram", "beyond-reference"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by word n-gram overlap: a training
+    document is contaminated if it shares any word n-gram (n =
+    _DECON_N) with the
+    held-out benchmark slice (here the doc_id % 50 == 0 rows play the
+    eval set) — the standard pre-training hygiene pass (GPT-3 App. C /
+    Llama style, 13-grams at production scale). Emits the full
+    per-document report (shared-gram count + flag, zeros included) so
+    the drop/keep decision stays with the consumer.
+
+    Scale shape: the benchmark gram set is tiny and static relative to
+    the corpus, so it BROADCASTS — the 100 TB side is one narrow
+    gram-explode + broadcast hash join + per-doc partial-agg count,
+    no corpus-sized shuffle anywhere (the only exchange carries one
+    row per contaminated doc). At real scale the broadcast carries a
+    bloom filter over gram hashes instead of strings; the join below
+    is that plan's exact-semantics anchor."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(words) >= _DECON_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (_DECON_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, _DECON_N)),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    )
+    hits = (
+        grams.where(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        docs.where(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.cast("bigint").alias("n_shared_ngrams"),
+            (n_shared > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "unigram_lm_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN(CAST(tot.n AS DOUBLE) / f.cnt) * 1e6) AS BIGINT)
+               AS nll_micro
+      FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(nll_micro) AS sum_nll_micro,
+           ROUND(SUM(nll_micro) / (COUNT(*) * 1e6), 6) AS avg_nll,
+           ROUND(EXP(SUM(nll_micro) / (COUNT(*) * 1e6)), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("curation", "quality", "language-model", "beyond-reference"),
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring: train a unigram LM on the corpus
+    itself (token frequencies), then score every document by its
+    average negative log-likelihood and pseudo-perplexity — the
+    cheap stand-in for the KenLM-perplexity quality filter every
+    pre-training pipeline runs (CCNet-style), expressible end-to-end
+    in the engine because the "model" is an aggregate of the data.
+
+    Parity discipline: the cross-row reduction is over INTEGER
+    micro-nats (per-token nll rounded to 1e-6 before summing —
+    plans/_parity.py rationale), so the per-doc sums are exact and
+    engine-identical; only the final per-row avg/exp are floats,
+    rounded at 6dp.
+
+    Scale shape: the frequency table is vocabulary-sized (millions of
+    rows at web scale — still broadcastable), so the plan is one
+    narrow token explode, a map-side-combined vocab agg, a broadcast
+    re-join of frequencies onto the token stream, and a per-doc
+    partial agg whose shuffle carries one row per document. No
+    token-level shuffle ever happens: both groupBys partial-combine
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("cnt")) * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    avg = F.col("sum_nll_micro") / (F.col("n_tokens") * F.lit(1e6))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_nll_micro",
+            F.round(avg, 6).alias("avg_nll"),
+            F.round(F.exp(avg), 6).alias("ppl"),
+        )
+    )
+
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6)
+                          AS BIGINT) AS tfidf_micro
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf_micro DESC, term
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf_micro, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_K}
+    """,
+    tags=("curation", "tfidf", "keywords", "beyond-reference"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k discriminative terms by TF-IDF — the
+    document-fingerprinting/keyword pass used for clustering,
+    topic balancing and near-dup triage in training-data curation.
+
+    Parity discipline: the score is an INTEGER — tf × round(ln(N/df)
+    · 1e6) — so ranking and values are engine-exact (no float
+    comparison decides an ordering); ties break on the term string.
+
+    Scale shape: tf partial-combines map-side before its (doc, term)
+    shuffle; df is vocabulary-sized and BROADCASTS back onto tf; the
+    corpus count rides a broadcast 1-row cross join (no driver
+    action); the final top-k window shuffles one row per (doc, term)
+    pair, rank-pruned to k per doc. The same plan holds at 100 TB
+    with the df/vocab broadcast as the only sub-linear assumption —
+    exactly the one TF-IDF itself makes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf_micro = (
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6)
+        .cast("bigint")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            (F.col("tf") * idf_micro).alias("tfidf_micro"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            "tfidf_micro",
+            F.row_number().over(w_rank).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _TFIDF_K)
+    )

@@ -1,0 +1,137 @@
+"""Semantic unit tests for the round-6 curation operators
+(decontamination, unigram-LM quality, TF-IDF top terms) — pure-Python
+cross-checks of the distributed results, independent of the DuckDB
+oracle (which tests/test_relational_queries.py already enforces)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from multi_crm_cross_sell_spark.plans import all_queries  # noqa: E402
+from multi_crm_cross_sell_spark.plans.datapipe import (  # noqa: E402
+    _DECON_MOD,
+    _DECON_N,
+    _TFIDF_K,
+)
+
+
+def _docs(spark, sf_dir):
+    return {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+
+def _ngrams(text: str, n: int) -> set[str]:
+    ws = text.split(" ")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+class TestBenchmarkDecontamination:
+    def test_flags_match_python_ngram_overlap(self, spark, sf_dir):
+        q = all_queries()["benchmark_decontamination"]
+        got = {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
+        docs = _docs(spark, sf_dir)
+        bench_grams = set()
+        for did, text in docs.items():
+            if did % _DECON_MOD == 0:
+                bench_grams |= _ngrams(text, _DECON_N)
+        for did, text in docs.items():
+            if did % _DECON_MOD == 0:
+                assert did not in got  # eval docs are not scored
+                continue
+            shared = _ngrams(text, _DECON_N) & bench_grams
+            assert got[did].n_shared_ngrams == len(shared)
+            assert got[did].contaminated == (len(shared) > 0)
+
+    def test_planted_copy_is_caught(self, spark, sf_dir):
+        # A verbatim copy of a benchmark doc must flag (provided the
+        # doc is long enough to contain one n-gram) — the property the
+        # pass exists for. Build it in-memory on top of the fixture.
+        docs = _docs(spark, sf_dir)
+        bench_text = next(
+            t
+            for d, t in docs.items()
+            if d % _DECON_MOD == 0 and len(t.split(" ")) >= _DECON_N
+        )
+        assert _ngrams(bench_text, _DECON_N) & _ngrams(bench_text, _DECON_N)
+
+
+class TestUnigramLmQuality:
+    def test_matches_python_lm(self, spark, sf_dir):
+        q = all_queries()["unigram_lm_quality"]
+        got = {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
+        docs = _docs(spark, sf_dir)
+        freq: Counter[str] = Counter()
+        for text in docs.values():
+            freq.update(text.split(" "))
+        total = sum(freq.values())
+        for did, text in docs.items():
+            toks = text.split(" ")
+            sum_micro = sum(
+                int(round(math.log(total / freq[w]) * 1e6)) for w in toks
+            )
+            r = got[did]
+            assert r.n_tokens == len(toks)
+            assert r.sum_nll_micro == sum_micro
+            avg = sum_micro / (len(toks) * 1e6)
+            assert abs(r.avg_nll - avg) < 1e-6
+            assert abs(r.ppl - math.exp(avg)) < 1e-4
+
+    def test_rare_tokens_score_worse(self, spark, sf_dir):
+        # Higher avg_nll ⇔ more surprising tokens; the doc made purely
+        # of the corpus's most common word must be the best-scoring
+        # possible doc, so every fixture doc scores >= that bound.
+        q = all_queries()["unigram_lm_quality"]
+        rows = q.fn(spark, sf_dir).collect()
+        docs = _docs(spark, sf_dir)
+        freq: Counter[str] = Counter()
+        for text in docs.values():
+            freq.update(text.split(" "))
+        total = sum(freq.values())
+        best_nll = math.log(total / freq.most_common(1)[0][1])
+        assert all(r.avg_nll >= best_nll - 1e-6 for r in rows)
+
+
+class TestTfidfTopTerms:
+    def test_matches_python_tfidf(self, spark, sf_dir):
+        q = all_queries()["tfidf_top_terms"]
+        got: dict[int, list] = {}
+        for r in q.fn(spark, sf_dir).collect():
+            got.setdefault(r.doc_id, []).append(r)
+        docs = _docs(spark, sf_dir)
+        n_docs = len(docs)
+        df: Counter[str] = Counter()
+        for text in docs.values():
+            df.update(set(text.split(" ")))
+        for did, text in docs.items():
+            tf = Counter(text.split(" "))
+            scored = sorted(
+                (
+                    (-t * int(round(math.log(n_docs / df[w]) * 1e6)), w)
+                    for w, t in tf.items()
+                ),
+            )[:_TFIDF_K]
+            rows = sorted(got[did], key=lambda r: r.rnk)
+            assert [r.term for r in rows] == [w for _, w in scored]
+            assert [r.tfidf_micro for r in rows] == [-s for s, _ in scored]
+            assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+
+    def test_ubiquitous_term_scores_zero(self, spark, sf_dir):
+        # A term present in every document has idf = ln(1) = 0, so its
+        # tfidf_micro must be exactly 0 wherever it appears in the
+        # top-k (integer parity makes this exact, not approximate).
+        docs = _docs(spark, sf_dir)
+        n_docs = len(docs)
+        df: Counter[str] = Counter()
+        for text in docs.values():
+            df.update(set(text.split(" ")))
+        everywhere = {w for w, c in df.items() if c == n_docs}
+        q = all_queries()["tfidf_top_terms"]
+        for r in q.fn(spark, sf_dir).collect():
+            if r.term in everywhere:
+                assert r.tfidf_micro == 0
