@@ -53,6 +53,7 @@ _TAIL = (
     "benchmark_decontamination",  # NEW r6, parked at birth; rotates in next round
     "unigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
     "tfidf_top_terms",  # NEW r6, parked at birth; rotates in next round
+    "range_join_incidents",  # NEW r6, parked at birth; rotates in next round
 )
 
 

@@ -385,3 +385,104 @@ def stateful_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (point-in-interval) via bin bucketing — the equi-join
+# rewrite of an inequality join, which OSS Spark would otherwise plan
+# as a nested-loop over every (interval, point) pair per user.
+# ---------------------------------------------------------------------------
+
+_INCIDENT_VALUE = 150.0
+_INCIDENT_WINDOW_H = 2
+_RANGE_BIN_US = _INCIDENT_WINDOW_H * 3600 * 1_000_000  # bin == max width
+
+
+@register(
+    "range_join_incidents",
+    oracle=f"""
+    WITH i AS (
+      SELECT event_id AS incident_id, user_id, ts AS start_ts
+      FROM events WHERE value >= {_INCIDENT_VALUE}
+    )
+    SELECT i.incident_id, e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) - epoch_us(i.start_ts) AS BIGINT) AS delta_us
+    FROM i JOIN events e
+      ON i.user_id = e.user_id
+     AND e.ts >= i.start_ts
+     AND e.ts < i.start_ts + INTERVAL {_INCIDENT_WINDOW_H} HOUR
+    """,
+    tags=("join", "range-join", "binned", "beyond-reference"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every event that falls inside the
+    2-hour window opened by a same-user high-value "incident" event.
+    Semantically an inequality join — which OSS Spark plans as a
+    BroadcastNestedLoopJoin (every point tested against every interval
+    of the join group, no hash pruning). Rewritten here as the
+    standard BIN-BUCKETED equi-join: bin width = max interval width,
+    so each interval overlaps at most 2 bins (exploded via a 2-element
+    sequence) while each point lands in exactly 1 — the join becomes a
+    hash join on (user_id, bin) with the exact predicate as a cheap
+    post-filter, and no (point, interval) pair can match twice, so no
+    dedup pass is needed.
+
+    Scale shape: the rewrite is what the Databricks range-join hint
+    does under the hood, expressed as composition so it runs on any
+    Spark. Cost is ≤2x replication of the (small) interval side vs the
+    nested-loop's |points|x|intervals| comparisons per user; at 100 TB
+    the bin column also makes the shuffle key (user_id, bin), so skew
+    from hot users spreads across their time range instead of one
+    reducer. Bin width trades interval replication (narrower bins,
+    more copies) against post-filter selectivity (wider bins, more
+    false candidates); width = max interval is the standard choice."""
+    ev = load_table(spark, sf_dir, "events")
+
+    # ts arrives as TIMESTAMP_NTZ; timestampdiff from the NTZ epoch is
+    # the timezone-free micros value (unix_micros rejects NTZ, and a
+    # cast to TIMESTAMP would make bins session-timezone-dependent).
+    def us_of(col: str) -> F.Column:
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
+
+    points = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(us_of("ts") / _RANGE_BIN_US).alias("bin"),
+    )
+    intervals = (
+        ev.where(F.col("value") >= _INCIDENT_VALUE)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("user_id"),
+            F.col("ts").alias("start_ts"),
+        )
+        .select(
+            "incident_id",
+            "user_id",
+            "start_ts",
+            F.explode(
+                F.sequence(
+                    F.floor(us_of("start_ts") / _RANGE_BIN_US),
+                    F.floor(us_of("start_ts") / _RANGE_BIN_US) + 1,
+                )
+            ).alias("bin"),
+        )
+    )
+    end_ts = F.col("start_ts") + F.expr(
+        f"INTERVAL {_INCIDENT_WINDOW_H} HOURS"
+    )
+    return (
+        points.join(intervals, ["user_id", "bin"])
+        .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < end_ts))
+        .select(
+            "incident_id",
+            "event_id",
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, start_ts, ts)")
+            .cast("bigint")
+            .alias("delta_us"),
+        )
+    )

@@ -135,3 +135,36 @@ class TestTfidfTopTerms:
         for r in q.fn(spark, sf_dir).collect():
             if r.term in everywhere:
                 assert r.tfidf_micro == 0
+
+
+class TestRangeJoinIncidents:
+    def test_matches_naive_theta_join(self, spark, sf_dir):
+        from datetime import timedelta
+
+        from multi_crm_cross_sell_spark.plans.events import (
+            _INCIDENT_VALUE,
+            _INCIDENT_WINDOW_H,
+        )
+
+        q = all_queries()["range_join_incidents"]
+        got = {
+            (r.incident_id, r.event_id): r.delta_us
+            for r in q.fn(spark, sf_dir).collect()
+        }
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        width = timedelta(hours=_INCIDENT_WINDOW_H)
+        want = {}
+        for i in events:
+            if i.value >= _INCIDENT_VALUE:
+                for p in events:
+                    if (
+                        p.user_id == i.user_id
+                        and i.ts <= p.ts < i.ts + width
+                    ):
+                        delta = p.ts - i.ts
+                        want[(i.event_id, p.event_id)] = (
+                            delta.days * 86_400_000_000
+                            + delta.seconds * 1_000_000
+                            + delta.microseconds
+                        )
+        assert got == want

@@ -113,3 +113,13 @@ def test_ngram_gram_pipeline_runs_once(spark):
     assert len(re.findall(r"FileScan parquet", final)) == 1, final
     assert len(re.findall(r"Window", final)) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # The whole point of the bin-bucketed rewrite: the inequality join
+    # must plan as a hash equi-join on (user_id, bin), never as a
+    # nested-loop / cartesian over the per-user groups.
+    plan = _plan(spark, "range_join_incidents")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan, plan
