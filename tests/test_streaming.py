@@ -209,3 +209,47 @@ def test_event_id_unique_fixture_invariant(spark, sf_dir):
         f"{row.nd} distinct — stateful_streaming_dedup's oracle "
         "assumption is broken"
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the batch bin-bucketed range join finds on the same
+    data (plans/events.range_join_incidents semantics)."""
+    from multi_crm_cross_sell_spark.streaming.joins import interval_join
+
+    src = str(events_dir / "src")
+    batch_df = spark.read.parquet(src)
+    stream = stream_source(spark, src, batch_df.schema)
+    joined = interval_join(stream)
+    out = str(events_dir / "out_ijoin")
+    ck = str(events_dir / "ck_ijoin")
+    run_available_now(joined, ck, out)
+
+    got = {
+        (r.incident_id, r.event_id, r.delta_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    i = batch_df.where(F.col("value") >= 150.0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("i_user_id"),
+        F.col("ts").alias("start_ts"),
+    )
+    expected = {
+        (r.incident_id, r.event_id, r.delta_us)
+        for r in batch_df.join(
+            i,
+            (F.col("user_id") == F.col("i_user_id"))
+            & (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("start_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            "incident_id",
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, start_ts, ts)")
+            .cast("bigint")
+            .alias("delta_us"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert got, "fixture must produce at least one pair"
