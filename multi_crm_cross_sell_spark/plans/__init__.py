@@ -54,6 +54,7 @@ _TAIL = (
     "unigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
     "tfidf_top_terms",  # NEW r6, parked at birth; rotates in next round
     "range_join_incidents",  # NEW r6, parked at birth; rotates in next round
+    "corpus_curation_report",  # NEW r6, parked at birth; rotates in next round
 )
 
 

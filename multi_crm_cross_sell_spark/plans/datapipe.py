@@ -1921,3 +1921,139 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _TFIDF_K)
     )
+
+
+_CURATION_QUALITY_MIN = 0.59
+
+
+@register(
+    "corpus_curation_report",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, text, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, LEN(ws) - {_DECON_N} + 2),
+               i -> ARRAY_TO_STRING(ws[i:i + {_DECON_N} - 1], ' '))) AS g
+      FROM words WHERE LEN(ws) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t JOIN bench b USING (g)
+      WHERE t.doc_id % {_DECON_MOD} != 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             0.3 * LEAST(1.0, LEN(ws) / 100.0)
+               + 0.3 * (1.0 - CAST(LEN(LIST_FILTER(ws,
+                   x -> x IN {_STOPWORDS!r})) AS DOUBLE) / LEN(ws))
+               + 0.4 * (CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE) / LEN(ws))
+               AS quality_score
+      FROM words
+    )
+    SELECT d.doc_id,
+           CASE
+             WHEN d.doc_id % {_DECON_MOD} = 0 THEN 'eval_holdout'
+             WHEN fp.canonical != d.doc_id THEN 'exact_dup'
+             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN q.quality_score < {_CURATION_QUALITY_MIN} THEN 'low_quality'
+             ELSE 'kept'
+           END AS reason,
+           (d.doc_id % {_DECON_MOD} != 0 AND fp.canonical = d.doc_id
+            AND c.doc_id IS NULL
+            AND q.quality_score >= {_CURATION_QUALITY_MIN}) AS kept
+    FROM documents d
+    JOIN fp ON d.doc_id = fp.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    """,
+    tags=("curation", "pipeline", "composition", "beyond-reference"),
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation decision, per document: the
+    composition every training-data pipeline ships as its final pass.
+    The drop ladder (first failing gate wins) is eval_holdout →
+    exact_dup (non-canonical copy by md5 fingerprint) → contaminated
+    (shares an n-gram with the holdout slice) → low_quality (composite
+    score below the gate) → kept. Emitting the REPORT rather than the
+    filtered corpus keeps every decision auditable — the kept corpus
+    is one `WHERE kept` away.
+
+    Parity note: the quality gate compares a float, but every term is
+    rational arithmetic (+ × ÷ least) on integer-derived values —
+    correctly-rounded IEEE ops, so the double is bit-identical across
+    engines and the comparison is exact (no transcendentals on this
+    path).
+
+    Scale shape: three narrow per-doc pipelines (fingerprint window on
+    md5(text) — one shuffle ∝ docs; broadcast-gram contamination join
+    as in benchmark_decontamination; quality as pure projection)
+    joined back on doc_id. At 100 TB the fingerprint window is the
+    only corpus-sized shuffle, and it moves 16-byte hashes + ids, not
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    grams = docs.where(F.size(words) >= _DECON_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (_DECON_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, _DECON_N)),
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+
+    w_fp = Window.partitionBy(F.md5(F.col("text")))
+    t = words
+    n_tokens = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    quality = (
+        0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - stop_ratio)
+        + 0.4 * ttr
+    )
+    base = docs.select(
+        "doc_id",
+        F.min("doc_id").over(w_fp).alias("canonical"),
+        quality.alias("quality_score"),
+    )
+    holdout = F.col("doc_id") % _DECON_MOD == 0
+    is_dup = F.col("canonical") != F.col("doc_id")
+    is_cont = F.col("is_contaminated").isNotNull()
+    low_q = F.col("quality_score") < _CURATION_QUALITY_MIN
+    return base.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        F.when(holdout, F.lit("eval_holdout"))
+        .when(is_dup, F.lit("exact_dup"))
+        .when(is_cont, F.lit("contaminated"))
+        .when(low_q, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        (~holdout & ~is_dup & ~is_cont & ~low_q).alias("kept"),
+    )

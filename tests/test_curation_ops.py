@@ -168,3 +168,58 @@ class TestRangeJoinIncidents:
                             + delta.microseconds
                         )
         assert got == want
+
+
+class TestCorpusCurationReport:
+    def test_ladder_matches_python(self, spark, sf_dir):
+        import hashlib
+
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _CURATION_QUALITY_MIN,
+            _STOPWORDS,
+        )
+
+        q = all_queries()["corpus_curation_report"]
+        got = {r.doc_id: (r.reason, r.kept) for r in q.fn(spark, sf_dir).collect()}
+        docs = _docs(spark, sf_dir)
+        assert set(got) == set(docs)
+
+        bench_grams = set()
+        for did, text in docs.items():
+            if did % _DECON_MOD == 0:
+                bench_grams |= _ngrams(text, _DECON_N)
+        canonical: dict[str, int] = {}
+        for did in sorted(docs):
+            canonical.setdefault(
+                hashlib.md5(docs[did].encode()).hexdigest(), did
+            )
+        for did, text in docs.items():
+            ws = text.split(" ")
+            if did % _DECON_MOD == 0:
+                want = "eval_holdout"
+            elif canonical[hashlib.md5(text.encode()).hexdigest()] != did:
+                want = "exact_dup"
+            elif _ngrams(text, _DECON_N) & bench_grams:
+                want = "contaminated"
+            else:
+                # identical rational arithmetic to the engine expression
+                quality = (
+                    0.3 * min(1.0, len(ws) / 100.0)
+                    + 0.3 * (1.0 - sum(w in _STOPWORDS for w in ws) / len(ws))
+                    + 0.4 * (len(set(ws)) / len(ws))
+                )
+                want = "low_quality" if quality < _CURATION_QUALITY_MIN else "kept"
+            assert got[did] == (want, want == "kept"), did
+
+    def test_every_reason_is_terminal(self, spark, sf_dir):
+        q = all_queries()["corpus_curation_report"]
+        rows = q.fn(spark, sf_dir).collect()
+        reasons = {r.reason for r in rows}
+        assert reasons <= {
+            "eval_holdout",
+            "exact_dup",
+            "contaminated",
+            "low_quality",
+            "kept",
+        }
+        assert all((r.reason == "kept") == r.kept for r in rows)
