@@ -86,6 +86,20 @@ def get_spark(
         # recover. 1000 entries keeps the whole catalog warm; the
         # cache stores compiled classes, so the cost is tens of MB.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # The other half of the same failure mode, one layer down: the
+        # JVM's JIT code cache (ReservedCodeCacheSize, default 240 MB)
+        # holds the C2-COMPILED native code for those generated
+        # classes. A catalog-wide session compiles hundreds of codegen
+        # stages; once the code cache fills, HotSpot stops (or, with
+        # flushing, keeps evicting) compilation — and the largest
+        # class (the banded-simhash vote aggregate) runs INTERPRETED,
+        # measured ~10s in-bench vs ~1.3s once C2-compiled in a
+        # dedicated session, with min-of-n unable to recover. 1 GB
+        # keeps every stage's native code resident.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     return tune(builder.getOrCreate())
