@@ -56,6 +56,15 @@ QUERIES = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "cosine_topk_bruteforce",
+    # Round-6 curation family: token-disjoint replicas preserve the
+    # structure these depend on (gram overlap stays within-replica;
+    # doc_id % 50 holdout assignment survives the id shift because
+    # n_docs is a multiple of 50; vocab grows linearly, stressing the
+    # broadcast-frequency joins exactly as corpus growth would).
+    "benchmark_decontamination",
+    "unigram_lm_quality",
+    "tfidf_top_terms",
+    "corpus_curation_report",
 ]
 
 
