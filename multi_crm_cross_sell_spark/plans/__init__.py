@@ -55,6 +55,8 @@ _TAIL = (
     "tfidf_top_terms",  # NEW r6, parked at birth; rotates in next round
     "range_join_incidents",  # NEW r6, parked at birth; rotates in next round
     "corpus_curation_report",  # NEW r6, parked at birth; rotates in next round
+    "vocab_construction",  # NEW r6, parked at birth; rotates in next round
+    "document_token_ids",  # NEW r6, parked at birth; rotates in next round
 )
 
 

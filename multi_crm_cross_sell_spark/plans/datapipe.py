@@ -2057,3 +2057,148 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reason"),
         (~holdout & ~is_dup & ~is_cont & ~low_q).alias("kept"),
     )
+
+
+_VOCAB_SIZE = 20  # top-V corpus words (specials sit below this)
+_VOCAB_SPECIALS = ("<pad>", "<unk>", "<bos>", "<eos>")
+
+
+@register(
+    "vocab_construction",
+    oracle=f"""
+    WITH specials AS (
+      SELECT * FROM (VALUES
+        ('<pad>', 0, CAST(0 AS BIGINT)), ('<unk>', 1, CAST(0 AS BIGINT)),
+        ('<bos>', 2, CAST(0 AS BIGINT)), ('<eos>', 3, CAST(0 AS BIGINT))
+      ) AS t(token, token_id, freq)
+    ),
+    freq AS (
+      SELECT w AS token, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) + {len(_VOCAB_SPECIALS)} - 1
+               AS token_id
+      FROM freq
+    )
+    SELECT token, CAST(token_id AS INTEGER) AS token_id, freq FROM specials
+    UNION ALL
+    SELECT token, CAST(token_id AS INTEGER) AS token_id, freq
+    FROM ranked WHERE token_id < {_VOCAB_SIZE} + {len(_VOCAB_SPECIALS)}
+    """,
+    tags=("curation", "vocabulary", "tokenizer", "beyond-reference"),
+)
+def vocab_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary construction — the tokenizer-prep
+    step of a training pipeline: reserved special tokens at fixed ids,
+    then the top-V corpus words by count (ties broken on the token
+    string so the id assignment is total and engine-independent).
+
+    Scale shape: one map-side-combined token count (vocab-sized
+    result), then a rank over the vocab table only — the corpus never
+    shuffles token-level rows, and the top-V window runs on a table
+    the size of the vocabulary, not the corpus. The global
+    ROW_NUMBER's single-partition window is over ≤|vocab| rows by
+    construction; at web scale pre-filter with an approximate
+    count threshold before ranking to keep that window small."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_special = len(_VOCAB_SPECIALS)
+    specials = spark.createDataFrame(
+        [(t, i, 0) for i, t in enumerate(_VOCAB_SPECIALS)],
+        "token string, token_id int, freq long",
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = (
+        freq.select(
+            "token",
+            (F.row_number().over(w_rank) + n_special - 1).alias("token_id"),
+            "freq",
+        )
+        .where(F.col("token_id") < _VOCAB_SIZE + n_special)
+        .select("token", F.col("token_id").cast("int").alias("token_id"), "freq")
+    )
+    return specials.unionByName(ranked)
+
+
+@register(
+    "document_token_ids",
+    oracle=f"""
+    WITH freq AS (
+      SELECT w AS token, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+               + {len(_VOCAB_SPECIALS)} - 1 AS token_id
+      FROM freq
+      QUALIFY token_id < {_VOCAB_SIZE} + {len(_VOCAB_SPECIALS)}
+    ),
+    words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, i, ws[i] AS token
+      FROM words CROSS JOIN UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+    ),
+    ids AS (
+      SELECT p.doc_id, p.i, COALESCE(r.token_id, 1) AS id
+      FROM pos p LEFT JOIN ranked r ON p.token = r.token
+    )
+    SELECT doc_id,
+           STRING_AGG(CAST(id AS VARCHAR), ' ' ORDER BY i) AS input_ids,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN id = 1 THEN 1 ELSE 0 END) AS n_unk
+    FROM ids GROUP BY doc_id
+    """,
+    tags=("curation", "tokenizer", "encoding", "beyond-reference"),
+)
+def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → token-id encoding against the frequency-ranked
+    vocabulary (vocab_construction's word table), out-of-vocabulary
+    words mapped to <unk> (id 1) — the text-to-input_ids step that
+    feeds sequence_packing. Ids are emitted as a space-joined string
+    plus token/unk counts, so the result is exactly comparable across
+    engines without array-hashing concerns.
+
+    Scale shape: the vocab is small by construction and BROADCASTS to
+    the exploded token stream (left join, <unk> via coalesce); the
+    order-preserving re-aggregation rides collect_list(struct(pos,
+    id)) + array_sort — per-doc state only, shuffled once by doc_id
+    with map-side partial aggregation. The corpus-sized work is one
+    narrow explode + broadcast probe, same as every other pass in
+    this family."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_special = len(_VOCAB_SPECIALS)
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    vocab = freq.select(
+        "token", (F.row_number().over(w_rank) + n_special - 1).alias("token_id")
+    ).where(F.col("token_id") < _VOCAB_SIZE + n_special)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(1)).alias("id"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))),
+        lambda x: x["id"].cast("string"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.concat_ws(" ", ordered).alias("input_ids"),
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("id") == 1).cast("bigint")).alias("n_unk"),
+    )

@@ -223,3 +223,44 @@ class TestCorpusCurationReport:
             "kept",
         }
         assert all((r.reason == "kept") == r.kept for r in rows)
+
+
+class TestVocabAndEncoding:
+    def test_vocab_matches_python(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _VOCAB_SIZE,
+            _VOCAB_SPECIALS,
+        )
+
+        rows = all_queries()["vocab_construction"].fn(spark, sf_dir).collect()
+        got = {r.token: (r.token_id, r.freq) for r in rows}
+        docs = _docs(spark, sf_dir)
+        freq: Counter[str] = Counter()
+        for text in docs.values():
+            freq.update(text.split(" "))
+        ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = {t: (i, 0) for i, t in enumerate(_VOCAB_SPECIALS)}
+        for j, (w, c) in enumerate(ranked[:_VOCAB_SIZE]):
+            want[w] = (len(_VOCAB_SPECIALS) + j, c)
+        assert got == want
+
+    def test_token_ids_roundtrip(self, spark, sf_dir):
+        # Decoding input_ids through the vocab must reproduce the
+        # original text wherever the word is in-vocab, and <unk>
+        # positions must be exactly the out-of-vocab words.
+        vocab = {
+            r.token: r.token_id
+            for r in all_queries()["vocab_construction"].fn(spark, sf_dir).collect()
+        }
+        enc = {
+            r.doc_id: r
+            for r in all_queries()["document_token_ids"].fn(spark, sf_dir).collect()
+        }
+        docs = _docs(spark, sf_dir)
+        for did, text in docs.items():
+            ws = text.split(" ")
+            ids = [int(x) for x in enc[did].input_ids.split(" ")]
+            assert len(ids) == len(ws) == enc[did].n_tokens
+            want = [vocab.get(w, 1) for w in ws]
+            assert ids == want
+            assert enc[did].n_unk == sum(i == 1 for i in ids)
