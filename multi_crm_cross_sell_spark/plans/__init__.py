@@ -50,7 +50,12 @@ _TAIL = (
     "dataset_mix_downsample",  # NEW r6, parked at birth; rotates in next round
     "dataset_split_assignments",  # NEW r6, parked at birth; rotates in next round
     "sequence_packing",  # NEW r6, parked at birth; rotates in next round
-    "benchmark_decontamination",  # NEW r6, parked at birth; rotates in next round
+    # benchmark_decontamination is NOT parked: the flagship new
+    # curation op takes a window slot and gets its driver row this
+    # round; simhash_fingerprints parks in exchange (driver-green in
+    # earlier rounds; its §2/simhash coverage stays in-window via the
+    # banded blocking inside ngram_jaccard_dedup).
+    "simhash_fingerprints",
     "unigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
     "tfidf_top_terms",  # NEW r6, parked at birth; rotates in next round
     "range_join_incidents",  # NEW r6, parked at birth; rotates in next round
