@@ -65,6 +65,9 @@ QUERIES = [
     "unigram_lm_quality",
     "tfidf_top_terms",
     "corpus_curation_report",
+    # Events replicate as disjoint (event_id, user_id) ranges, so the
+    # binned range join's true pair count scales exactly linearly.
+    "range_join_incidents",
 ]
 
 
@@ -125,7 +128,35 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
     os.makedirs(out, exist_ok=True)
     # Match the source layout: one parquet FILE per table (testdata
     # ships bare files, load_table expects the same shape).
-    for name, df in (("documents", scaled_docs), ("embeddings", scaled_embs)):
+    # Events: replica k shifts event_id and user_id into disjoint
+    # ranges — per-user temporal structure is reproduced exactly
+    # within each replica and no cross-replica (user, time) pair can
+    # ever join, so range-join pair counts scale exactly linearly.
+    evs = spark.read.parquet(f"{src}/events.parquet")
+    n_ev = evs.agg(F.max("event_id")).collect()[0][0] + 1
+    n_users = evs.agg(F.max("user_id")).collect()[0][0] + 1
+    ev_parts = []
+    for k in range(factor):
+        e = evs
+        if k > 0:
+            e = evs.select(
+                (F.col("event_id") + F.lit(k * n_ev)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * n_users)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        ev_parts.append(e)
+    scaled_evs = ev_parts[0]
+    for p in ev_parts[1:]:
+        scaled_evs = scaled_evs.unionByName(p)
+
+    for name, df in (
+        ("documents", scaled_docs),
+        ("embeddings", scaled_embs),
+        ("events", scaled_evs),
+    ):
         tmp = f"{out}/_{name}_dir"
         df.coalesce(max(4, factor // 2)).write.mode("overwrite").parquet(tmp)
         # keep directory-parquet: spark.read.parquet handles both, and
@@ -151,7 +182,7 @@ def main() -> None:
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if rebuild or not os.path.exists(f"{OUT}/documents.parquet"):
+    if rebuild or not os.path.exists(f"{OUT}/events.parquet"):
         t0 = time.time()
         build_scaled(spark, SRC, OUT, FACTOR)
         print(f"# built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
