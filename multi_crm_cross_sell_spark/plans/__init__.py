@@ -62,6 +62,7 @@ _TAIL = (
     "corpus_curation_report",  # NEW r6, parked at birth; rotates in next round
     "vocab_construction",  # NEW r6, parked at birth; rotates in next round
     "document_token_ids",  # NEW r6, parked at birth; rotates in next round
+    "document_chunks",  # NEW r6, parked at birth; rotates in next round
 )
 
 

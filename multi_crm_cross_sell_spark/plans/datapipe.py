@@ -2202,3 +2202,64 @@ def document_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.sum((F.col("id") == 1).cast("bigint")).alias("n_unk"),
     )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "document_chunks",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, UNNEST(RANGE(0, LEN(ws), {_CHUNK_STRIDE})) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INTEGER) AS chunk_index,
+           CAST(s AS INTEGER) AS start_token,
+           CAST(LEAST({_CHUNK_TOKENS}, LEN(ws) - s) AS INTEGER)
+             AS n_chunk_tokens,
+           ARRAY_TO_STRING(ws[s + 1:LEAST(s + {_CHUNK_TOKENS}, LEN(ws))], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    tags=("curation", "chunking", "rag", "beyond-reference"),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks every 24
+    tokens, 8-token overlap) — the context-prep
+    pass for retrieval / embedding pipelines: every token position is
+    covered, boundaries overlap so no span is split without a witness
+    chunk, and (doc_id, chunk_index, start_token) is a pure function
+    of the text, reproducible across engines and runs.
+
+    Scale shape: pure narrow explode — no shuffle at all; chunk count
+    per doc is ceil(n_tokens / stride), so output size is a fixed
+    multiple (~C/S ≈ 1.33× tokens) of the corpus, produced at scan
+    speed. The overlap factor is the only storage lever and is
+    explicit in the two constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        F.explode(
+            F.sequence(F.lit(0), F.size(words) - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    n_ws = F.size(F.col("ws"))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_index"),
+        F.col("s").cast("int").alias("start_token"),
+        F.least(F.lit(_CHUNK_TOKENS), n_ws - F.col("s"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), F.col("s") + 1, _CHUNK_TOKENS)
+        ).alias("chunk_text"),
+    )

@@ -264,3 +264,35 @@ class TestVocabAndEncoding:
             want = [vocab.get(w, 1) for w in ws]
             assert ids == want
             assert enc[did].n_unk == sum(i == 1 for i in ids)
+
+
+class TestDocumentChunks:
+    def test_cover_and_reassemble(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _CHUNK_STRIDE,
+            _CHUNK_TOKENS,
+        )
+
+        by_doc: dict[int, list] = {}
+        for r in all_queries()["document_chunks"].fn(spark, sf_dir).collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        docs = _docs(spark, sf_dir)
+        assert set(by_doc) == set(docs)
+        for did, text in docs.items():
+            ws = text.split(" ")
+            chunks = sorted(by_doc[did], key=lambda r: r.chunk_index)
+            # chunk starts are exactly 0, S, 2S, ... < n_tokens
+            assert [c.start_token for c in chunks] == list(
+                range(0, len(ws), _CHUNK_STRIDE)
+            )
+            for c in chunks:
+                want = ws[c.start_token : c.start_token + _CHUNK_TOKENS]
+                assert c.chunk_text == " ".join(want)
+                assert c.n_chunk_tokens == len(want)
+            # stride-prefix reassembly reproduces the document exactly
+            rebuilt: list[str] = []
+            for c in chunks:
+                rebuilt.extend(
+                    c.chunk_text.split(" ")[:_CHUNK_STRIDE]
+                )
+            assert rebuilt == ws

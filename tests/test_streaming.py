@@ -253,3 +253,35 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     }
     assert got == expected
     assert got, "fixture must produce at least one pair"
+
+
+def test_drop_duplicates_within_watermark_native(spark, events_dir, tmp_path):
+    """Native bounded-state streaming dedup (Spark 3.5+
+    dropDuplicatesWithinWatermark) must agree with the custom
+    applyInPandasWithState dedup's contract on the doubled stream:
+    every event_id exactly once. The native form is the
+    engine-managed twin of streaming/stateful.stateful_dedup — the
+    watermark bounds per-key state lifetime the way the custom op's
+    TTL does."""
+    src = str(events_dir / "src")
+    batch_df = spark.read.parquet(src)
+    dup_src = str(tmp_path / "native_dup_src")
+    batch_df.coalesce(1).write.parquet(dup_src, mode="overwrite")
+    batch_df.coalesce(1).write.parquet(dup_src, mode="append")
+
+    stream = stream_source(spark, dup_src, batch_df.schema)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = str(tmp_path / "native_dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "native_dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "native dedup stream did not finish"
+    got = spark.read.parquet(out)
+    assert got.count() == batch_df.count()
+    assert got.select("event_id").distinct().count() == batch_df.count()
