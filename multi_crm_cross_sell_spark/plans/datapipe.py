@@ -1684,6 +1684,36 @@ _DECON_N = 8  # word n-gram length for contamination (13 at real scale)
 _DECON_MOD = 50  # doc_id % _DECON_MOD == 0 plays the held-out eval set
 
 
+def _word_gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) rows of word n-grams, EXPLODE-FIRST.
+
+    The obvious `explode(transform(sequence, i -> concat_ws(slice)))`
+    is the round-5 Generate pathology: Generate re-evaluates its child
+    per OUTPUT element, so the O(tokens)-sized array of O(n)-word
+    strings is rebuilt per gram — O(tokens² · n) character work per
+    document (measured: the 10× corpus's gram pass alone took 28s).
+    Explode the raw words instead, then assemble each gram per ROW
+    from n-1 lead() calls over one (doc_id, pos) window — linear,
+    whole-stage-codegen'd, one doc_id shuffle. The trailing
+    (incomplete) positions are dropped by requiring the last lead to
+    be non-null; concat_ws's null-skipping never produces a short
+    gram because those rows are filtered before the gram is used."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", n - 1).over(wnd).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "g")
+    )
+
+
 @register(
     "benchmark_decontamination",
     oracle=f"""
@@ -1732,16 +1762,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom filter over gram hashes instead of strings; the join below
     is that plan's exact-semantics anchor."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    grams = docs.where(F.size(words) >= _DECON_N).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (_DECON_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, _DECON_N)),
-            )
-        ).alias("g"),
-    )
+    grams = _word_gram_rows(docs, _DECON_N)
     bench = (
         grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
     )
@@ -2004,15 +2025,13 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
 
-    grams = docs.where(F.size(words) >= _DECON_N).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (_DECON_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, _DECON_N)),
-            )
-        ).alias("g"),
-    )
+    # The gram rows feed two consumers with DIFFERENT pushed filters
+    # (% 50 == 0 vs != 0), so their exchange subplans can never be
+    # canonically equal and ReusedExchange cannot fire — the pipeline
+    # would run twice per action. An eager localCheckpoint
+    # materializes it once (the near_dup_clusters technique); gram
+    # rows are two narrow columns, so the checkpoint is small.
+    grams = _word_gram_rows(docs, _DECON_N).localCheckpoint(eager=True)
     bench = grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
     contaminated = (
         grams.where(F.col("doc_id") % _DECON_MOD != 0)
