@@ -2262,12 +2262,19 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed. The overlap factor is the only storage lever and is
     explicit in the two constants."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    exploded = docs.select(
+    # Bind the split in its OWN projection before the explode:
+    # Generate re-evaluates its child per output element (round-5
+    # lesson), so a sequence bound on size(split(text)) would re-split
+    # the text once per chunk. With ws a bound column the per-element
+    # child is a size() lookup.
+    split_docs = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    exploded = split_docs.select(
         "doc_id",
-        words.alias("ws"),
+        "ws",
         F.explode(
-            F.sequence(F.lit(0), F.size(words) - 1, F.lit(_CHUNK_STRIDE))
+            F.sequence(F.lit(0), F.size(F.col("ws")) - 1, F.lit(_CHUNK_STRIDE))
         ).alias("s"),
     )
     n_ws = F.size(F.col("ws"))

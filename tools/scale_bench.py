@@ -68,6 +68,7 @@ QUERIES = [
     # Events replicate as disjoint (event_id, user_id) ranges, so the
     # binned range join's true pair count scales exactly linearly.
     "range_join_incidents",
+    "document_chunks",
 ]
 
 
