@@ -63,6 +63,8 @@ _TAIL = (
     "vocab_construction",  # NEW r6, parked at birth; rotates in next round
     "document_token_ids",  # NEW r6, parked at birth; rotates in next round
     "document_chunks",  # NEW r6, parked at birth; rotates in next round
+    "order_value_histogram",  # NEW r6, parked at birth; rotates in next round
+    "balance_outliers_zscore",  # NEW r6, parked at birth; rotates in next round
 )
 
 

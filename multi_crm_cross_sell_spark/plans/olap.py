@@ -238,3 +238,106 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_rank_band("a_p99", "lo_p99", "hi_p99").alias("p99_within_rank_tol"),
         "exact_rows",
     )
+
+
+_HIST_BUCKET = 50_000.0  # order-value histogram bucket width
+
+
+@register(
+    "order_value_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {_HIST_BUCKET}) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / {_HIST_BUCKET}) * {_HIST_BUCKET} AS DOUBLE)
+             AS bucket_lo,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("olap", "histogram", "beyond-reference"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram over order totals: fixed-width
+    buckets via floor arithmetic (engine-exact — the inputs carry two
+    fractional digits, so no value sits close enough to a bucket
+    boundary for a ulp to flip the floor), with per-bucket count and
+    min/max. One map-side-combined aggregation whose shuffle carries
+    one row per bucket — the constant-size answer shape that makes
+    histograms the right first look at a 100 TB column."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_BUCKET)
+    return o.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * _HIST_BUCKET).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+_Z_THRESHOLD = 1.6  # balances are near-uniform (|z| tops out near sqrt(3)); 1.6 flags the cohort tails
+
+
+@register(
+    "balance_outliers_zscore",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS u
+      FROM customer
+    ),
+    mom AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n, SUM(u) AS s1, SUM(u * u) AS s2
+      FROM cents GROUP BY c_nationkey
+    ),
+    z AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+             ROUND(
+               (c.u - CAST(m.s1 AS DOUBLE) / m.n)
+               / SQRT((m.n * CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1)
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1))),
+               6
+             ) AS zscore
+      FROM cents c JOIN mom m USING (c_nationkey)
+      WHERE m.n > 1
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal, zscore
+    FROM z WHERE ABS(zscore) > {_Z_THRESHOLD}
+    """,
+    tags=("olap", "outliers", "zscore", "parity", "beyond-reference"),
+)
+def balance_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier report (|z| > 1.6 account balances
+    within each nation) — the validation pass that flags anomalous
+    rows against their cohort. Second-moment parity discipline: both
+    Σx and Σx² accumulate as exact integer CENTS (associative, order-
+    independent — the plans/_parity.py argument extended to variance;
+    cents² of a 5-digit balance stays ~1e12/row, far under 2^63), so
+    mean and stddev derive from identical integers in both engines and
+    only the final per-row divide/sqrt are floats, rounded at 6dp.
+
+    Scale shape: one map-side-combined moments aggregate (one row per
+    group) broadcast back onto the row stream — no window over the
+    full table, no second shuffle; the emitted set is outliers only."""
+    c = load_table(spark, sf_dir, "customer")
+    u = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    cents = c.select("c_custkey", "c_nationkey", "c_acctbal", u.alias("u"))
+    mom = cents.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = F.round((F.col("u") - mean) / F.sqrt(var), 6)
+    return (
+        cents.join(F.broadcast(mom.where(F.col("n") > 1)), "c_nationkey")
+        .select("c_custkey", "c_nationkey", "c_acctbal", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > _Z_THRESHOLD)
+    )
