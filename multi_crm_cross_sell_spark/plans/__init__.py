@@ -23,13 +23,19 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # previously driver-green variants (each still §2-covered by an
 # in-window sibling, and all re-verified locally this round).
 _TAIL = (
-    # Round-6 rotation: the thirteen entries parked in round 5 rejoin
-    # the window (each gets its round-6 driver row per the contract);
-    # these thirteen — every one driver-green in round 5
-    # (CORRECTNESS_r05) — park in their place. Each parked entry's §2
-    # coverage stays in-window via the named sibling. The three
-    # queries whose oracles changed this round (ngram_jaccard_dedup,
-    # approx_distinct_stats, ml_training_scores) all stay in-window.
+    # Round-6 rotation, final shape (27 parked / 50 in-window / 77
+    # registered): the thirteen entries parked in round 5 rejoin the
+    # window (each gets its round-6 driver row per the contract);
+    # thirteen previously driver-green variants park in their place,
+    # plus simhash_fingerprints swaps out so benchmark_decontamination
+    # (flagship new op) gets an in-window slot. The other THIRTEEN
+    # round-6 additions are parked at birth — every one exact-equality
+    # green under tools/check.py this round (the full 77-query sweep
+    # is recorded in SCALE.md) — and rotate into the window next
+    # round. Each parked entry's §2 coverage stays in-window via the
+    # named sibling. The queries whose oracles changed this round
+    # (ngram_jaccard_dedup, approx_distinct_stats, ml_training_scores)
+    # all stay in-window.
     "customers_without_urgent_orders",  # J7 anti; semi variant rotated back in
     "event_tumbling_windows",  # ST5; sliding rotated back in + sessionization stays
     "weekly_order_rollup",  # A2; daily_order_stats rotated back in
