@@ -82,3 +82,30 @@ class TestNormalizeBatchProperties:
             assert r.n1 == r.n1.lower()
             assert "  " not in r.n1  # collapsed whitespace
             assert not any(ch in r.n1 for ch in ".,")  # punctuation gone
+
+
+class TestWordGramRowsProperties:
+    def test_matches_python_ngrams_on_random_corpus(self, spark):
+        from collections import Counter
+
+        from multi_crm_cross_sell_spark.plans.datapipe import _word_gram_rows
+
+        rng = random.Random(7)
+        vocab = ["a", "bb", "ccc", "x", "yz", "qqq", "n7"]
+        corpus = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+        )
+        for n in (2, 3, 8):
+            got: dict[int, Counter] = {}
+            for r in _word_gram_rows(df, n).collect():
+                got.setdefault(r.doc_id, Counter())[r.g] += 1
+            for i, t in enumerate(corpus):
+                ws = t.split(" ")
+                want = Counter(
+                    " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+                )
+                assert got.get(i, Counter()) == want, (n, i)
