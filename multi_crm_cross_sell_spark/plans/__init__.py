@@ -23,15 +23,15 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # previously driver-green variants (each still §2-covered by an
 # in-window sibling, and all re-verified locally this round).
 _TAIL = (
-    # Round-6 rotation, final shape (27 parked / 50 in-window / 77
+    # Round-6 rotation, final shape (28 parked / 50 in-window / 78
     # registered): the thirteen entries parked in round 5 rejoin the
     # window (each gets its round-6 driver row per the contract);
     # thirteen previously driver-green variants park in their place,
     # plus simhash_fingerprints swaps out so benchmark_decontamination
-    # (flagship new op) gets an in-window slot. The other THIRTEEN
+    # (flagship new op) gets an in-window slot. The other FOURTEEN
     # round-6 additions are parked at birth — every one exact-equality
-    # green under tools/check.py this round (the full 77-query sweep
-    # is recorded in SCALE.md) — and rotate into the window next
+    # green under tools/check.py this round (full-sweep counts are
+    # recorded in SCALE.md) — and rotate into the window next
     # round. Each parked entry's §2 coverage stays in-window via the
     # named sibling. The queries whose oracles changed this round
     # (ngram_jaccard_dedup, approx_distinct_stats, ml_training_scores)
@@ -71,6 +71,7 @@ _TAIL = (
     "document_chunks",  # NEW r6, parked at birth; rotates in next round
     "order_value_histogram",  # NEW r6, parked at birth; rotates in next round
     "balance_outliers_zscore",  # NEW r6, parked at birth; rotates in next round
+    "bigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
 )
 
 

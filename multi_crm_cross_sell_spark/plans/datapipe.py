@@ -2289,3 +2289,103 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("ws"), F.col("s") + 1, _CHUNK_TOKENS)
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "bigram_lm_quality",
+    oracle="""
+    WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i, ws[i] AS w,
+             CASE WHEN i > 1 THEN ws[i - 1] END AS prev
+      FROM words CROSS JOIN UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+    ),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+    v AS (SELECT COUNT(*) AS vsz FROM uni),
+    bi AS (
+      SELECT prev, w, COUNT(*) AS c2 FROM toks
+      WHERE prev IS NOT NULL GROUP BY prev, w
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN(CAST(u.c1 + v.vsz AS DOUBLE)
+                           / (COALESCE(b.c2, 0) + 1)) * 1e6) AS BIGINT)
+               AS nll_micro
+      FROM toks t
+      JOIN uni u ON t.prev = u.w
+      LEFT JOIN bi b ON t.prev = b.prev AND t.w = b.w
+      CROSS JOIN v
+      WHERE t.prev IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(nll_micro) AS sum_nll_micro,
+           ROUND(SUM(nll_micro) / (COUNT(*) * 1e6), 6) AS avg_nll,
+           ROUND(EXP(SUM(nll_micro) / (COUNT(*) * 1e6)), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("curation", "quality", "language-model", "bigram", "beyond-reference"),
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring with add-one smoothing: per-token
+    -ln P(w | prev) where P = (c(prev,w) + 1) / (c(prev) + |V|) — the
+    conditional-probability upgrade of unigram_lm_quality, scoring
+    word ORDER, not just word choice (a shuffled document keeps its
+    unigram score but its bigram perplexity rises). Same integer
+    micro-nat parity discipline: the only floats are the final
+    per-row avg/exp, rounded at 6dp.
+
+    Scale shape: (prev, w) pairs come from one lead() over the
+    (doc_id, pos) token window — explode-first, no arrays; the bigram
+    and unigram count tables are vocabulary-sized and BROADCAST back
+    onto the pair stream (|V| rides a 1-row broadcast cross join); the
+    per-doc reduction shuffles one row per document. The only
+    vocabulary-quadratic object is the OBSERVED-bigram table, which is
+    corpus-bounded (≤ tokens), never |V|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.lag("w").over(wnd).alias("prev"), "w")
+        .where(F.col("prev").isNotNull())
+    )
+    # c(prev) counts every occurrence of the word anywhere (the
+    # standard add-one denominator), not only occurrences with a
+    # successor — the oracle aggregates over toks the same way.
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    vsz = uni.agg(F.count("*").alias("vsz"))
+    bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "prev")), "prev")
+        .join(F.broadcast(bi), ["prev", "w"], "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c1") + F.col("vsz")).cast("double")
+                    / (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    avg = F.col("sum_nll_micro") / (F.col("n_bigrams") * F.lit(1e6))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_nll_micro",
+            F.round(avg, 6).alias("avg_nll"),
+            F.round(F.exp(avg), 6).alias("ppl"),
+        )
+    )

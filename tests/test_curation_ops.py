@@ -296,3 +296,58 @@ class TestDocumentChunks:
                     c.chunk_text.split(" ")[:_CHUNK_STRIDE]
                 )
             assert rebuilt == ws
+
+
+class TestBigramLmQuality:
+    def test_matches_python_bigram_lm(self, spark, sf_dir):
+        q = all_queries()["bigram_lm_quality"]
+        got = {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
+        docs = _docs(spark, sf_dir)
+        uni: Counter[str] = Counter()
+        bi: Counter[tuple[str, str]] = Counter()
+        for text in docs.values():
+            ws = text.split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        v = len(uni)
+        for did, text in docs.items():
+            ws = text.split(" ")
+            if len(ws) < 2:
+                assert did not in got
+                continue
+            sum_micro = sum(
+                int(round(math.log((uni[p] + v) / (bi[(p, w)] + 1)) * 1e6))
+                for p, w in zip(ws, ws[1:])
+            )
+            r = got[did]
+            assert r.n_bigrams == len(ws) - 1
+            assert r.sum_nll_micro == sum_micro
+            avg = sum_micro / (r.n_bigrams * 1e6)
+            assert abs(r.ppl - math.exp(avg)) < 1e-4
+
+    def test_word_order_sensitivity(self, spark, sf_dir):
+        # The property unigram scoring cannot have: a document's score
+        # depends on adjacency. Observed bigrams must be cheaper than
+        # unseen ones — every add-one-smoothed seen transition has
+        # nll < ln(c(prev) + V) while an unseen one equals it.
+        docs = _docs(spark, sf_dir)
+        uni: Counter[str] = Counter()
+        bi: Counter[tuple[str, str]] = Counter()
+        for text in docs.values():
+            ws = text.split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        v = len(uni)
+        seen = next(iter(bi))
+        unseen = None
+        for p in list(uni)[:50]:
+            for w in list(uni)[:50]:
+                if (p, w) not in bi:
+                    unseen = (p, w)
+                    break
+            if unseen:
+                break
+        assert unseen is not None
+        nll_seen = math.log((uni[seen[0]] + v) / (bi[seen] + 1))
+        nll_unseen = math.log(uni[unseen[0]] + v)
+        assert nll_seen < nll_unseen
