@@ -2335,13 +2335,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nat parity discipline: the only floats are the final
     per-row avg/exp, rounded at 6dp.
 
-    Scale shape: (prev, w) pairs come from one lead() over the
-    (doc_id, pos) token window — explode-first, no arrays; the bigram
-    and unigram count tables are vocabulary-sized and BROADCAST back
-    onto the pair stream (|V| rides a 1-row broadcast cross join); the
-    per-doc reduction shuffles one row per document. The only
-    vocabulary-quadratic object is the OBSERVED-bigram table, which is
-    corpus-bounded (≤ tokens), never |V|²."""
+    Scale shape: (prev, w) pairs come from one lag() over the
+    (doc_id, pos) token window — explode-first, no arrays. The
+    unigram table is vocabulary-sized and BROADCASTS (|V| rides a
+    1-row broadcast cross join); the OBSERVED-bigram table is
+    corpus-bounded (≤ tokens, never |V|²), so its join is left to the
+    planner — broadcast while it fits, shuffle join on (prev, w)
+    beyond. The per-doc reduction shuffles one row per document."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -2357,9 +2357,14 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
     vsz = uni.agg(F.count("*").alias("vsz"))
     bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    # uni and the 1-row |V| are vocabulary-sized → broadcast hints.
+    # bi is NOT: observed bigrams are corpus-bounded (≤ tokens), so
+    # the hint is left to the planner — AQE broadcasts it while it
+    # fits and falls back to a shuffle join on (prev, w) beyond that,
+    # which is the correct 100 TB plan.
     scored = (
         pairs.join(F.broadcast(uni.withColumnRenamed("w", "prev")), "prev")
-        .join(F.broadcast(bi), ["prev", "w"], "left")
+        .join(bi, ["prev", "w"], "left")
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",

@@ -69,6 +69,7 @@ QUERIES = [
     # binned range join's true pair count scales exactly linearly.
     "range_join_incidents",
     "document_chunks",
+    "bigram_lm_quality",
 ]
 
 
