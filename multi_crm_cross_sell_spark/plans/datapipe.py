@@ -2394,3 +2394,90 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(avg), 6).alias("ppl"),
         )
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS maxabs
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id, embedding, maxabs,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(ROUND(x * 127.0 / maxabs) AS BIGINT))
+               AS qv
+      FROM q WHERE maxabs > 0
+    )
+    SELECT vec_id,
+           ROUND(maxabs, 9) AS scale,
+           ARRAY_TO_STRING(qv, ' ') AS qvals,
+           ROUND(LIST_MAX(LIST_TRANSFORM(
+             RANGE(1, LEN(qv) + 1),
+             i -> ABS(CAST(embedding[i] AS DOUBLE)
+                      - qv[i] * CAST(maxabs AS DOUBLE) / 127.0))), 9)
+             AS max_err
+    FROM enc
+    """,
+    tags=("embeddings", "quantization", "int8", "beyond-reference"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    absmax scale, q = round(x·127/scale), plus the measured max
+    reconstruction error — the storage/bandwidth lever real ANN
+    deployments pull (4× smaller vectors, SIMD int8 dot products)
+    with the error bound surfaced as data instead of assumed.
+
+    Parity notes: the scale is the float32 absmax (comparisons are
+    exact), the quantized codes are integers from identical
+    double-promoted arithmetic in both engines (round-half-away and
+    round-HALF_UP agree away from exact .5, which float inputs never
+    hit), and codes are emitted space-joined so the row hashes
+    engine-stably. Per-element work rides codegen'd HOFs bound in
+    their own projections (round-3 lesson: an alias referenced by
+    multiple downstream lambdas must be materialized once).
+
+    Scale shape: pure projection — zero shuffles, linear scan, the
+    shape that matters when quantizing 10^11 vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    with_max = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias(
+            "maxabs"
+        ),
+    ).where(F.col("maxabs") > 0)
+    enc = with_max.select(
+        "vec_id",
+        "embedding",
+        "maxabs",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("bigint"),
+        ).alias("qv"),
+    )
+    # Explicit doubles: q (bigint) times a FLOAT maxabs would compute
+    # the product in float32 and drift ~1e-7 relative off the oracle's
+    # double path — every arithmetic step here is pinned to double
+    # (float→double widening is exact, so both engines see identical
+    # inputs).
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, q: F.abs(
+                x.cast("double")
+                - q.cast("double") * F.col("maxabs").cast("double") / 127.0
+            ),
+        )
+    )
+    return enc.select(
+        "vec_id",
+        F.round(F.col("maxabs"), 9).alias("scale"),
+        F.array_join(
+            F.transform("qv", lambda q: q.cast("string")), " "
+        ).alias("qvals"),
+        F.round(err, 9).alias("max_err"),
+    )

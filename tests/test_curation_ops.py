@@ -351,3 +351,33 @@ class TestBigramLmQuality:
         nll_seen = math.log((uni[seen[0]] + v) / (bi[seen] + 1))
         nll_unseen = math.log(uni[unseen[0]] + v)
         assert nll_seen < nll_unseen
+
+
+class TestEmbeddingInt8Quantize:
+    def test_codes_in_range_and_error_bounded(self, spark, sf_dir):
+        rows = (
+            all_queries()["embedding_int8_quantize"].fn(spark, sf_dir).collect()
+        )
+        assert rows
+        for r in rows:
+            codes = [int(c) for c in r.qvals.split(" ")]
+            assert all(-127 <= c <= 127 for c in codes), r.vec_id
+            # |x - q*s/127| <= s/254 from round()'s half-step, plus
+            # rounding slack on the reported 9dp values
+            assert r.max_err <= r.scale / 254 + 1e-8, r.vec_id
+
+    def test_roundtrip_matches_python(self, spark, sf_dir):
+        got = {
+            r.vec_id: r
+            for r in all_queries()["embedding_int8_quantize"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        for e in embs:
+            mx = max(abs(x) for x in e.embedding)
+            if mx == 0:
+                assert e.vec_id not in got
+                continue
+            codes = [int(round(x * 127.0 / mx)) for x in e.embedding]
+            assert [int(c) for c in got[e.vec_id].qvals.split(" ")] == codes
