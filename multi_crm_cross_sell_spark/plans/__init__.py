@@ -23,12 +23,12 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # previously driver-green variants (each still §2-covered by an
 # in-window sibling, and all re-verified locally this round).
 _TAIL = (
-    # Round-6 rotation, final shape (29 parked / 50 in-window / 79
+    # Round-6 rotation, final shape (30 parked / 50 in-window / 80
     # registered): the thirteen entries parked in round 5 rejoin the
     # window (each gets its round-6 driver row per the contract);
     # thirteen previously driver-green variants park in their place,
     # plus simhash_fingerprints swaps out so benchmark_decontamination
-    # (flagship new op) gets an in-window slot. The other FIFTEEN
+    # (flagship new op) gets an in-window slot. The other SIXTEEN
     # round-6 additions are parked at birth — every one exact-equality
     # green under tools/check.py this round (full-sweep counts are
     # recorded in SCALE.md) — and rotate into the window next
@@ -73,6 +73,7 @@ _TAIL = (
     "balance_outliers_zscore",  # NEW r6, parked at birth; rotates in next round
     "bigram_lm_quality",  # NEW r6, parked at birth; rotates in next round
     "embedding_int8_quantize",  # NEW r6, parked at birth; rotates in next round
+    "textrank_keywords",  # NEW r6, parked at birth; rotates in next round
 )
 
 

@@ -2481,3 +2481,141 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qvals"),
         F.round(err, 9).alias("max_err"),
     )
+
+
+_TEXTRANK_ITERS = 10
+_TEXTRANK_TOPK = 20
+
+
+def _textrank_oracle() -> str:
+    base = f"""
+    WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i, ws[i] AS w,
+             CASE WHEN i > 1 THEN ws[i - 1] END AS prev
+      FROM words CROSS JOIN UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+    ),
+    bi AS (
+      SELECT prev AS a, w AS b, COUNT(*) AS cnt FROM toks
+      WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst, cnt FROM bi
+      UNION ALL SELECT b, a, cnt FROM bi
+    ),
+    edges0 AS (SELECT src, dst, SUM(cnt) AS cnt FROM sym GROUP BY 1, 2),
+    wout AS (SELECT src, SUM(cnt) AS wout FROM edges0 GROUP BY 1),
+    edges AS (
+      SELECT e.src, e.dst, e.cnt, o.wout FROM edges0 e JOIN wout o USING (src)
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges0
+      UNION SELECT DISTINCT dst FROM edges0
+    ),
+    pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = ""
+    for k in range(_TEXTRANK_ITERS):
+        steps += f""",
+    s{k} AS (
+      SELECT e.dst AS node, SUM((p.r * e.cnt) // e.wout) AS acc
+      FROM edges e JOIN pr{k} p ON p.node = e.src GROUP BY e.dst
+    ),
+    pr{k + 1} AS (
+      SELECT n.node, 150000000 + (85 * COALESCE(s.acc, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN s{k} s USING (node)
+    )"""
+    return (
+        base
+        + steps
+        + f"""
+    SELECT node AS word, r AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INTEGER) AS rnk
+    FROM pr{_TEXTRANK_ITERS} QUALIFY rnk <= {_TEXTRANK_TOPK}
+    """
+    )
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("curation", "textrank", "pagerank", "iterative", "beyond-reference"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the symmetrized word
+    co-occurrence (bigram) graph, top-20 by final rank — the classic
+    unsupervised keyword pass, and the engine's weighted-fixpoint
+    iterative showcase alongside connected components.
+
+    DETERMINISTIC FIXPOINT: float PageRank sums are partition-order-
+    dependent, so instead every quantity is an integer — ranks in 1e9
+    micro-units, per-edge contributions floor((r·w) div wout), damping
+    as (85·S) div 100 — making all 10 iterations EXACTLY reproducible
+    on any engine, any partitioning (integer sums are associative).
+    Products stay far under 2^63 (r ≤ |V|·1e9, cnt corpus-bounded).
+    Nodes without out-edges absorb rank (the simplified no-dangling-
+    redistribution variant); 10 fixed iterations rather than a float
+    convergence test keep the stopping rule engine-independent too.
+
+    Scale shape: per iteration, one broadcast-or-shuffle join of the
+    rank vector (|V| rows) onto the edge list and one map-side-
+    combined sum per dst — the standard distributed PageRank step.
+    The rank vector is localCheckpoint'ed per iteration so plan/
+    lineage size stays constant (the connected-components discipline);
+    the edge list is checkpointed once and reused by all 10 joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", F.lag("w").over(wnd).alias("a"), F.col("w").alias("b"))
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = bi.select("a", "b", "cnt").unionByName(
+        bi.select(F.col("b").alias("a"), F.col("a").alias("b"), "cnt")
+    )
+    edges0 = (
+        sym.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wout = edges0.groupBy("src").agg(F.sum("cnt").alias("wout"))
+    edges = edges0.join(wout, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges0.select(F.col("src").alias("node"))
+        .union(edges0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.select("node", F.lit(1_000_000_000).cast("bigint").alias("r"))
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * cnt) div wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("acc"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150_000_000)
+                    + F.expr("85 * coalesce(acc, 0) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w_rank = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        pr.select(
+            F.col("node").alias("word"),
+            F.col("r").alias("rank_micro"),
+            F.row_number().over(w_rank).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _TEXTRANK_TOPK)
+    )

@@ -381,3 +381,36 @@ class TestEmbeddingInt8Quantize:
                 continue
             codes = [int(round(x * 127.0 / mx)) for x in e.embedding]
             assert [int(c) for c in got[e.vec_id].qvals.split(" ")] == codes
+
+
+class TestTextrankKeywords:
+    def test_matches_exact_python_pagerank(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _TEXTRANK_ITERS,
+            _TEXTRANK_TOPK,
+        )
+
+        rows = all_queries()["textrank_keywords"].fn(spark, sf_dir).collect()
+        docs = _docs(spark, sf_dir)
+        bi: Counter[tuple[str, str]] = Counter()
+        for text in docs.values():
+            ws = text.split(" ")
+            bi.update(zip(ws, ws[1:]))
+        edges: Counter[tuple[str, str]] = Counter()
+        for (a, b), c in bi.items():
+            edges[(a, b)] += c
+            edges[(b, a)] += c
+        wout: Counter[str] = Counter()
+        for (s, _), c in edges.items():
+            wout[s] += c
+        nodes = {s for s, _ in edges} | {d for _, d in edges}
+        r = {n: 1_000_000_000 for n in nodes}
+        for _ in range(_TEXTRANK_ITERS):
+            acc: dict[str, int] = {}
+            for (s, d), c in edges.items():
+                acc[d] = acc.get(d, 0) + (r[s] * c) // wout[s]
+            r = {n: 150_000_000 + (85 * acc.get(n, 0)) // 100 for n in nodes}
+        want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:_TEXTRANK_TOPK]
+        got = sorted(rows, key=lambda x: x.rnk)
+        assert [(g.word, g.rank_micro) for g in got] == want
+        assert [g.rnk for g in got] == list(range(1, len(want) + 1))
