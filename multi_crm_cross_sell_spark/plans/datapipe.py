@@ -2551,7 +2551,16 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units, per-edge contributions floor((r·w) div wout), damping
     as (85·S) div 100 — making all 10 iterations EXACTLY reproducible
     on any engine, any partitioning (integer sums are associative).
-    Products stay far under 2^63 (r ≤ |V|·1e9, cnt corpus-bounded).
+    Overflow bound, stated honestly: each r·cnt product must stay
+    under 2^63. At test scale that is ~1e9-unit ranks times ~3e4
+    edge counts — nine orders of headroom — but a web-scale graph
+    where a hub word holds ~1e13 rank-units AND sits on a ~1e9-count
+    edge WOULD cross it, silently in non-ANSI Spark while the DuckDB
+    oracle errors. The guard is the long-units discipline's
+    (plans/_parity.py): tests/test_parity_guard.py runs this query
+    under spark.sql.ansi.enabled, where a crossing throws loudly;
+    beyond the bound, rescale ranks to 1e6 micro-units (three orders
+    of headroom at a precision cost the fixpoint tolerates).
     Nodes without out-edges absorb rank (the simplified no-dangling-
     redistribution variant); 10 fixed iterations rather than a float
     convergence test keep the stopping rule engine-independent too.

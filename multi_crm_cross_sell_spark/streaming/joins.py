@@ -25,7 +25,7 @@ def interval_join(
     points: DataFrame,
     incidents_value: float = 150.0,
     window_hours: int = 2,
-    watermark: str = "0 seconds",
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Join each streamed event to the incident windows it falls in.
 
@@ -36,6 +36,14 @@ def interval_join(
     user equality + the time interval, which is exactly the shape
     Spark's streaming join planner needs to compute state-cleanup
     thresholds for BOTH sides.
+
+    The watermark default matters across micro-batches: "0 seconds"
+    would drop any event older than the running max(ts) as late —
+    with multi-batch sources whose files are not strictly
+    time-ordered, pairs silently vanish and the batch-equivalence
+    contract breaks. The 2-hour default (matching windows.tumbling_agg)
+    tolerates that much disorder; size it to the source's real
+    lateness, trading state-store growth for late-pair completeness.
     """
     pts = points.withWatermark("ts", watermark).select(
         "event_id", "user_id", "ts"

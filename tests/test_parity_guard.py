@@ -42,3 +42,18 @@ def test_long_units_sums_hold_under_ansi(spark, name):
         f"{name}: ANSI and non-ANSI disagree — a long-units "
         "accumulator wrapped at test scale"
     )
+
+
+def test_textrank_integer_fixpoint_holds_under_ansi(spark):
+    """textrank_keywords' r*cnt products must not overflow at test
+    scale, and the failure mode at production scale must be loud:
+    under ANSI the identical plan throws on bigint overflow instead
+    of wrapping (see the query docstring's bound)."""
+    q = all_queries()["textrank_keywords"]
+    plain = q.fn(spark, SF).collect()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = q.fn(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, ansi))

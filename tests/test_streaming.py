@@ -285,3 +285,57 @@ def test_drop_duplicates_within_watermark_native(spark, events_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch_df.count()
     assert got.select("event_id").distinct().count() == batch_df.count()
+
+
+def test_stream_stream_interval_join_multi_batch(spark, events_dir, tmp_path):
+    """The real streaming regime: files arrive one micro-batch at a
+    time (maxFilesPerTrigger=1), split by TIME so each batch is
+    roughly ordered. The 2-hour watermark must keep enough state for
+    cross-boundary pairs (an interval opened near the end of file 1
+    joining points at the start of file 2) — the result must still be
+    exactly the batch theta join."""
+    from multi_crm_cross_sell_spark.streaming.joins import interval_join
+
+    src = str(events_dir / "src")
+    batch_df = spark.read.parquet(src)
+    mid = batch_df.agg(
+        F.expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    t_src = str(tmp_path / "time_split_src")
+    batch_df.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        t_src, mode="overwrite"
+    )
+    batch_df.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        t_src, mode="append"
+    )
+
+    stream = stream_source(
+        spark, t_src, batch_df.schema, max_files_per_trigger=1
+    )
+    joined = interval_join(stream)
+    out = str(tmp_path / "out_ijoin_mb")
+    ck = str(tmp_path / "ck_ijoin_mb")
+    run_available_now(joined, ck, out)
+
+    got = {
+        (r.incident_id, r.event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    i = batch_df.where(F.col("value") >= 150.0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("i_user_id"),
+        F.col("ts").alias("start_ts"),
+    )
+    expected = {
+        (r.incident_id, r.event_id)
+        for r in batch_df.join(
+            i,
+            (F.col("user_id") == F.col("i_user_id"))
+            & (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("start_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select("incident_id", "event_id")
+        .collect()
+    }
+    assert got == expected
+    assert got, "fixture must produce at least one cross-file pair"

@@ -135,8 +135,8 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
     # within each replica and no cross-replica (user, time) pair can
     # ever join, so range-join pair counts scale exactly linearly.
     evs = spark.read.parquet(f"{src}/events.parquet")
-    n_ev = evs.agg(F.max("event_id")).collect()[0][0] + 1
-    n_users = evs.agg(F.max("user_id")).collect()[0][0] + 1
+    ev_max = evs.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    n_ev, n_users = ev_max[0] + 1, ev_max[1] + 1
     ev_parts = []
     for k in range(factor):
         e = evs
