@@ -76,8 +76,8 @@ QUERIES = [
 def build_scaled(spark, src: str, out: str, factor: int) -> None:
     docs = spark.read.parquet(f"{src}/documents.parquet")
     embs = spark.read.parquet(f"{src}/embeddings.parquet")
-    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    n_embs = embs.agg(F.max("vec_id")).collect()[0][0] + 1
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # one scan each:
+    n_embs = embs.agg(F.max("vec_id")).collect()[0][0] + 1  # different tables
 
     doc_parts = []
     for k in range(factor):
