@@ -74,3 +74,45 @@ def write_partitioned(
     small-files problem bucketing exists to avoid."""
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    order_cols: list[str] | str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of ~``target_file_rows`` rows each, returning the output file
+    count. The routine maintenance task every streaming / incremental
+    sink needs at scale — micro-batch appends and per-key partition
+    writes accumulate thousands of KB-sized files whose open/footer
+    cost eventually dominates scans.
+
+    Shape: one COUNT to size the job (metadata-only on parquet), then
+    either a ``coalesce`` (narrow — no shuffle, the cheap path when
+    only merging) or, when ``order_cols`` is given, a
+    ``repartitionByRange`` so the rewrite also range-clusters the
+    data (pay one shuffle, buy min/max footer pruning on those
+    columns forever after). Writes to a temp dir then swaps, so a
+    failed compaction never leaves the table half-written — the swap
+    is the atomic unit, matching the merge-sink discipline in
+    streaming/sinks.py."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, (n + target_file_rows - 1) // target_file_rows)
+    if order_cols:
+        o = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+        out = df.repartitionByRange(n_files, *o)
+    else:
+        out = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

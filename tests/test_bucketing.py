@@ -127,3 +127,57 @@ class TestPartitionPruning:
         rows_one_day = one_day.count()
         total = spark.read.parquet(out).count()
         assert 0 < rows_one_day < total
+
+
+class TestCompaction:
+    def test_compact_merges_small_files_and_preserves_rows(
+        self, spark, tmp_path
+    ):
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "frag")
+        base = spark.range(10_000).selectExpr(
+            "id", "id % 7 AS k", "CAST(id AS DOUBLE) / 3 AS v"
+        )
+        # fragment: 40 tiny appends, like a micro-batch sink would
+        for i in range(40):
+            base.where((F.col("id") % 40) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        import glob
+
+        n_before = len(glob.glob(f"{src}/part-*"))
+        assert n_before >= 40
+        before = sorted(
+            (r.id, r.k, r.v) for r in spark.read.parquet(src).collect()
+        )
+
+        n_files = compact(spark, src, target_file_rows=5_000)
+        assert n_files == 2
+        n_after = len(glob.glob(f"{src}/part-*"))
+        assert n_after == 2
+        after = sorted(
+            (r.id, r.k, r.v) for r in spark.read.parquet(src).collect()
+        )
+        assert after == before
+
+    def test_compact_with_range_clustering(self, spark, tmp_path):
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "frag2")
+        spark.range(9_000).selectExpr("id", "id % 5 AS k").coalesce(
+            9
+        ).write.parquet(src)
+        compact(spark, src, target_file_rows=3_000, order_cols="id")
+        import glob
+
+        files = sorted(glob.glob(f"{src}/part-*"))
+        assert len(files) == 3
+        # range clustering: per-file id ranges must not overlap
+        ranges = []
+        for f in files:
+            ids = [r.id for r in spark.read.parquet(f).collect()]
+            ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
