@@ -50,24 +50,46 @@ def _units(scale: str) -> int:
 # pricing_summary, 1.8s → 0.4s at sf0.1).
 # Overflow bound: |Σ x·10^f| must stay under 2^63 ≈ 9.2e18 — with
 # f=6 that is ~9.2e12 in value units, crossed near sf≈40 on lineitem
-# sums. In non-ANSI Spark a crossing would WRAP silently, so the
-# guard is spark.sql.ansi.enabled: under ANSI the same long sum
-# throws on overflow instead of wrapping, and
-# tests/test_parity_guard.py runs the dsum/davg queries under ANSI to
-# pin that the bound holds at test scale and that the failure mode at
-# production scale is loud. Deployments beyond the bound flip to
-# plain double aggregation (SCALE.md) or widen to decimal; the
-# long-units path is the test-scale parity anchor.
+# sums. The accumulation therefore runs through TRY_SUM, which
+# returns NULL on long overflow in BOTH ANSI modes (verified: plain
+# sum wraps to a garbage value under non-ANSI, try_sum nulls), and
+# the NULL is turned into a loud RAISE_ERROR whenever the group was
+# non-empty — so a wrong-answer-by-wrap is impossible, not merely
+# documented: any deployment that crosses the bound gets an
+# exception naming the fix (widen to decimal / plain double agg, see
+# SCALE.md) instead of a silently wrapped sum.
+# tests/test_parity_guard.py pins both halves: the bound holds at
+# test scale, and a synthetic crossing raises under ANSI *and*
+# non-ANSI. DuckDB needs no guard — its SUM(BIGINT) widens to
+# HUGEINT.
+
+
+def _guarded_unit_sum(c: Column, u: int) -> Column:
+    """try_sum of the long units with a loud overflow trap: NULL from
+    try_sum with a non-empty group can only mean the 2^63 bound was
+    crossed, so raise instead of returning a wrapped/NULL answer."""
+    s = F.try_sum(F.round(c * u).cast("bigint"))
+    return F.when(
+        s.isNull() & (F.count(c) > 0),
+        F.raise_error(
+            F.lit(
+                "dsum/davg long-units overflow (|sum·10^f| >= 2^63): "
+                "widen the aggregation to decimal or plain double — "
+                "see plans/_parity.py and SCALE.md"
+            )
+        ).cast("bigint"),
+    ).otherwise(s)
 
 
 def dsum(col: Column | str, alias: str, scale: str = MONEY) -> Column:
     """Exact sum of a fixed-point-valued double column, emitted as
-    double: accumulate ROUND(x·10^f) as bigint, divide back once."""
+    double: accumulate ROUND(x·10^f) as bigint (overflow-guarded),
+    divide back once."""
     c = F.col(col) if isinstance(col, str) else col
     u = _units(scale)
-    return (
-        F.sum(F.round(c * u).cast("bigint")).cast("double") / F.lit(float(u))
-    ).alias(alias)
+    return (_guarded_unit_sum(c, u).cast("double") / F.lit(float(u))).alias(
+        alias
+    )
 
 
 def sql_dsum(expr: str, alias: str, scale: str = MONEY) -> str:
@@ -85,9 +107,7 @@ def davg(col: Column | str, alias: str, scale: str = FINE) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     u = _units(scale)
     return (
-        F.sum(F.round(c * u).cast("bigint")).cast("double")
-        / F.lit(float(u))
-        / F.count(c)
+        _guarded_unit_sum(c, u).cast("double") / F.lit(float(u)) / F.count(c)
     ).alias(alias)
 
 

@@ -96,9 +96,21 @@ def get_spark(
         # measured ~10s in-bench vs ~1.3s once C2-compiled in a
         # dedicated session, with min-of-n unable to recover. 1 GB
         # keeps every stage's native code resident.
+        # CAVEAT (like every builder-only conf here): driver JVM
+        # options only apply when THIS call launches the JVM; under
+        # getOrCreate against an existing SparkContext, or in
+        # spark-submit client mode (where the JVM pre-exists), they
+        # are silently ignored — deployments there pass
+        # --driver-java-options themselves. Any options the caller
+        # already set via SPARK_GRAFT_DRIVER_JAVA_OPTIONS or the
+        # spark.driver.extraJavaOptions env-conf are MERGED in front
+        # rather than clobbered.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTIONS", "")
+                + " -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
     )

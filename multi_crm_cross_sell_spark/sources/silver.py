@@ -81,25 +81,79 @@ def compact(
     path: str,
     target_file_rows: int = 1_000_000,
     order_cols: list[str] | str | None = None,
+    partition_cols: list[str] | str | None = None,
 ) -> int:
     """Small-files compaction: rewrite a parquet directory into files
-    of ~``target_file_rows`` rows each, returning the output file
-    count. The routine maintenance task every streaming / incremental
-    sink needs at scale — micro-batch appends and per-key partition
-    writes accumulate thousands of KB-sized files whose open/footer
-    cost eventually dominates scans.
+    of ~``target_file_rows`` rows each, returning the number of data
+    files actually written. The routine maintenance task every
+    streaming / incremental sink needs at scale — micro-batch appends
+    and per-key partition writes accumulate thousands of KB-sized
+    files whose open/footer cost eventually dominates scans.
 
     Shape: one COUNT to size the job (metadata-only on parquet), then
     either a ``coalesce`` (narrow — no shuffle, the cheap path when
-    only merging) or, when ``order_cols`` is given, a
-    ``repartitionByRange`` so the rewrite also range-clusters the
-    data (pay one shuffle, buy min/max footer pruning on those
-    columns forever after). Writes to a temp dir then swaps, so a
-    failed compaction never leaves the table half-written — the swap
-    is the atomic unit, matching the merge-sink discipline in
-    streaming/sinks.py."""
+    only merging; upgraded to ``repartition`` when the source reads
+    as FEWER partitions than the target, since coalesce can only
+    reduce) or, when ``order_cols`` is given, a ``repartitionByRange``
+    so the rewrite also range-clusters the data (pay one shuffle, buy
+    min/max footer pruning on those columns forever after).
+
+    Hive-partitioned directories MUST pass ``partition_cols`` — the
+    rewrite then preserves the directory layout via ``partitionBy``
+    (compacting within each partition). Without it a partitioned
+    input is detected and refused, because a flat rewrite would
+    silently destroy directory partition pruning.
+
+    Durability: writes to a sibling temp dir, then swaps via two
+    os.rename calls. POSIX offers no atomic two-directory exchange
+    (short of renameat2/RENAME_EXCHANGE), so a crash can land BETWEEN
+    the renames; the entry-point recovery below makes that window
+    safe — on the next call a half-swapped state is detected from the
+    leftover ``._compact_old`` / ``._compact_tmp`` dirs and rolled
+    forward or back before compacting. Readers of ``path`` during the
+    swap can still observe a missing directory for an instant; run
+    compaction when the table is not being queried (the same contract
+    as the merge sink in streaming/sinks.py)."""
     import os
     import shutil
+
+    base = path.rstrip("/")
+    tmp = base + "._compact_tmp"
+    old = base + "._compact_old"
+
+    # Crash recovery from a previous interrupted run, BEFORE reading:
+    # - old exists, live path missing → crashed between the two
+    #   renames: roll back (the old dir is the complete table).
+    # - old exists, live path present → crashed after the second
+    #   rename, before cleanup: the old dir is superseded; drop it.
+    # - a leftover tmp is always an incomplete write; drop it.
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    # Refuse to silently flatten a hive layout: key=value subdirs are
+    # partition directories, and reading them without partitionBy on
+    # the rewrite would fold the layout into plain files.
+    p_cols = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols or [])
+    )
+    hive_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if hive_dirs and not p_cols:
+        raise ValueError(
+            f"compact: {path} is hive-partitioned ({hive_dirs[0]}, ...); "
+            "pass partition_cols to preserve the layout — a flat rewrite "
+            "would destroy directory partition pruning"
+        )
 
     df = spark.read.parquet(path)
     n = df.count()
@@ -107,12 +161,28 @@ def compact(
     if order_cols:
         o = [order_cols] if isinstance(order_cols, str) else list(order_cols)
         out = df.repartitionByRange(n_files, *o)
+    elif p_cols:
+        # One output file per partition value (hash-partition on the
+        # partition key so each key's rows land in one task).
+        out = df.repartition(*p_cols)
+    elif df.rdd.getNumPartitions() < n_files:
+        # coalesce cannot INCREASE partition count (e.g. recompacting
+        # an already-compacted table with a smaller target): pay the
+        # shuffle for an even spread.
+        out = df.repartition(n_files)
     else:
         out = df.coalesce(n_files)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
+    writer = out.write.mode("overwrite")
+    if p_cols:
+        writer = writer.partitionBy(*p_cols)
+    writer.parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return n_files
+    # Report what was actually written, not the request: coalesce
+    # keeps at most the source partition count, partitioned writes
+    # produce one file per (task, partition-value) pair.
+    written = 0
+    for _root, _dirs, files in os.walk(path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written

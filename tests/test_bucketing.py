@@ -5,11 +5,9 @@ executed plan rather than asserted in prose."""
 
 from __future__ import annotations
 
-import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
@@ -181,3 +179,106 @@ class TestCompaction:
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2
+
+    def test_compact_recovers_from_half_swapped_crash(self, spark, tmp_path):
+        """The two-rename swap is not atomic; a leftover ._compact_old
+        with the live path missing (crash between renames) must be
+        rolled back, and a stale ._compact_tmp must be cleared — the
+        next compact then succeeds instead of failing on the rename."""
+        import os
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "crash")
+        spark.range(4_000).selectExpr("id", "id % 3 AS k").coalesce(
+            4
+        ).write.parquet(src)
+        before = sorted(r.id for r in spark.read.parquet(src).collect())
+
+        # Simulate: crash AFTER rename(path -> old), BEFORE
+        # rename(tmp -> path); tmp holds a garbage partial write.
+        os.rename(src, src + "._compact_old")
+        os.makedirs(src + "._compact_tmp")
+        with open(src + "._compact_tmp/junk", "w") as f:
+            f.write("partial")
+
+        n = compact(spark, src, target_file_rows=2_000)
+        assert n == 2
+        assert not os.path.exists(src + "._compact_old")
+        assert not os.path.exists(src + "._compact_tmp")
+        after = sorted(r.id for r in spark.read.parquet(src).collect())
+        assert after == before
+
+    def test_compact_drops_superseded_old_dir(self, spark, tmp_path):
+        """Crash after the second rename but before cleanup: the live
+        path is current, ._compact_old is superseded garbage — it must
+        be removed, not restored over the live table."""
+        import os
+        import shutil
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "crash2")
+        spark.range(1_000).selectExpr("id").coalesce(2).write.parquet(src)
+        shutil.copytree(src, src + "._compact_old")
+        compact(spark, src, target_file_rows=500)
+        assert not os.path.exists(src + "._compact_old")
+        assert spark.read.parquet(src).count() == 1_000
+
+    def test_compact_refuses_hive_layout_without_partition_cols(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "hive")
+        spark.range(2_000).selectExpr(
+            "id", "id % 4 AS k"
+        ).write.partitionBy("k").parquet(src)
+        with _pytest.raises(ValueError, match="hive-partitioned"):
+            compact(spark, src)
+
+    def test_compact_preserves_hive_layout_with_partition_cols(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "hive2")
+        base = spark.range(8_000).selectExpr("id", "id % 4 AS k")
+        # fragment each partition with several appends
+        for i in range(5):
+            base.where((F.col("id") % 5) == i).repartition(3).write.mode(
+                "append"
+            ).partitionBy("k").parquet(src)
+        before = sorted(
+            (r.id, r.k) for r in spark.read.parquet(src).collect()
+        )
+        n_before = len(glob.glob(f"{src}/k=*/part-*"))
+        n = compact(spark, src, partition_cols="k")
+        # layout preserved, one file per partition value
+        dirs = sorted(glob.glob(f"{src}/k=*"))
+        assert len(dirs) == 4
+        n_after = len(glob.glob(f"{src}/k=*/part-*"))
+        assert n_after == 4 == n
+        assert n_after < n_before
+        after = sorted((r.id, r.k) for r in spark.read.parquet(src).collect())
+        assert after == before
+
+    def test_compact_reports_actual_files_when_coalesce_cannot_grow(
+        self, spark, tmp_path
+    ):
+        """Recompacting an already-compacted table with a SMALLER
+        target must still produce (and report) the requested spread —
+        the repartition upgrade path."""
+        import glob
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "regrow")
+        spark.range(6_000).selectExpr("id").coalesce(1).write.parquet(src)
+        n = compact(spark, src, target_file_rows=2_000)
+        assert n == 3
+        assert len(glob.glob(f"{src}/part-*")) == 3

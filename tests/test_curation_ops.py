@@ -6,10 +6,8 @@ oracle (which tests/test_relational_queries.py already enforces)."""
 from __future__ import annotations
 
 import math
-import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
 
 from multi_crm_cross_sell_spark.plans import all_queries  # noqa: E402
 from multi_crm_cross_sell_spark.plans.datapipe import (  # noqa: E402

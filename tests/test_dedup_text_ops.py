@@ -4,9 +4,7 @@ added beyond the reference surface (BASELINE.json north star)."""
 from __future__ import annotations
 
 import hashlib
-import sys
 
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 

@@ -3,11 +3,9 @@ documented semantics (SURVEY §2.7; cites in each function docstring)."""
 
 from __future__ import annotations
 
-import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 

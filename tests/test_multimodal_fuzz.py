@@ -13,14 +13,12 @@ inside the mapInPandas batches.
 
 from __future__ import annotations
 
-import sys
 
 import numpy as np
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-sys.path.insert(0, "/root/repo")
 
 from multi_crm_cross_sell_spark.operators.multimodal import (  # noqa: E402
     decode_bmp,

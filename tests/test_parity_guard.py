@@ -1,27 +1,28 @@
 """Overflow guard for the long-units parity path (plans/_parity.py).
 
-dsum/davg accumulate ROUND(x * 10^f) as BIGINT; in non-ANSI Spark a
-sum crossing 2^63 would wrap silently (the bound is crossed near
-sf ≈ 40 on lineitem sums with f=6). Under spark.sql.ansi.enabled the
-same plan THROWS on long overflow — so running the heaviest dsum/davg
-queries under ANSI pins two things at once:
+dsum/davg accumulate ROUND(x * 10^f) as BIGINT via TRY_SUM plus an
+explicit raise: try_sum returns NULL on long overflow in BOTH ANSI
+modes, and _guarded_unit_sum converts that NULL (on a non-empty
+group) into RAISE_ERROR — so a wrong-answer-by-wrap is impossible
+regardless of the deployment's spark.sql.ansi.enabled setting. The
+bound (|sum·10^f| < 2^63, crossed near sf ≈ 40 on lineitem sums with
+f=6) is documented in _parity.py; these tests pin:
 
-1. the bound genuinely holds at test scale (values equal the
-   non-ANSI run's, no wrap anywhere), and
-2. the failure mode at production scale is loud (ArithmeticException),
-   not silent corruption — the deployment guard is "enable ANSI, or
-   flip to the decimal/double path above the documented sf bound".
+1. the bound genuinely holds at test scale (ANSI and non-ANSI runs
+   agree value-for-value — no wrap anywhere), and
+2. a synthetic crossing RAISES loudly in both ANSI modes instead of
+   returning a wrapped sum or a silent NULL.
 """
 
 from __future__ import annotations
 
-import sys
+import contextlib
 
 import pytest
-
-sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
 
 from multi_crm_cross_sell_spark.plans import all_queries
+from multi_crm_cross_sell_spark.plans._parity import dsum
 
 SF = "/root/testdata/sf0.01"
 
@@ -29,19 +30,55 @@ SF = "/root/testdata/sf0.01"
 DSUM_QUERIES = ["pricing_summary", "join_revenue_by_nation"]
 
 
-@pytest.mark.parametrize("name", DSUM_QUERIES)
-def test_long_units_sums_hold_under_ansi(spark, name):
-    q = all_queries()[name]
-    plain = q.fn(spark, SF).collect()
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+@contextlib.contextmanager
+def _with_ansi(spark, value: str):
+    """Set ansi.enabled, restoring the PRIOR value (Spark 4 defaults
+    it to true — a hardcoded restore would flip the whole suite)."""
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", value)
     try:
-        ansi = q.fn(spark, SF).collect()
+        yield
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+
+
+@pytest.mark.parametrize("name", DSUM_QUERIES)
+def test_long_units_sums_hold_under_both_ansi_modes(spark, name):
+    q = all_queries()[name]
+    with _with_ansi(spark, "false"):
+        plain = q.fn(spark, SF).collect()
+    with _with_ansi(spark, "true"):
+        ansi = q.fn(spark, SF).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, ansi)), (
         f"{name}: ANSI and non-ANSI disagree — a long-units "
         "accumulator wrapped at test scale"
     )
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_synthetic_overflow_raises_loudly(spark, ansi):
+    """A sum that crosses 2^63 in unit space must raise the
+    _parity.py overflow error — never wrap (non-ANSI plain-sum
+    behavior) and never return NULL silently."""
+    # 3 rows of 4e16 with f=2 → units 4e18 each, sum 1.2e19 > 2^63.
+    df = spark.range(3).select(F.lit(4.0e16).alias("x"))
+    with _with_ansi(spark, ansi):
+        with pytest.raises(Exception, match="long-units overflow"):
+            df.agg(dsum("x", "s")).collect()
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_guard_passes_below_bound_and_on_empty_groups(spark, ansi):
+    """The guard must not fire on legitimate data: values below the
+    bound sum exactly, and an all-NULL / empty group yields NULL (the
+    SQL sum convention) rather than a spurious raise."""
+    with _with_ansi(spark, ansi):
+        df = spark.range(4).select((F.col("id") * 1.25).alias("x"))
+        [row] = df.agg(dsum("x", "s")).collect()
+        assert row.s == pytest.approx(7.5)
+        empty = df.where(F.lit(False))
+        [row] = empty.agg(dsum("x", "s")).collect()
+        assert row.s is None
 
 
 def test_textrank_integer_fixpoint_holds_under_ansi(spark):
@@ -50,10 +87,8 @@ def test_textrank_integer_fixpoint_holds_under_ansi(spark):
     under ANSI the identical plan throws on bigint overflow instead
     of wrapping (see the query docstring's bound)."""
     q = all_queries()["textrank_keywords"]
-    plain = q.fn(spark, SF).collect()
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    try:
+    with _with_ansi(spark, "false"):
+        plain = q.fn(spark, SF).collect()
+    with _with_ansi(spark, "true"):
         ansi = q.fn(spark, SF).collect()
-    finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
     assert sorted(map(tuple, plain)) == sorted(map(tuple, ansi))

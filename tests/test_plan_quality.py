@@ -7,9 +7,7 @@ executed plan so a refactor can't silently regress them (SURVEY §4,
 from __future__ import annotations
 
 import re
-import sys
 
-sys.path.insert(0, "/root/repo")
 
 from multi_crm_cross_sell_spark.plans import all_queries
 

@@ -10,12 +10,10 @@ from __future__ import annotations
 
 import random
 import string
-import sys
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 

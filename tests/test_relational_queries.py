@@ -3,12 +3,9 @@ sf0.001 (the driver runs the same comparison at sf0.01)."""
 
 from __future__ import annotations
 
-import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
 
 from check import compare, duck_connect  # noqa: E402
 
@@ -38,8 +35,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_entry_smoke(spark):
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as e
+        import __spark_entry__ as e
 
     df = e.entry(spark)
     assert df.count() >= 0

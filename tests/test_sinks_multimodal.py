@@ -3,9 +3,6 @@ round-trip, model registry) and multimodal plumbing tests."""
 
 from __future__ import annotations
 
-import sys
-
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 

@@ -3,9 +3,6 @@ never the result (SURVEY §4 skew guardrail)."""
 
 from __future__ import annotations
 
-import sys
-
-sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
