@@ -462,14 +462,21 @@ def banded_simhash_bands(
     row path (~40×)."""
     static_w = adaptive_band_bits_py(n_docs) if isinstance(n_docs, int) else None
     n_bits = SIMHASH_MAXBITS if static_w is None else static_w
-    ex = gram_rows.select(
+    # PERF NOTE (round 7): every multi-term expression below is built
+    # as ONE SQL string handed to F.expr/selectExpr, not as a tree of
+    # Python Column operations. The Column form costs one py4j round
+    # trip PER OPERATOR; with 48 SWAR counters × 3 terms plus 8 keys ×
+    # w CASE-terms that is thousands of driver round trips, measured
+    # at ~2.7s per query CONSTRUCTION (vs 0.3-0.5s execution!) at
+    # sf0.1 — the entire residual "stage floor" of round 6 was
+    # actually the driver building the plan. One parsed string per
+    # expression is a single round trip; the parsed tree, the
+    # generated code, and the oracle semantics are identical.
+    ex = gram_rows.selectExpr(
         id_col,
         *([weight_col] if weight_col else []),
         *[
-            (
-                (F.col(gram_col) * F.lit(SIMHASH_A[j]) + F.lit(SIMHASH_B[j]))
-                % F.lit(P)
-            ).alias(f"p{j}")
+            f"({gram_col} * {SIMHASH_A[j]}L + {SIMHASH_B[j]}L) % {P}L AS p{j}"
             for j in range(n_bands)
         ],
     )
@@ -491,63 +498,62 @@ def banded_simhash_bands(
     # size: weights shape only the BLOCKING keys, never the exact
     # Jaccard verify or its length filter.
     n_slots = (n_bits + 2) // 3
-    wt = F.col(weight_col) if weight_col else F.lit(1)
-    counters = [F.count("*").alias("nb")]
+    wt = f" * {weight_col}" if weight_col else ""
+    counters = [F.expr("count(*) AS nb")]
     if weight_col:
-        counters.append(F.sum(wt).alias("tw"))
-    total = F.col("tw") if weight_col else F.col("nb")
+        counters.append(F.expr(f"sum({weight_col}) AS tw"))
+    total = "tw" if weight_col else "nb"
     for j in range(n_bands):
         for s in range(n_slots):
-            term = None
+            terms = []
             for lvl in range(3):
                 i = s + lvl * n_slots
                 if i >= n_bits:
                     break
-                t = F.shiftleft(
-                    F.shiftright(F.col(f"p{j}"), i).bitwiseAND(F.lit(1)) * wt,
-                    lvl * 21,
+                terms.append(
+                    f"shiftleft((shiftright(p{j}, {i}) & 1){wt}, {lvl * 21})"
                 )
-                term = t if term is None else term + t
-            counters.append(F.sum(term).alias(f"acc_{j}_{s}"))
+            counters.append(
+                F.expr(f"sum({' + '.join(terms)}) AS acc_{j}_{s}")
+            )
     votes = ex.groupBy(id_col).agg(*counters)
 
-    def ones(j: int, i: int):
+    def ones(j: int, i: int) -> str:
         s, lvl = i % n_slots, i // n_slots
-        return F.shiftright(F.col(f"acc_{j}_{s}"), lvl * 21).bitwiseAND(
-            F.lit((1 << 21) - 1)
-        )
+        return f"(shiftright(acc_{j}_{s}, {lvl * 21}) & {(1 << 21) - 1})"
 
-    keys = []
-    for j in range(n_bands):
-        k = F.lit(0).cast("bigint")
-        for i in range(n_bits):
-            k = k + F.when(2 * ones(j, i) > total, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-        keys.append(k.alias(f"k{j}"))
+    def key_expr(j: int) -> str:
+        cases = " + ".join(
+            f"(CASE WHEN 2 * {ones(j, i)} > {total}"
+            f" THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_bits)
+        )
+        return f"({cases}) AS k{j}"
+
+    keys = [key_expr(j) for j in range(n_bands)]
+    karr = ", ".join(f"k{j}" for j in range(n_bands))
     if static_w is not None:
         # keys already exactly w bits wide — no mask, no count branch
-        return votes.select(id_col, "nb", *keys).select(
+        return votes.selectExpr(id_col, "nb", *keys).selectExpr(
             id_col,
             "nb",
-            F.posexplode(F.array(*[F.col(f"k{j}") for j in range(n_bands)])).alias(
-                "band", "key"
-            ),
+            f"posexplode(array({karr})) AS (band, key)",
         )
     sk = (
-        votes.select(id_col, "nb", *keys)
+        votes.selectExpr(id_col, "nb", *keys)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("w", adaptive_band_bits(F.col("n_docs")))
     )
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), w) - 1")
+    masked = ", ".join(
+        f"k{j} & (shiftleft(CAST(1 AS BIGINT), w) - 1)" for j in range(n_bands)
+    )
     # posexplode's per-element re-eval is harmless here: the child is
     # integer arithmetic over already-aggregated columns.
-    return sk.select(
+    return sk.selectExpr(
         id_col,
         "nb",
-        F.posexplode(
-            F.array(*[F.col(f"k{j}").bitwiseAND(mask) for j in range(n_bands)])
-        ).alias("band", "key"),
+        f"posexplode(array({masked})) AS (band, key)",
     )
 
 
