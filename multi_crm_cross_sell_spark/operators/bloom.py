@@ -1,0 +1,126 @@
+"""Broadcast bloom filter over gram/key hashes — the 100 TB
+candidate-pruning path for membership-style joins.
+
+The exact benchmark-decontamination join broadcasts the literal
+benchmark gram STRINGS; its docstring names this module's shape as
+the real-scale variant: broadcast a fixed-size bit array instead, let
+every train-side gram test membership locally (bounded false-positive
+rate, zero false negatives), and run the exact join only on the
+survivors. Reference-discipline analogue: the executable-contract
+style of /root/reference/src/utils/data_contracts.py:103-192 — the
+bloom is a CONTRACT ("definitely-absent or maybe-present") whose FP
+bound is enforced by a property test, not an assumption.
+
+Construction is fully distributed and engine-native:
+
+1. per-row positions: k = BLOOM_K probes, pos_i =
+   pmod(xxhash64(g, i), m) — k independent seeded hashes rather than
+   Kirsch–Mitzenmacher double hashing because the KM combine
+   (h1 + i·h2) multiplies full-range longs, which THROWS under ANSI
+   mode (Spark 4's default) on overflow; seeded xxhash64 stays in
+   range by construction. JVM-side codegen expressions, so build and
+   probe can never disagree on the hash;
+2. bitmap words: groupBy(pos div 64) + bit_or(1 << pos%64) — a
+   shuffle bounded by m/64 ROWS regardless of input size (the
+   map-side partial bit_or collapses each partition's positions
+   first);
+3. the ≤ m/64 words are collected and densified into one
+   array<bigint> literal, embedded in the probe expression.
+
+Probing (bloom_prune) is element_at(words, pos div 64 + 1) &
+(1 << pos%64) per probe — pure integer codegen, no UDF, no Python
+boundary; the words literal is bound once per plan.
+
+SCALE BOUND of the literal embedding: the array rides in the plan, so
+it must stay plan-sized — fine to m ≈ 2^24 bits (2 MB, ~1M-gram
+benchmark at 16 bits/element). Beyond that, ship the SAME words array via
+sc.broadcast and test bits in an Arrow-batched pandas UDF (numpy
+bitmap index — the positions stay JVM-computed, so hash parity
+holds), or register the JVM BloomFilterAggregate. The m sizing below
+keeps 16 bits/element: with k=3 probes the theoretical FP rate is
+(1 - e^{-kn/m})^k ≈ 0.4%, measured in tests/test_curation_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_K = 3  # probes per element
+BLOOM_BITS_PER_ELEMENT = 16  # m = next_pow2(16·n): ~0.4% FP at k=3
+_MAX_LITERAL_BITS = 1 << 24  # 2 MB of plan payload — the literal bound
+
+
+def bloom_m_bits(n_elements: int) -> int:
+    """Power-of-two bit count for ~BLOOM_BITS_PER_ELEMENT bits per
+    element, floored at 4096 so tiny sets don't degenerate."""
+    target = max(4096, BLOOM_BITS_PER_ELEMENT * max(1, n_elements))
+    m = 1 << (target - 1).bit_length()
+    if m > _MAX_LITERAL_BITS:
+        raise ValueError(
+            f"bloom of {n_elements} elements needs m={m} bits — beyond the "
+            f"{_MAX_LITERAL_BITS}-bit plan-literal bound; ship the words "
+            "array via sc.broadcast + pandas-UDF probe instead (see module "
+            "docstring)"
+        )
+    return m
+
+
+def _position_sql(col_sql: str, i: int, m_bits: int) -> str:
+    # Expressions are assembled as SQL STRINGS, not Column trees: one
+    # py4j round trip per expression instead of one per operator (the
+    # round-7 lesson from banded_simhash_bands, where Column-tree
+    # construction cost 2.7s of a 3.9s query).
+    return f"pmod(xxhash64({col_sql}, {i}), {m_bits}L)"
+
+
+def build_bloom_words(
+    df: DataFrame, col: str, m_bits: int, k: int = BLOOM_K
+) -> list[int]:
+    """Distributed bloom build: k positions per row, bit_or per
+    64-bit word, collect ≤ m/64 word rows, densify. The collect is
+    bounded by the BLOOM size, never the input size."""
+    probes = ", ".join(_position_sql(col, i, m_bits) for i in range(k))
+    words = (
+        df.selectExpr(f"explode(array({probes})) AS pos")
+        .selectExpr(
+            "CAST(pos DIV 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r.w] = r.bits
+    return dense
+
+
+def bloom_prune(
+    df: DataFrame,
+    col_sql: str,
+    words: list[int],
+    m_bits: int,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Keep only maybe-present rows: ALL k probe bits set ⇒ keep
+    (bounded FP); any clear bit ⇒ definitely absent, dropped. Pure
+    codegen integer ops. The words array literal is bound ONCE as a
+    column (one SQL parse) rather than inlined into each of the k
+    probe tests — an m=2^19 bloom is ~8k bigint literals, and the
+    whole filter is a single narrow projection+filter the optimizer
+    keeps at scan level."""
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ") AS _bloom_words"
+    tests = []
+    for i in range(k):
+        pos = _position_sql(col_sql, i, m_bits)
+        tests.append(
+            f"(element_at(_bloom_words, CAST({pos} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+    return (
+        df.selectExpr("*", arr_sql)
+        .where(F.expr("(" + " AND ".join(tests) + ")"))
+        .drop("_bloom_words")
+    )

@@ -62,6 +62,12 @@ def _units(scale: str) -> int:
 # test scale, and a synthetic crossing raises under ANSI *and*
 # non-ANSI. DuckDB needs no guard — its SUM(BIGINT) widens to
 # HUGEINT.
+# Measured cost of the guard (sf0.1 lineitem, 8 fixed-point aggs):
+# plain sum 0.53s → try_sum 0.67s → guarded 0.73s — the checked add
+# is most of it. Deliberately paid in ALL sessions rather than only
+# non-ANSI ones: choosing the expression from the session's ANSI conf
+# at construction time would silently lose the guarantee if the conf
+# changes between plan construction and execution.
 
 
 def _guarded_unit_sum(c: Column, u: int) -> Column:

@@ -1714,9 +1714,7 @@ def _word_gram_rows(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-@register(
-    "benchmark_decontamination",
-    oracle=f"""
+_DECON_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
     ),
@@ -1741,7 +1739,12 @@ def _word_gram_rows(docs: DataFrame, n: int) -> DataFrame:
            COALESCE(h.n_shared, 0) > 0 AS contaminated
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     WHERE d.doc_id % {_DECON_MOD} != 0
-    """,
+    """
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=_DECON_ORACLE,
     tags=("curation", "decontamination", "ngram", "beyond-reference"),
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,8 +1762,9 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-explode + broadcast hash join + per-doc partial-agg count,
     no corpus-sized shuffle anywhere (the only exchange carries one
     row per contaminated doc). At real scale the broadcast carries a
-    bloom filter over gram hashes instead of strings; the join below
-    is that plan's exact-semantics anchor."""
+    bloom filter over gram hashes instead of strings — implemented as
+    :func:`benchmark_decontamination_bloom`; this join is that plan's
+    exact-semantics anchor (the two are equivalence-tested)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _word_gram_rows(docs, _DECON_N)
     bench = (
@@ -1769,6 +1773,79 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         grams.where(F.col("doc_id") % _DECON_MOD != 0)
         .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        docs.where(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.cast("bigint").alias("n_shared_ngrams"),
+            (n_shared > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "benchmark_decontamination_bloom",
+    # SAME oracle as the exact anchor: the bloom only PRUNES
+    # candidates (no false negatives), and the exact verify join
+    # removes its false positives, so the two queries are
+    # row-for-row equivalent by construction — and the driver checks
+    # that equivalence against DuckDB every round.
+    oracle=_DECON_ORACLE,
+    tags=("curation", "decontamination", "bloom", "beyond-reference"),
+)
+def benchmark_decontamination_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-pruned decontamination — the 100 TB variant of
+    :func:`benchmark_decontamination` its docstring names. Instead of
+    broadcasting the benchmark gram STRINGS to every train-side task,
+    broadcast a fixed-size bloom bitmap over seeded xxhash64 gram
+    hashes (operators/bloom.py: distributed bit_or build, plan-literal
+    embed, codegen element_at probe — no UDF):
+
+    1. bench grams → distinct → bloom words (one bounded collect of
+       ≤ m/64 bigints — never corpus-sized);
+    2. train grams filter through bloom_maybe BEFORE any join: ~99.6%
+       of non-shared grams drop at scan speed (k=3, 16 bits/element →
+       theoretical FP ≈ 0.4%, measured in tests/test_curation_ops.py);
+    3. the surviving sliver joins EXACTLY against the bench gram set
+       (AQE picks broadcast here at test scale; at 100 TB the
+       survivor stream is small enough for a plain shuffle join), so
+       every false positive dies and the output is row-for-row the
+       exact anchor's.
+
+    At 100 TB the win is the broadcast payload (2 MB bitmap vs GBs of
+    gram strings) and the join fan-in (survivors only); the bound on
+    the plan-literal form and the sc.broadcast+pandas-UDF escape
+    hatch above it are documented in operators/bloom.py."""
+    from ..operators.bloom import (
+        BLOOM_K,
+        bloom_m_bits,
+        bloom_prune,
+        build_bloom_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_gram_rows(docs, _DECON_N)
+    bench = (
+        grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    )
+    # Size the bitmap from the bench-set cardinality (one count job —
+    # bench is the small, static side by definition), then build the
+    # words distributively.
+    n_bench = bench.count()
+    m_bits = bloom_m_bits(n_bench)
+    words = build_bloom_words(bench, "g", m_bits, BLOOM_K)
+    train = grams.where(F.col("doc_id") % _DECON_MOD != 0)
+    survivors = bloom_prune(train, "g", words, m_bits, BLOOM_K)
+    hits = (
+        survivors.join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared"))
     )

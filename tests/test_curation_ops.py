@@ -412,3 +412,69 @@ class TestTextrankKeywords:
         got = sorted(rows, key=lambda x: x.rnk)
         assert [(g.word, g.rank_micro) for g in got] == want
         assert [g.rnk for g in got] == list(range(1, len(want) + 1))
+
+
+class TestBloomDecontamination:
+    """operators/bloom.py: the bloom contract (no false negatives,
+    bounded false positives) and the end-to-end equivalence of the
+    bloom-pruned query with its exact anchor."""
+
+    def test_bloom_has_no_false_negatives(self, spark):
+        from multi_crm_cross_sell_spark.operators.bloom import (
+            bloom_m_bits,
+            bloom_prune,
+            build_bloom_words,
+        )
+
+        members = spark.range(2_000).selectExpr("concat('m', id) AS g")
+        m = bloom_m_bits(2_000)
+        words = build_bloom_words(members, "g", m)
+        kept = bloom_prune(members, "g", words, m).count()
+        assert kept == 2_000  # every member must survive
+
+    def test_bloom_fp_rate_within_bound(self, spark):
+        """Non-members survive at ~the theoretical (1-e^{-kn/m})^k
+        rate; assert within 3x of it (statistical headroom) and
+        record the operating point."""
+        import math
+
+        from multi_crm_cross_sell_spark.operators.bloom import (
+            BLOOM_K,
+            bloom_m_bits,
+            bloom_prune,
+            build_bloom_words,
+        )
+
+        n = 4_000
+        members = spark.range(n).selectExpr("concat('m', id) AS g")
+        m = bloom_m_bits(n)
+        words = build_bloom_words(members, "g", m)
+        others = spark.range(20_000).selectExpr("concat('x', id) AS g")
+        fp = bloom_prune(others, "g", words, m).count()
+        theoretical = (1 - math.exp(-BLOOM_K * n / m)) ** BLOOM_K
+        rate = fp / 20_000
+        assert rate <= max(3 * theoretical, 0.02), (
+            f"bloom FP rate {rate:.4f} vs theoretical {theoretical:.4f} "
+            f"(n={n}, m={m}, k={BLOOM_K})"
+        )
+
+    def test_bloom_query_equals_exact_anchor(self, spark, sf_dir):
+        qs = all_queries()
+        exact = sorted(
+            map(tuple, qs["benchmark_decontamination"].fn(spark, sf_dir).collect())
+        )
+        bloom = sorted(
+            map(
+                tuple,
+                qs["benchmark_decontamination_bloom"].fn(spark, sf_dir).collect(),
+            )
+        )
+        assert bloom == exact
+
+    def test_literal_bound_raises(self):
+        import pytest as _pytest
+
+        from multi_crm_cross_sell_spark.operators.bloom import bloom_m_bits
+
+        with _pytest.raises(ValueError, match="plan-literal bound"):
+            bloom_m_bits(10_000_000)

@@ -55,6 +55,9 @@ QUERIES = [
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "ann_lsh_topk",
+    # Round 7: the IVF path joins the 100x decade sweep — same
+    # adaptive-candidate claim class as LSH, same measurement bar.
+    "ann_ivf_topk",
     "cosine_topk_bruteforce",
     # Round-6 curation family: token-disjoint replicas preserve the
     # structure these depend on (gram overlap stays within-replica;
@@ -62,6 +65,9 @@ QUERIES = [
     # n_docs is a multiple of 50; vocab grows linearly, stressing the
     # broadcast-frequency joins exactly as corpus growth would).
     "benchmark_decontamination",
+    # Round 7: bloom-pruned variant — same oracle-equivalent output,
+    # measured here so the broadcast-payload claim has a wall number.
+    "benchmark_decontamination_bloom",
     "unigram_lm_quality",
     "tfidf_top_terms",
     "corpus_curation_report",
