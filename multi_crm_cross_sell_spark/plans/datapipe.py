@@ -2705,3 +2705,314 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _TEXTRANK_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Subword BPE tokenizer (operators/bpe.py): deterministic greedy
+# merges as string/integer-exact SQL, oracle = the same algorithm
+# unrolled as a generated DuckDB CTE chain (the textrank_keywords
+# "make the iterative algorithm oracle-checkable" technique applied
+# to tokenizer training).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 10
+_BPE_TYPES = 1000  # learning cap: top types by (cnt DESC, word ASC)
+
+
+def _sql_bpe_prefix(n_merges: int) -> str:
+    """Shared DuckDB CTE chain: word types -> initial per-char state
+    -> n_merges unrolled greedy steps (pairs from the seam-split
+    token list, non-overlapping occurrence counts via REPLACE length
+    arithmetic, best by (score DESC, left, right), merge applied by
+    the same REPLACE). CHR(2)/CHR(3) are the token open/close wraps —
+    matching operators/bpe.py exactly."""
+    pat = "CHR(2)||{a}||CHR(3)||CHR(2)||{b}||CHR(3)"
+    parts = [
+        f"""types AS (
+      SELECT word, cnt FROM (
+        SELECT w AS word, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$') AND LENGTH(w) <= 20
+        GROUP BY w)
+      ORDER BY cnt DESC, word LIMIT {_BPE_TYPES}
+    ),
+    alpha AS (
+      SELECT COUNT(DISTINCT c) AS a FROM (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+                                     i -> SUBSTR(word, i, 1))) AS c
+        FROM types)
+    ),
+    state0 AS (
+      SELECT word, cnt,
+             ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+               i -> CHR(2)||SUBSTR(word, i, 1)||CHR(3)), '') AS state
+      FROM types
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = pat.format(a="t1", b="t2")
+        bp = pat.format(a="b.t1", b="b.t2")
+        parts.append(
+            f"""t{k} AS (
+      SELECT word, cnt, state,
+             STRING_SPLIT(SUBSTR(state, 2, LENGTH(state) - 2),
+                          CHR(3)||CHR(2)) AS ts
+      FROM state{k - 1}
+    ),
+    pr{k} AS (
+      SELECT DISTINCT word, cnt, state, pr['t1'] AS t1, pr['t2'] AS t2
+      FROM (SELECT word, cnt, state,
+                   UNNEST(LIST_TRANSFORM(RANGE(LEN(ts) - 1),
+                     i -> {{'t1': ts[i + 1], 't2': ts[i + 2]}})) AS pr
+            FROM t{k} WHERE LEN(ts) >= 2)
+    ),
+    occ{k} AS (
+      SELECT t1, t2,
+             SUM(cnt * ((LENGTH(state) - LENGTH(REPLACE(state, {p}, '')))
+                        // LENGTH({p}))) AS s
+      FROM pr{k} GROUP BY t1, t2
+    ),
+    best{k} AS (SELECT t1, t2, s FROM occ{k} ORDER BY s DESC, t1, t2 LIMIT 1),
+    state{k} AS (
+      SELECT word, cnt,
+             REPLACE(state, {bp}, CHR(2)||b.t1||b.t2||CHR(3)) AS state
+      FROM state{k - 1}, best{k} b
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _sql_bpe_vocab_oracle(n_merges: int = _BPE_MERGES) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, t1 AS lhs, t2 AS rhs,"
+        f" t1||t2 AS merged, CAST(s AS BIGINT) AS pair_count,"
+        f" CAST(a + {k - 1} AS BIGINT) AS token_id"
+        f" FROM best{k}, alpha"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_sql_bpe_prefix(n_merges)}
+    {rows}
+    """
+
+
+@register(
+    "bpe_vocab",
+    oracle=_sql_bpe_vocab_oracle(),
+    tags=("tokenizer", "bpe", "curation", "beyond-reference"),
+)
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword BPE merge-table learning (operators/bpe.py): greedy
+    highest-score adjacent-pair merges over the word-TYPE table, every
+    step integer/string-exact so the DuckDB oracle can replay the
+    identical algorithm as an unrolled CTE chain — tie-breaks included
+    ((score DESC, left ASC, right ASC) is a total order; the sf0.001
+    corpus actually exercises a score tie and both engines pick the
+    same pair). Emits (step, lhs, rhs, merged, pair_count, token_id)
+    with ids continuing after the base-alphabet block.
+
+    Scale shape: counting runs distributed over the CAPPED type table
+    (top _BPE_TYPES by count — Heaps'-law bounded, never corpus-
+    sized); the driver paces M iterations and collects exactly one
+    best-pair row per step. The corpus contributes only one word-count
+    shuffle. Production-M (32k merges) keeps the same split: the
+    per-step job cost is type-table-sized, not corpus-sized."""
+    from ..operators.bpe import alphabet, learn_bpe, word_types
+
+    docs = load_table(spark, sf_dir, "documents")
+    types = word_types(docs, _BPE_TYPES)
+    merges, _ = learn_bpe(types, _BPE_MERGES)
+    base = len(alphabet(types))
+    rows = [
+        (k + 1, t1, t2, t1 + t2, score, base + k)
+        for k, (t1, t2, score) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, lhs string, rhs string, merged string,"
+        " pair_count bigint, token_id bigint",
+    )
+
+
+def _sql_bpe_ids_oracle(n_merges: int = _BPE_MERGES) -> str:
+    # apply chain over ALL distinct tokenizable corpus words
+    apply_chain = "\n    ".join(
+        f"""wstate{k} AS (
+      SELECT word,
+             REPLACE(state, CHR(2)||b.t1||CHR(3)||CHR(2)||b.t2||CHR(3),
+                     CHR(2)||b.t1||b.t2||CHR(3)) AS state
+      FROM wstate{k - 1}, best{k} b
+    ),"""
+        for k in range(1, n_merges + 1)
+    )
+    vocab_merge_rows = "\n        UNION ALL ".join(
+        f"SELECT t1||t2 AS token, CAST(a + {k - 1} AS BIGINT) AS token_id"
+        f" FROM best{k}, alpha"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_sql_bpe_prefix(n_merges)},
+    dw AS (
+      SELECT doc_id, p['pos'] AS pos, p['w'] AS word
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(LEN(ws)),
+                 i -> {{'pos': i, 'w': ws[i + 1]}})) AS p
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents))
+      WHERE regexp_matches(p['w'], '^[a-z]+$') AND LENGTH(p['w']) <= 20
+    ),
+    wstate0 AS (
+      SELECT word,
+             ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+               i -> CHR(2)||SUBSTR(word, i, 1)||CHR(3)), '') AS state
+      FROM (SELECT DISTINCT word FROM dw)
+    ),
+    {apply_chain}
+    vocab AS (
+      SELECT c AS token,
+             CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS BIGINT) AS token_id
+      FROM (SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+                     i -> SUBSTR(word, i, 1))) AS c
+            FROM types)
+      UNION ALL
+      {vocab_merge_rows}
+    ),
+    wtok AS (
+      SELECT word,
+             STRING_SPLIT(SUBSTR(state, 2, LENGTH(state) - 2),
+                          CHR(3)||CHR(2)) AS ts
+      FROM wstate{n_merges}
+    ),
+    wid AS (
+      SELECT word, tpos, COALESCE(v.token_id, -1) AS tid
+      FROM (SELECT word, q['tpos'] AS tpos, q['tok'] AS token
+            FROM (SELECT word,
+                         UNNEST(LIST_TRANSFORM(RANGE(LEN(ts)),
+                           i -> {{'tpos': i, 'tok': ts[i + 1]}})) AS q
+                  FROM wtok))
+      LEFT JOIN vocab v USING (token)
+    ),
+    wstats AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS wn,
+             CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS wunk,
+             CAST(SUM(tid) AS BIGINT) AS wsum,
+             MIN_BY(tid, tpos) AS wfirst,
+             MAX_BY(tid, tpos) AS wlast
+      FROM wid GROUP BY word
+    ),
+    agg AS (
+      SELECT dw.doc_id,
+             SUM(wn) AS n_tokens,
+             SUM(wunk) AS n_unk,
+             SUM(wsum) AS id_sum,
+             MIN_BY(wfirst, pos) AS first_id,
+             MAX_BY(wlast, pos) AS last_id
+      FROM dw JOIN wstats USING (word)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+           CAST(COALESCE(a.id_sum, 0) AS BIGINT) AS id_sum,
+           CAST(COALESCE(a.first_id, -1) AS BIGINT) AS first_id,
+           CAST(COALESCE(a.last_id, -1) AS BIGINT) AS last_id
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@register(
+    "document_bpe_ids",
+    oracle=_sql_bpe_ids_oracle(),
+    tags=("tokenizer", "bpe", "curation", "beyond-reference"),
+)
+def document_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to every document and emit
+    exactly-checkable per-doc token statistics (count, unknown count,
+    id sum, first/last token id — scalars instead of the raw id
+    sequence so the driver hash stays array-free while still pinning
+    order via first/last and position-weighted sums).
+
+    Scale shape — the production tokenizer-apply pattern:
+    1. merges learned on the capped type table (see bpe_vocab);
+    2. the corpus's DISTINCT tokenizable words (vocabulary-sized, not
+       corpus-sized) run the M merges as ONE chained-replace codegen
+       projection — no loop jobs;
+    3. per-WORD token stats are computed once on that small table, so
+       the corpus-sized path is a broadcast join + plain columnar
+       sums/min_by — zero interpreted HOFs touch per-(doc, word)
+       rows;
+    4. docs with no tokenizable words surface with zeros via the
+       final left join (never silently dropped)."""
+    from ..operators.bpe import (
+        alphabet,
+        apply_merges,
+        initial_state,
+        learn_bpe,
+        tokens_of_state,
+        word_types,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    types = word_types(docs, _BPE_TYPES)
+    merges, _ = learn_bpe(types, _BPE_MERGES)
+    base = alphabet(types)
+    vocab_rows = [(c, i) for i, c in enumerate(base)] + [
+        (t1 + t2, len(base) + k) for k, (t1, t2, _) in enumerate(merges)
+    ]
+    vocab = spark.createDataFrame(vocab_rows, "token string, token_id bigint")
+
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).where(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 20))
+    dwords = words.select("word").distinct()
+    wtok = dwords.select(
+        "word",
+        tokens_of_state(
+            apply_merges(initial_state(F.col("word")), merges)
+        ).alias("ts"),
+    )
+    wid = (
+        wtok.select("word", F.posexplode("ts").alias("tpos", "token"))
+        .join(F.broadcast(vocab), "token", "left")
+        .select(
+            "word",
+            "tpos",
+            F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid"),
+        )
+    )
+    wstats = wid.groupBy("word").agg(
+        F.count("*").alias("wn"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("wunk"),
+        F.sum("tid").alias("wsum"),
+        F.min_by("tid", "tpos").alias("wfirst"),
+        F.max_by("tid", "tpos").alias("wlast"),
+    )
+    agg = (
+        words.join(F.broadcast(wstats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wn").alias("n_tokens"),
+            F.sum("wunk").alias("n_unk"),
+            F.sum("wsum").alias("id_sum"),
+            F.min_by("wfirst", "pos").alias("first_id"),
+            F.max_by("wlast", "pos").alias("last_id"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), z).alias("n_tokens"),
+            F.coalesce(F.col("n_unk"), z).alias("n_unk"),
+            F.coalesce(F.col("id_sum"), z).alias("id_sum"),
+            F.coalesce(F.col("first_id"), F.lit(-1).cast("bigint")).alias(
+                "first_id"
+            ),
+            F.coalesce(F.col("last_id"), F.lit(-1).cast("bigint")).alias(
+                "last_id"
+            ),
+        )
+    )

@@ -478,3 +478,142 @@ class TestBloomDecontamination:
 
         with _pytest.raises(ValueError, match="plan-literal bound"):
             bloom_m_bits(10_000_000)
+
+
+class TestBPE:
+    """operators/bpe.py: the Spark BPE learner vs an independent
+    pure-Python implementation of the same deterministic semantics
+    (non-overlapping left-to-right pair counting, (score DESC, left,
+    right) tie-break), plus the apply-path identity."""
+
+    @staticmethod
+    def _py_bpe(type_counts, n_merges):
+        sstr = {
+            w: "".join("\x02" + c + "\x03" for c in w) for w, _ in type_counts
+        }
+        cnts = dict(type_counts)
+        out = []
+        for _ in range(n_merges):
+            score = {}
+            for w, s in sstr.items():
+                toks = s[1:-1].split("\x03\x02")
+                for a, b in set(zip(toks, toks[1:])):
+                    pat = "\x02" + a + "\x03\x02" + b + "\x03"
+                    occ = (len(s) - len(s.replace(pat, ""))) // len(pat)
+                    score[(a, b)] = score.get((a, b), 0) + cnts[w] * occ
+            if not score:
+                break
+            (a, b), sc = sorted(
+                score.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            if sc <= 0:
+                break
+            out.append((a, b, sc))
+            pat = "\x02" + a + "\x03\x02" + b + "\x03"
+            rep = "\x02" + a + b + "\x03"
+            sstr = {w: s.replace(pat, rep) for w, s in sstr.items()}
+        return out, sstr
+
+    def test_learner_matches_python_reference(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.bpe import (
+            learn_bpe,
+            word_types,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        types = word_types(docs, 1000)
+        tl = [(r.word, r.cnt) for r in types.collect()]
+        merges, final_state = learn_bpe(types, 10)
+        py_merges, py_state = self._py_bpe(tl, 10)
+        assert merges == py_merges
+        got_state = {r.word: r.state for r in final_state.collect()}
+        assert got_state == py_state
+        # sanity: scores are positive and non-increasing is NOT
+        # required by BPE (merged pairs can unlock bigger pairs), but
+        # every score must be positive
+        assert all(s > 0 for _, _, s in merges)
+
+    def test_apply_path_reproduces_learner_state(self, spark, sf_dir):
+        """Fresh initial_state + chained replaces (the corpus-apply
+        codegen projection) must land on exactly the learner's final
+        state for every word."""
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.bpe import (
+            apply_merges,
+            initial_state,
+            learn_bpe,
+            tokens_of_state,
+            word_types,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        types = word_types(docs, 1000)
+        merges, final_state = learn_bpe(types, 10)
+        applied = types.select(
+            "word",
+            apply_merges(initial_state(F.col("word")), merges).alias("state"),
+        )
+        want = {r.word: r.state for r in final_state.collect()}
+        got = {r.word: r.state for r in applied.collect()}
+        assert got == want
+        # token arrays reassemble to the original word
+        toks = applied.select(
+            "word", tokens_of_state(F.col("state")).alias("ts")
+        ).collect()
+        for r in toks:
+            assert "".join(r.ts) == r.word
+
+    def test_doc_ids_checkable_stats(self, spark, sf_dir):
+        """document_bpe_ids per-doc stats recomputed in pure Python
+        from the learned merges."""
+        from multi_crm_cross_sell_spark.operators.bpe import (
+            alphabet,
+            learn_bpe,
+            word_types,
+        )
+
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).collect()
+        }
+        q = all_queries()["document_bpe_ids"]
+        got = {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
+
+        types = word_types(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), 1000
+        )
+        tl = [(r.word, r.cnt) for r in types.collect()]
+        merges, _ = self._py_bpe(tl, 10), None
+        merges = merges[0]
+        base = alphabet(types)
+        vocab = {c: i for i, c in enumerate(base)}
+        for k, (a, b, _) in enumerate(merges):
+            vocab[a + b] = len(base) + k
+
+        import re
+
+        def encode(word):
+            s = "".join("\x02" + c + "\x03" for c in word)
+            for a, b, _ in merges:
+                s = s.replace(
+                    "\x02" + a + "\x03\x02" + b + "\x03", "\x02" + a + b + "\x03"
+                )
+            return [vocab.get(t, -1) for t in s[1:-1].split("\x03\x02")]
+
+        ok = re.compile(r"^[a-z]{1,20}$")
+        for doc_id, text in docs.items():
+            ids = []
+            for w in text.split(" "):
+                if ok.match(w):
+                    ids.extend(encode(w))
+            r = got[doc_id]
+            assert r.n_tokens == len(ids)
+            assert r.n_unk == sum(1 for i in ids if i == -1)
+            assert r.id_sum == sum(ids)
+            assert r.first_id == (ids[0] if ids else -1)
+            assert r.last_id == (ids[-1] if ids else -1)
