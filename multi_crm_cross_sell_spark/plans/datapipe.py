@@ -2727,8 +2727,13 @@ def _sql_bpe_prefix(n_merges: int) -> str:
     the same REPLACE). CHR(2)/CHR(3) are the token open/close wraps —
     matching operators/bpe.py exactly."""
     pat = "CHR(2)||{a}||CHR(3)||CHR(2)||{b}||CHR(3)"
+    # AS MATERIALIZED on every step CTE: state{k-1} is referenced by
+    # BOTH t{k} and state{k} (and best{k} by state{k}, wstate{k} and
+    # the final rows), so plain inlining re-evaluates each level
+    # twice -> 2^M blowup by depth. Measured: document_bpe_ids oracle
+    # 255s -> ~2s at sf0.01 with materialization forced.
     parts = [
-        f"""types AS (
+        f"""types AS MATERIALIZED (
       SELECT word, cnt FROM (
         SELECT w AS word, COUNT(*) AS cnt
         FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
@@ -2742,7 +2747,7 @@ def _sql_bpe_prefix(n_merges: int) -> str:
                                      i -> SUBSTR(word, i, 1))) AS c
         FROM types)
     ),
-    state0 AS (
+    state0 AS MATERIALIZED (
       SELECT word, cnt,
              ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
                i -> CHR(2)||SUBSTR(word, i, 1)||CHR(3)), '') AS state
@@ -2753,7 +2758,7 @@ def _sql_bpe_prefix(n_merges: int) -> str:
         p = pat.format(a="t1", b="t2")
         bp = pat.format(a="b.t1", b="b.t2")
         parts.append(
-            f"""t{k} AS (
+            f"""t{k} AS MATERIALIZED (
       SELECT word, cnt, state,
              STRING_SPLIT(SUBSTR(state, 2, LENGTH(state) - 2),
                           CHR(3)||CHR(2)) AS ts
@@ -2772,8 +2777,8 @@ def _sql_bpe_prefix(n_merges: int) -> str:
                         // LENGTH({p}))) AS s
       FROM pr{k} GROUP BY t1, t2
     ),
-    best{k} AS (SELECT t1, t2, s FROM occ{k} ORDER BY s DESC, t1, t2 LIMIT 1),
-    state{k} AS (
+    best{k} AS MATERIALIZED (SELECT t1, t2, s FROM occ{k} ORDER BY s DESC, t1, t2 LIMIT 1),
+    state{k} AS MATERIALIZED (
       SELECT word, cnt,
              REPLACE(state, {bp}, CHR(2)||b.t1||b.t2||CHR(3)) AS state
       FROM state{k - 1}, best{k} b
@@ -2821,7 +2826,7 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     types = word_types(docs, _BPE_TYPES)
-    merges, _ = learn_bpe(types, _BPE_MERGES)
+    merges = learn_bpe(types, _BPE_MERGES)
     base = len(alphabet(types))
     rows = [
         (k + 1, t1, t2, t1 + t2, score, base + k)
@@ -2837,7 +2842,7 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_bpe_ids_oracle(n_merges: int = _BPE_MERGES) -> str:
     # apply chain over ALL distinct tokenizable corpus words
     apply_chain = "\n    ".join(
-        f"""wstate{k} AS (
+        f"""wstate{k} AS MATERIALIZED (
       SELECT word,
              REPLACE(state, CHR(2)||b.t1||CHR(3)||CHR(2)||b.t2||CHR(3),
                      CHR(2)||b.t1||b.t2||CHR(3)) AS state
@@ -2861,7 +2866,7 @@ def _sql_bpe_ids_oracle(n_merges: int = _BPE_MERGES) -> str:
         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents))
       WHERE regexp_matches(p['w'], '^[a-z]+$') AND LENGTH(p['w']) <= 20
     ),
-    wstate0 AS (
+    wstate0 AS MATERIALIZED (
       SELECT word,
              ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
                i -> CHR(2)||SUBSTR(word, i, 1)||CHR(3)), '') AS state
@@ -2955,7 +2960,7 @@ def document_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     types = word_types(docs, _BPE_TYPES)
-    merges, _ = learn_bpe(types, _BPE_MERGES)
+    merges = learn_bpe(types, _BPE_MERGES)
     base = alphabet(types)
     vocab_rows = [(c, i) for i, c in enumerate(base)] + [
         (t1 + t2, len(base) + k) for k, (t1, t2, _) in enumerate(merges)

@@ -515,8 +515,6 @@ class TestBPE:
         return out, sstr
 
     def test_learner_matches_python_reference(self, spark, sf_dir):
-        from pyspark.sql import functions as F
-
         from multi_crm_cross_sell_spark.operators.bpe import (
             learn_bpe,
             word_types,
@@ -525,38 +523,36 @@ class TestBPE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         types = word_types(docs, 1000)
         tl = [(r.word, r.cnt) for r in types.collect()]
-        merges, final_state = learn_bpe(types, 10)
-        py_merges, py_state = self._py_bpe(tl, 10)
+        merges = learn_bpe(types, 10)
+        py_merges, _ = self._py_bpe(tl, 10)
         assert merges == py_merges
-        got_state = {r.word: r.state for r in final_state.collect()}
-        assert got_state == py_state
-        # sanity: scores are positive and non-increasing is NOT
-        # required by BPE (merged pairs can unlock bigger pairs), but
-        # every score must be positive
+        # sanity: scores need not be non-increasing (merged pairs can
+        # unlock bigger pairs), but every score must be positive
         assert all(s > 0 for _, _, s in merges)
 
-    def test_apply_path_reproduces_learner_state(self, spark, sf_dir):
+    def test_apply_path_reproduces_reference_state(self, spark, sf_dir):
         """Fresh initial_state + chained replaces (the corpus-apply
-        codegen projection) must land on exactly the learner's final
-        state for every word."""
+        codegen projection) must land on exactly the reference
+        implementation's final state for every word."""
         from pyspark.sql import functions as F
 
         from multi_crm_cross_sell_spark.operators.bpe import (
             apply_merges,
             initial_state,
             learn_bpe,
-            tokens_of_state,
             word_types,
+            tokens_of_state,
         )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         types = word_types(docs, 1000)
-        merges, final_state = learn_bpe(types, 10)
+        tl = [(r.word, r.cnt) for r in types.collect()]
+        merges = learn_bpe(types, 10)
+        _, want = self._py_bpe(tl, 10)
         applied = types.select(
             "word",
             apply_merges(initial_state(F.col("word")), merges).alias("state"),
         )
-        want = {r.word: r.state for r in final_state.collect()}
         got = {r.word: r.state for r in applied.collect()}
         assert got == want
         # token arrays reassemble to the original word
