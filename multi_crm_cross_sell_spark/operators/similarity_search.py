@@ -10,8 +10,20 @@ Two paths (BASELINE.json north star):
 
 The hyperplanes are deterministic md5-seeded literals (generated once
 in Python, embedded in both the Spark plan and the SQL oracle), and
-dot products accumulate in decimal — so even bucket boundaries are
-bit-identical across engines and cluster layouts.
+every dot product is a POSITIONAL plain-double sum (v[0]*w[0] + ... +
+v[63]*w[63], one generated SQL string per dot): both engines execute
+the identical IEEE-754 operations in the identical left-to-right
+order, so the results are bit-identical across engines and cluster
+layouts — the same guarantee the earlier decimal(38,18) fold bought,
+WITHOUT its costs. The decimal fold was (a) a lambda-HOF pipeline,
+which Spark interprets row-at-a-time outside codegen, and (b)
+38-digit BigDecimal arithmetic per element; measured at the 100x
+decade it put ann_ivf_topk at ~100s and embedding_near_dup at ~522s,
+almost entirely dot-product time. The positional double form is
+whole-stage-codegen scalar math. (Neither JVM doubles nor DuckDB's
+C++ build reassociate floating-point — order is the expression
+order, so cross-engine bit-equality holds; the driver's hash compare
+enforces it every round.)
 """
 
 from __future__ import annotations
@@ -49,47 +61,84 @@ def _plane(k: int, table: int = 0) -> list[float]:
     return HYPERPLANES[(table, k)]
 
 
+MAX_PLANES = 30
+
+
 def adaptive_n_planes(n_rows: int, target_bucket: int = 8) -> int:
     """Plane count that keeps EXPECTED bucket occupancy constant as the
-    corpus grows: K = log2(n / target_bucket). With a fixed K, 10x the
-    vectors means 10x per bucket and ~100x in-bucket candidate pairs —
-    measured as a 39x wall-time blowup at the 10x scale point
-    (SCALE.md) — while K growing with log2(n) keeps candidate count
-    linear in n. Floor at the default so small corpora keep the
-    oracle-pinned behavior."""
-    import math
-
+    corpus grows: K = ceil(log2(n / target_bucket)). With a fixed K,
+    10x the vectors means 10x per bucket and ~100x in-bucket candidate
+    pairs — measured as a 39x wall-time blowup at the 10x scale point
+    and 326x at the 100x decade (SCALE.md) — while K growing with
+    log2(n) keeps candidate count linear in n. INTEGER-exact (the
+    adaptive_band_bits discipline: bit_length, never float log2 whose
+    x.9999 could ceil differently across engines — the SQL mirror is
+    LENGTH(BIN((n + t - 1) // t - 1))). Floor at the default so small
+    corpora keep the historical behavior; cap at MAX_PLANES (bucket
+    ids stay comfortably in a bigint; beyond n = 8·2^30 vectors,
+    concatenate a second plane block per table)."""
     if n_rows <= target_bucket:
         return N_PLANES
-    return max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket)))
+    ceil_ratio = (n_rows + target_bucket - 1) // target_bucket
+    return min(MAX_PLANES, max(N_PLANES, (ceil_ratio - 1).bit_length()))
 
 
-def dec_dot(a: Column, b: Column) -> Column:
-    """Decimal-exact dot product of two array<double> columns (order-
-    independent, engine-independent; see plans/_parity.py)."""
-    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,18)"))
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(38,18)"),
-        lambda acc, v: (acc + v).cast("decimal(38,18)"),
-    ).cast("double")
+def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Positional plain-double dot product as a Spark SQL string
+    (0-based subscripts): one parsed expression, whole-stage codegen,
+    bit-identical to the DuckDB mirror (sql_dot) because both engines
+    run the same IEEE ops in the same order."""
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
 
 
-def _plane_lit(k: int, table: int = 0) -> Column:
-    return F.array(*[F.lit(v) for v in _plane(k, table)])
+def sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB mirror of dot_sql (1-based subscripts)."""
+    return "(" + " + ".join(
+        f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)
+    ) + ")"
 
 
-def bucket_id(vec: Column, n_planes: int = N_PLANES, table: int = 0) -> Column:
-    """K-bit LSH bucket: bit k set iff dot(vec, plane_k) >= 0.
-    ``table`` selects an independent hyperplane set (OR-amplification:
-    L tables recover the recall that a larger adaptive K gives away —
-    a pair is a candidate if it matches in ANY table)."""
-    out = F.lit(0)
-    for k in range(n_planes):
-        out = out + F.when(
-            dec_dot(vec, _plane_lit(k, table)) >= 0, F.lit(1 << k)
-        ).otherwise(F.lit(0))
-    return out
+def plane_dot_sql(vec: str, k: int, table: int = 0, dim: int = DIM) -> str:
+    """dot(vec, plane_k) with the plane folded in as float literals
+    (6-dp values round-trip exactly through SQL text in both
+    engines). ``dim`` <= DIM uses the plane's leading components."""
+    cs = _plane(k, table)
+    return "(" + " + ".join(
+        f"{vec}[{i}] * ({cs[i]!r})" for i in range(dim)
+    ) + ")"
+
+
+def sql_plane_dot(vec: str, k: int, table: int = 0) -> str:
+    """DuckDB mirror of plane_dot_sql (1-based subscripts on vec)."""
+    cs = _plane(k, table)
+    return "(" + " + ".join(
+        f"{vec}[{i + 1}] * ({cs[i]!r})" for i in range(DIM)
+    ) + ")"
+
+
+def bucket_sql(
+    vec: str, n_planes: int = N_PLANES, table: int = 0, dim: int = DIM
+) -> str:
+    """K-bit LSH bucket as one Spark SQL string: bit k set iff
+    dot(vec, plane_k) >= 0. ``table`` selects an independent
+    hyperplane set (OR-amplification: L tables recover the recall
+    that a larger adaptive K gives away — a pair is a candidate if it
+    matches in ANY table)."""
+    terms = " + ".join(
+        f"(CASE WHEN {plane_dot_sql(vec, k, table, dim)} >= 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(n_planes)
+    )
+    return f"({terms})"
+
+
+def bucket_id(
+    vec: str, n_planes: int = N_PLANES, table: int = 0, dim: int = DIM
+) -> Column:
+    """Column form of bucket_sql; ``vec`` is a COLUMN NAME (the
+    expression is assembled as one SQL string — the py4j round-trip
+    lesson)."""
+    return F.expr(bucket_sql(vec, n_planes, table, dim))
 
 
 def ann_topk(
@@ -101,6 +150,7 @@ def ann_topk(
     n_planes: int | None = N_PLANES,
     n_tables: int = 1,
     hamming_probes: int = 0,
+    dim: int = DIM,
 ) -> DataFrame:
     """Per-query top-k by exact cosine among same-bucket candidates.
 
@@ -131,10 +181,10 @@ def ann_topk(
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
     )
     if n_tables == 1 and hamming_probes == 0:
-        bb = base.withColumn("bucket", bucket_id(F.col("v"), n_planes))
+        bb = base.withColumn("bucket", bucket_id("v", n_planes, dim=dim))
         q = bb.where(query_pred).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -146,9 +196,8 @@ def ann_topk(
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        cosine = F.round(
-            dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
-            9,
+        cosine = F.expr(
+            f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
         return (
@@ -168,7 +217,7 @@ def ann_topk(
         part = base.select(
             "vec_id",
             F.lit(t).alias("t"),
-            bucket_id(F.col("v"), n_planes, t).alias("bucket"),
+            bucket_id("v", n_planes, t, dim).alias("bucket"),
         )
         buck = part if buck is None else buck.unionByName(part)
     qb = buck.join(
@@ -214,8 +263,8 @@ def ann_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 9
+            F.expr(
+                f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)"
             ).alias("cosine"),
         )
     )
@@ -230,6 +279,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int | None = N_PLANES,
     n_tables: int = 1,
+    dim: int = DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
     (vectors on the same side of all K hyperplanes), then exact cosine
@@ -253,11 +303,13 @@ def embedding_near_dup_pairs(
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
     )
     if n_tables == 1:
         ids = base.select(
-            "vec_id", F.lit(0).alias("t"), bucket_id(F.col("v"), n_planes).alias("bucket")
+            "vec_id",
+            F.lit(0).alias("t"),
+            bucket_id("v", n_planes, dim=dim).alias("bucket"),
         )
     else:
         # UNION of per-table bucket frames (not posexplode: Generate
@@ -268,7 +320,7 @@ def embedding_near_dup_pairs(
             part = base.select(
                 "vec_id",
                 F.lit(t).alias("t"),
-                bucket_id(F.col("v"), n_planes, t).alias("bucket"),
+                bucket_id("v", n_planes, t, dim).alias("bucket"),
             )
             ids = part if ids is None else ids.unionByName(part)
     a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
@@ -289,9 +341,7 @@ def embedding_near_dup_pairs(
     s2 = base.select(
         F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
     )
-    cosine = F.round(
-        dec_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
-    )
+    cosine = F.expr(f"round({dot_sql('v1', 'v2', dim)} / (n1 * n2), 9)")
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -304,11 +354,12 @@ def ivf_topk(
     embeddings: DataFrame,
     query_pred: Column,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "first",
+    dim: int = DIM,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     centroid cell; a query searches its ``nprobe`` nearest cells.
@@ -332,11 +383,15 @@ def ivf_topk(
     from pyspark.sql import Window
 
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.isqrt(embeddings.count()))
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = (
         embeddings.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.sqrt(dec_dot(F.col("v"), F.col("v"))))
+        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
     )
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -350,7 +405,7 @@ def ivf_topk(
         ]
         cents = (
             spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
-            .withColumn("cnorm", F.sqrt(dec_dot(F.col("cv"), F.col("cv"))))
+            .withColumn("cnorm", F.expr(f"sqrt({dot_sql('cv', 'cv', dim)})"))
         )
     else:
         cents = base.orderBy("vec_id").limit(n_centroids).select(
@@ -359,9 +414,7 @@ def ivf_topk(
             F.col("norm").alias("cnorm"),
         )
     # centroid ranking per vector: argmax cosine (ties -> lowest id)
-    sim = F.round(
-        dec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9
-    )
+    sim = F.expr(f"round({dot_sql('v', 'cv', dim)} / (norm * cnorm), 9)")
     w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
     ranked = (
         base.join(F.broadcast(cents), how="cross")
@@ -384,9 +437,7 @@ def ivf_topk(
         assigned,
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cosine = F.round(
-        dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 9
-    )
+    cosine = F.expr(f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)")
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", cosine.alias("cosine"))
@@ -395,17 +446,3 @@ def ivf_topk(
     )
 
 
-# --- SQL oracle fragments -------------------------------------------------
-
-def sql_plane_literal(k: int, table: int = 0) -> str:
-    return "[" + ", ".join(f"{v!r}" for v in _plane(k, table)) + "]"
-
-
-def sql_dec_dot(a: str, b: str) -> str:
-    """DuckDB decimal-exact dot product over two DOUBLE[] expressions
-    of length DIM (list_zip + fold via unnest is heavier; generate a
-    positional sum instead)."""
-    terms = " + ".join(
-        f"CAST({a}[{i}] * {b}[{i}] AS DECIMAL(38,18))" for i in range(1, DIM + 1)
-    )
-    return f"CAST(({terms}) AS DOUBLE)"

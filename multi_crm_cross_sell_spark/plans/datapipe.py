@@ -39,10 +39,10 @@ from ..operators.dedup import (
 from ..operators.similarity_search import (
     N_PLANES,
     ann_topk,
-    dec_dot as sim_dec_dot,
+    dot_sql,
     embedding_near_dup_pairs,
-    sql_dec_dot,
-    sql_plane_literal,
+    sql_dot,
+    sql_plane_dot,
 )
 from ..sources.bronze import load_table
 from .registry import register
@@ -521,33 +521,31 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSINE_ORACLE = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+# Positional plain-double dots (see operators/similarity_search.py's
+# module docstring): both engines run the identical IEEE ops in the
+# identical order, so no decimal accumulation is needed for parity —
+# and the per-pair cost drops from BigDecimal folds to codegen scalar
+# math (the earlier UNNEST+decimal-SUM oracle needed decimal exactly
+# because SUM over unnested rows has no guaranteed order).
+_COSINE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
-pairs AS (
-  SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ee
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+norms AS (
+  SELECT vec_id, v, SQRT({sql_dot('v', 'v')}) AS norm FROM base
 ),
-un AS (
-  SELECT query_id, vec_id, UNNEST(qe) AS x, UNNEST(ee) AS y FROM pairs
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM norms WHERE vec_id % 100 = 0
 ),
-dots AS (
-  SELECT query_id, vec_id,
-    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS n1,
-    CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS n2
-  FROM un GROUP BY query_id, vec_id
-),
-cos AS (
-  SELECT query_id, vec_id,
-         ROUND(dot / (SQRT(n1) * SQRT(n2)), 9) AS cosine
-  FROM dots
+scored AS (
+  SELECT q.query_id, n.vec_id,
+         ROUND({sql_dot('q.qv', 'n.v')} / (q.qnorm * n.norm), 9) AS cosine
+  FROM q JOIN norms n ON n.vec_id <> q.query_id
 )
 SELECT query_id, vec_id, cosine, rk FROM (
   SELECT query_id, vec_id, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
-  FROM cos
+  FROM scored
 ) WHERE rk <= 10
 """
 
@@ -559,21 +557,21 @@ SELECT query_id, vec_id, cosine, rk FROM (
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table: broadcast
-    the (tiny) query set against all vectors, dot products via
-    zip_with + decimal-exact aggregate, per-query top-10 window. This
-    is the exactness baseline; the LSH-bucketed variant is the scale
-    path. Decimal accumulation keeps scores bit-identical to the
-    oracle (float sums are order-dependent otherwise)."""
+    the (tiny) query set against all vectors, positional plain-double
+    dot products (codegen; bit-identical to the oracle because both
+    engines run the same IEEE ops in the same order), per-query
+    top-10 window. This is the exactness baseline; the LSH-bucketed
+    variant is the scale path."""
     e = load_table(spark, sf_dir, "embeddings")
     # Per-row norms BEFORE the join (one dot per pair instead of
-    # three) and an explicit repartition so the decimal-heavy
-    # projection parallelizes even off a single parquet file.
+    # three) and an explicit repartition so the CPU-bound projection
+    # parallelizes even off a single parquet file.
     n_parts = spark.sparkContext.defaultParallelism * 2
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = (
         e.repartition(n_parts, F.col("vec_id"))
         .select("vec_id", dbl.alias("v"))
-        .withColumn("norm", F.sqrt(sim_dec_dot(F.col("v"), F.col("v"))))
+        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v')})"))
     )
     q = base.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -585,10 +583,9 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(
-            sim_dec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
-            9,
-        ).alias("cosine"),
+        F.expr(f"round({dot_sql('qv', 'v')} / (qnorm * norm), 9)").alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -600,7 +597,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_oracle() -> str:
     bucket_terms = " + ".join(
-        f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k)})')} >= 0 THEN {1 << k} ELSE 0 END)"
+        f"(CASE WHEN {sql_plane_dot('v', k)} >= 0 THEN {1 << k} ELSE 0 END)"
         for k in range(N_PLANES)
     )
     return f"""
@@ -620,8 +617,8 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, vec_id,
-         ROUND({sql_dec_dot('qv', 'v')}
-               / (SQRT({sql_dec_dot('qv', 'qv')}) * SQRT({sql_dec_dot('v', 'v')})), 9) AS cosine
+         ROUND({sql_dot('qv', 'v')}
+               / (SQRT({sql_dot('qv', 'qv')}) * SQRT({sql_dot('v', 'v')})), 9) AS cosine
   FROM cand
 )
 SELECT query_id, vec_id, cosine, rk FROM (
@@ -655,7 +652,7 @@ _MT_TABLES = 2
 def _ann_multitable_oracle() -> str:
     def bucket_terms(t: int) -> str:
         return " + ".join(
-            f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k, t)})')} >= 0 THEN {1 << k} ELSE 0 END)"
+            f"(CASE WHEN {sql_plane_dot('v', k, t)} >= 0 THEN {1 << k} ELSE 0 END)"
             for k in range(_MT_PLANES)
         )
 
@@ -684,8 +681,8 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.vec_id,
-         ROUND({sql_dec_dot('qv.v', 'bv.v')}
-               / (SQRT({sql_dec_dot('qv.v', 'qv.v')}) * SQRT({sql_dec_dot('bv.v', 'bv.v')})), 9) AS cosine
+         ROUND({sql_dot('qv.v', 'bv.v')}
+               / (SQRT({sql_dot('qv.v', 'qv.v')}) * SQRT({sql_dot('bv.v', 'bv.v')})), 9) AS cosine
   FROM cand c
   JOIN base qv ON qv.vec_id = c.query_id
   JOIN base bv ON bv.vec_id = c.vec_id
@@ -1130,27 +1127,40 @@ def ngram_jaccard_dedup_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup_oracle() -> str:
+    # Adaptive-K mirror: K from COUNT via the integer-exact formula
+    # (adaptive_n_planes), all MAX_PLANES bit terms computed and
+    # gated on k < K — the banded-simhash runtime-width technique.
+    from ..operators.similarity_search import MAX_PLANES
+
     bucket_terms = " + ".join(
-        f"(CASE WHEN {sql_dec_dot('v', f'({sql_plane_literal(k)})')} >= 0 THEN {1 << k} ELSE 0 END)"
-        for k in range(N_PLANES)
+        f"(CASE WHEN {k} < kk.k AND {sql_plane_dot('v', k)} >= 0"
+        f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(MAX_PLANES)
     )
     return f"""
-WITH base AS (
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+kk AS (
+  SELECT LEAST({MAX_PLANES},
+               GREATEST({N_PLANES},
+                        LENGTH(BIN((n + 7) // 8 - 1)))) AS k
+  FROM nn
+),
+base AS (
   SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
 bucketed AS (
-  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base, kk
 ),
 cand AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
   FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id1, id2,
-       ROUND({sql_dec_dot('v1', 'v2')}
-             / (SQRT({sql_dec_dot('v1', 'v1')}) * SQRT({sql_dec_dot('v2', 'v2')})), 9) AS cosine
+       ROUND({sql_dot('v1', 'v2')}
+             / (SQRT({sql_dot('v1', 'v1')}) * SQRT({sql_dot('v2', 'v2')})), 9) AS cosine
 FROM cand
-WHERE ROUND({sql_dec_dot('v1', 'v2')}
-            / (SQRT({sql_dec_dot('v1', 'v1')}) * SQRT({sql_dec_dot('v2', 'v2')})), 9) >= 0.4
+WHERE ROUND({sql_dot('v1', 'v2')}
+            / (SQRT({sql_dot('v1', 'v1')}) * SQRT({sql_dot('v2', 'v2')})), 9) >= 0.4
 """
 
 
@@ -1163,9 +1173,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking then
     exact cosine on same-bucket candidates — the vector-space member
     of the dedup family (exact hash / MinHash / SimHash / n-gram
-    Jaccard / embedding cosine)."""
+    Jaccard / embedding cosine). The plane count ADAPTS with the
+    corpus (K = ceil(log2(n/8)), integer-exact, mirrored from
+    COUNT(*) in the oracle): round 7's 100x decade measured the
+    pinned-K form at 326x wall for 100x data — the fixed-bucket-space
+    defect class — while the adaptive form held ~11x. The oracle
+    computes all MAX_PLANES bit terms gated on k < K, the
+    banded-simhash runtime-width technique."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4)
+    return embedding_near_dup_pairs(e, threshold=0.4, n_planes=None)
 
 
 _ROLL_R = 1_000_003
@@ -1328,17 +1344,26 @@ def extractive_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    dd = sql_dec_dot
+    dd = sql_dot
+    # Adaptive centroid count c = max(16, isqrt(n)) mirrored from
+    # COUNT: FLOOR(SQRT(n)) is exact for n < 2^52 (IEEE sqrt is
+    # correctly rounded, so perfect squares are hit exactly) — both
+    # engines agree bit-for-bit.
     return f"""
-WITH base AS (
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
   SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
 norms AS (
   SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
 ),
 cents AS (
-  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-  FROM norms ORDER BY vec_id LIMIT 16
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
 ),
 sims AS (
   SELECT n.vec_id, n.v, n.norm, c.cent_id,
@@ -1385,11 +1410,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two nearest cells — probing past the Voronoi boundary recovers the
     neighbors a single-cell search misses. Deterministic lowest-id
     centroids keep the index oracle-reproducible (a trained KMeans
-    codebook slots into the same plan shape)."""
+    codebook slots into the same plan shape). Centroid count ADAPTS
+    as c = max(16, isqrt(n)) — with c pinned, per-cell occupancy
+    grows ∝ n and the probe stage re-acquires the quadratic term the
+    index exists to remove (measured ~100x wall at the 100x decade,
+    SCALE.md); c ∝ sqrt(n) balances the n·c assignment cost against
+    the q·nprobe·n/c probe cost. The oracle mirrors c from COUNT(*)
+    (FLOOR(SQRT(n)) — IEEE-exact below 2^52)."""
     from ..operators.similarity_search import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=16, nprobe=2)
+    return ivf_topk(
+        e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2
+    )
 
 
 @register(

@@ -66,7 +66,9 @@ class TestEmbeddingNearDup:
         e = spark.createDataFrame(rows, ["vec_id", "embedding"])
         out = {
             (r.id1, r.id2): r.cosine
-            for r in embedding_near_dup_pairs(e, threshold=0.99).collect()
+            for r in embedding_near_dup_pairs(
+                e, threshold=0.99, dim=8
+            ).collect()
         }
         assert out == {(1, 2): 1.0}
 

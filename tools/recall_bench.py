@@ -51,39 +51,42 @@ SCALES = [
 ]
 
 
-def brute_force_topk(e, k: int, query_mod: int = QUERY_MOD):
-    """Exact cosine top-k per query, plain-double dots (fast path)."""
+def brute_force_topk(e, k: int, query_mod: int = QUERY_MOD, within: int | None = None):
+    """Exact cosine top-k per query via positional codegen dots (the
+    operators' dot_sql — interpreted HOF folds cost ~10x more).
+    ``within``: restrict ground truth to the query's own replica
+    (vec_id // within equal) — the meaningful 100x metric, because at
+    dim 64 the max of ~1e5 DECORRELATED cosines exceeds the genuine
+    neighbor strength (measured: global top-10 at 100x is 100%
+    cross-replica noise at cos 0.46-0.62 vs real structure at
+    0.30-0.45), so global recall measures the weak-neighbor regime,
+    not index quality. Within-replica truth is isometry-preserved by
+    the replica construction."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import dot_sql
+
     n_parts = e.sparkSession.sparkContext.defaultParallelism * 2
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     base = (
         e.repartition(n_parts, F.col("vec_id"))
         .select("vec_id", dbl.alias("v"))
-        .withColumn(
-            "norm",
-            F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("v"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v')})"))
     )
     q = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
+    cond = F.col("vec_id") != F.col("query_id")
+    if within:
+        cond = cond & (
+            (F.col("vec_id") / within).cast("bigint")
+            == (F.col("query_id") / within).cast("bigint")
+        )
+    pairs = F.broadcast(q).join(base, cond)
     scored = pairs.select(
         "query_id",
         "vec_id",
-        (dot / (F.col("qnorm") * F.col("norm"))).alias("cosine"),
+        F.expr(f"{dot_sql('qv', 'v')} / (qnorm * norm)").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -123,6 +126,21 @@ def main() -> None:
             for r in brute_force_topk(e, K_EVAL, query_mod).collect()
         }
         bf_sec = round(time.time() - t0, 3)
+        # Within-replica ground truth for replicated corpora: the
+        # scaled corpora are built from 10/100 isometric replicas of
+        # the base 2000-vector table, and at dim 64 the global top-10
+        # beyond ~10x is dominated by cross-replica noise extremes
+        # (see brute_force_topk's docstring) — so recall is ALSO
+        # reported against the structure-preserving within-replica
+        # truth whenever the corpus is replicated.
+        wtruth = None
+        if label != "sf0.1":
+            wtruth = {
+                (r.query_id, r.vec_id)
+                for r in brute_force_topk(
+                    e, K_EVAL, query_mod, within=2000
+                ).collect()
+            }
         n_q = len({q for q, _ in truth})
         pred = F.col("vec_id") % query_mod == 0
 
@@ -130,19 +148,20 @@ def main() -> None:
             t0 = time.time()
             got = {(r.query_id, r.vec_id) for r in fn().collect()}
             dt = round(time.time() - t0, 3)
-            print(
-                json.dumps(
-                    {
-                        "scale": label,
-                        "n_vectors": n,
-                        "n_queries": n_q,
-                        "config": name,
-                        "recall_at_10": round(len(got & truth) / len(truth), 4),
-                        "ann_sec": dt,
-                        "bruteforce_sec": bf_sec,
-                    }
+            rec = {
+                "scale": label,
+                "n_vectors": n,
+                "n_queries": n_q,
+                "config": name,
+                "recall_at_10": round(len(got & truth) / len(truth), 4),
+                "ann_sec": dt,
+                "bruteforce_sec": bf_sec,
+            }
+            if wtruth:
+                rec["recall_at_10_within_replica"] = round(
+                    len(got & wtruth) / len(wtruth), 4
                 )
-            )
+            print(json.dumps(rec))
 
         lsh_configs = [
             ("lsh_K8_L1_pinned", N_PLANES, 1, 0),
