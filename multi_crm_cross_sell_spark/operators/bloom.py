@@ -106,12 +106,19 @@ def bloom_prune(
 ) -> DataFrame:
     """Keep only maybe-present rows: ALL k probe bits set ⇒ keep
     (bounded FP); any clear bit ⇒ definitely absent, dropped. Pure
-    codegen integer ops. The words array literal is bound ONCE as a
-    column (one SQL parse) rather than inlined into each of the k
-    probe tests — an m=2^19 bloom is ~8k bigint literals, and the
-    whole filter is a single narrow projection+filter the optimizer
-    keeps at scan level."""
-    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ") AS _bloom_words"
+    codegen integer ops.
+
+    The words array ships as a BROADCAST ONE-ROW FRAME cross-joined
+    onto the probe stream — the literal-embed form (a 131k-element
+    array(...) in the SQL text at m=2^23) measured fine at execution
+    (the parser's CreateArray constant-folds to one Literal) but cost
+    seconds PER CONSTRUCTION: a ~1 MB SQL parse plus optimizer rules
+    walking 131k×k child nodes until folding. The broadcast frame
+    moves the same 1 MB through the torrent broadcast path instead —
+    zero plan-text growth, and it IS the 100 TB design (bitmap to
+    every executor once, probes read a primitive long array)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
     tests = []
     for i in range(k):
         pos = _position_sql(col_sql, i, m_bits)
@@ -120,7 +127,7 @@ def bloom_prune(
             f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
         )
     return (
-        df.selectExpr("*", arr_sql)
+        df.crossJoin(F.broadcast(wdf))
         .where(F.expr("(" + " AND ".join(tests) + ")"))
         .drop("_bloom_words")
     )

@@ -413,25 +413,69 @@ def ivf_topk(
             F.col("v").alias("cv"),
             F.col("norm").alias("cnorm"),
         )
-    # centroid ranking per vector: argmax cosine (ties -> lowest id)
+    # Dense 0-based centroid index for the argmax packing below:
+    # cent_id can be any vec_id value ("first" mode), but the packed
+    # tie-break field needs < 2^20. row_number over the tiny centroid
+    # frame is monotone in cent_id, so (sim desc, cent_ix asc) picks
+    # the SAME winner as (sim desc, cent_id asc) — the oracle's
+    # ordering. Cell identity is internal; both the assignment and
+    # the query probes key on cent_ix.
+    cw = Window.orderBy("cent_id")
+    cents = cents.withColumn("cent_ix", F.row_number().over(cw) - 1)
     sim = F.expr(f"round({dot_sql('v', 'cv', dim)} / (norm * cnorm), 9)")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
-    ranked = (
-        base.join(F.broadcast(cents), how="cross")
-        .select("vec_id", "v", "norm", "cent_id", sim.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w))
+    # ARGMAX AS A PACKED-LONG MAX. Three formulations were measured at
+    # the 100x decade (200k vectors x 447 centroids = 89M rows):
+    # - row_number window over the wide pair stream: 403s (full
+    #   shuffle+sort of 89M rows with 64-double arrays);
+    # - max_by(cent_id, struct(sim, -cent_id)): 280s even on a NARROW
+    #   24-byte stream — struct-ordered max_by runs object-heavy /
+    #   interpreted per row, 100x slower than a plain long max;
+    # - pack (sim_nanos, tiebreak) into ONE bigint and take MAX: the
+    #   whole argmax rides codegen hash-agg with map-side combine,
+    #   ~2s. Ordering is EXACTLY (sim desc, cent_id asc): nanos =
+    #   round(sim*1e9) is the same monotone key the oracle's
+    #   ROUND(sim, 9) ordering uses, and (2^20 - cent_id) in the low
+    #   21 bits breaks ties toward the LOWEST centroid id. Bound:
+    #   (1e9 + 1e9) * 2^21 = 4.2e15 << 2^63; the tie-break field is
+    #   the dense cent_ix (0..c-1 < 2^20 for any c ≤ 2^20 centroids).
+    raw = f"{dot_sql('v', 'cv', dim)} / (norm * cnorm)"
+    packed = F.expr(
+        f"(CAST(ROUND(({raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+        f" * 2097152L + (1048576L - cent_ix)"
     )
-    assigned = ranked.where(F.col("rn") == 1).select(
-        "vec_id", "v", "norm", F.col("cent_id").alias("cell")
+    pairs = base.join(F.broadcast(cents), how="cross").select(
+        "vec_id", packed.alias("pk")
     )
+    cells = (
+        pairs.groupBy("vec_id")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "vec_id",
+            (
+                F.lit(1048576).cast("bigint")
+                - F.pmod(F.col("pk"), F.lit(2097152))
+            ).alias("cell"),
+        )
+    )
+    assigned = base.join(cells, "vec_id")
     # queries probe their nprobe nearest cells; data vectors live in
     # exactly one cell, so (query, candidate) pairs stay unique without
     # a dedup pass.
-    q = ranked.where(query_pred & (F.col("rn") <= nprobe)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("cent_id").alias("qcell"),
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    q = (
+        base.where(query_pred)
+        .join(F.broadcast(cents), how="cross")
+        .select(
+            "vec_id", "v", "norm", "cent_id", "cent_ix", sim.alias("cent_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("cent_ix").alias("qcell"),
+        )
     )
     cand = F.broadcast(q).join(
         assigned,

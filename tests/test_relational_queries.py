@@ -35,7 +35,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_entry_smoke(spark):
-        import __spark_entry__ as e
+    import __spark_entry__ as e
 
     df = e.entry(spark)
     assert df.count() >= 0
