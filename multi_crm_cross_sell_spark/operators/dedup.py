@@ -421,17 +421,25 @@ def adaptive_band_bits(n_col: Column) -> Column:
     )
 
 
-def banded_simhash_bands(
+def banded_simhash_doc_frame(
     gram_rows: DataFrame,
     n_docs: DataFrame | int,
     id_col: str = "doc_id",
     gram_col: str = "g",
     n_bands: int = SIMHASH_BANDS,
     weight_col: str | None = None,
+    extra_aggs: tuple = (),
 ) -> DataFrame:
-    """(id, nb, band, key) band rows: B masked simhash sketches per doc
-    over EXPLODED distinct gram rows (one (id, gram_hash) row per
-    distinct gram — not arrays).
+    """(id, nb, k0..k{B-1} [, extras]) ONE row per doc: B masked
+    simhash sketches over EXPLODED distinct gram rows (one
+    (id, gram_hash) row per distinct gram — not arrays).
+
+    ``extra_aggs`` lets the caller fold FURTHER per-doc aggregates
+    (e.g. ``collect_list(g)`` for an exact-verify gram array) into
+    the SAME hash aggregate, so banding and verify share one
+    aggregation pass over the gram rows instead of each re-reading
+    the gram exchange (the round-7 stage-collapse for
+    ngram_jaccard_dedup).
 
     Row-shaped input is deliberate: every step stays inside
     whole-stage codegen with ZERO higher-order functions — Spark's
@@ -474,6 +482,7 @@ def banded_simhash_bands(
     # generated code, and the oracle semantics are identical.
     ex = gram_rows.selectExpr(
         id_col,
+        *([gram_col] if extra_aggs else []),
         *([weight_col] if weight_col else []),
         *[
             f"({gram_col} * {SIMHASH_A[j]}L + {SIMHASH_B[j]}L) % {P}L AS p{j}"
@@ -516,7 +525,7 @@ def banded_simhash_bands(
             counters.append(
                 F.expr(f"sum({' + '.join(terms)}) AS acc_{j}_{s}")
             )
-    votes = ex.groupBy(id_col).agg(*counters)
+    votes = ex.groupBy(id_col).agg(*counters, *extra_aggs)
 
     def ones(j: int, i: int) -> str:
         s, lvl = i % n_slots, i // n_slots
@@ -532,28 +541,49 @@ def banded_simhash_bands(
         return f"({cases}) AS k{j}"
 
     keys = [key_expr(j) for j in range(n_bands)]
-    karr = ", ".join(f"k{j}" for j in range(n_bands))
+    known = {id_col, "nb", "tw"} | {
+        f"acc_{j}_{s}" for j in range(n_bands) for s in range(n_slots)
+    }
+    extras = [c for c in votes.columns if c not in known]
     if static_w is not None:
         # keys already exactly w bits wide — no mask, no count branch
-        return votes.selectExpr(id_col, "nb", *keys).selectExpr(
-            id_col,
-            "nb",
-            f"posexplode(array({karr})) AS (band, key)",
-        )
-    sk = (
-        votes.selectExpr(id_col, "nb", *keys)
+        return votes.selectExpr(id_col, "nb", *extras, *keys)
+    return (
+        votes.selectExpr(id_col, "nb", *extras, *keys)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("w", adaptive_band_bits(F.col("n_docs")))
+        .selectExpr(
+            id_col,
+            "nb",
+            *extras,
+            *[
+                f"k{j} & (shiftleft(CAST(1 AS BIGINT), w) - 1) AS k{j}"
+                for j in range(n_bands)
+            ],
+        )
     )
-    masked = ", ".join(
-        f"k{j} & (shiftleft(CAST(1 AS BIGINT), w) - 1)" for j in range(n_bands)
+
+
+def banded_simhash_bands(
+    gram_rows: DataFrame,
+    n_docs: DataFrame | int,
+    id_col: str = "doc_id",
+    gram_col: str = "g",
+    n_bands: int = SIMHASH_BANDS,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(id, nb, band, key) EXPLODED band rows — thin wrapper over
+    :func:`banded_simhash_doc_frame`. posexplode's per-element
+    re-eval is harmless here: the child is integer arithmetic over
+    already-aggregated columns."""
+    frame = banded_simhash_doc_frame(
+        gram_rows, n_docs, id_col, gram_col, n_bands, weight_col
     )
-    # posexplode's per-element re-eval is harmless here: the child is
-    # integer arithmetic over already-aggregated columns.
-    return sk.selectExpr(
+    karr = ", ".join(f"k{j}" for j in range(n_bands))
+    return frame.selectExpr(
         id_col,
         "nb",
-        f"posexplode(array({masked})) AS (band, key)",
+        f"posexplode(array({karr})) AS (band, key)",
     )
 
 

@@ -29,7 +29,7 @@ from ..operators.dedup import (
     SIMHASH_MAXBITS,
     SIMHASH_MINBITS,
     SIMHASH_W_MARGIN,
-    banded_simhash_bands,
+    banded_simhash_doc_frame,
     base_hash,
     exact_duplicates,
     near_dup_pairs,
@@ -853,21 +853,12 @@ def _ngram_jaccard_impl(
         # inferred constraints are subsumed and every consumer sees
         # the identical subplan.
         .where(F.col("doc_id").isNotNull() & F.col("g").isNotNull())
-        # One exchange ABOVE the computed gram rows: all three
-        # consumers (banding, both verify sides) read the same
-        # materialized shuffle (ReusedExchange) instead of re-running
-        # the md5+window pipeline per consumer. The partition count
-        # MUST differ from the upstream repartition's: with the same
-        # (key, count) Catalyst deletes this exchange as redundant —
-        # the partitioning is already satisfied — and with it the
-        # materialization point, silently re-running the whole gram
-        # pipeline once per consumer (measured: 5 FileScans / 7 Window
-        # nodes in the executed plan, ~4.5s → ~2.5s when the exchange
-        # survives). Halving to defaultParallelism keeps the exchange
-        # real at the cost of one narrow
-        # (doc_id, g) shuffle — rows are two bigints, so this is the
-        # cheapest materialization Spark offers.
-        .repartition(max(2, n_parts // 2), F.col("doc_id"))
+        # No materialization exchange here any more (round 7): the
+        # composite doc-frame aggregate below is the gram rows' ONLY
+        # consumer on the default path, so the pipeline runs scan →
+        # window → dedup → composite agg in one stage chain and the
+        # SINGLE materialization point moves to the per-doc frame
+        # (one row per doc), which every downstream consumer shares.
     )
     # Corpus count for the adaptive band width: COUNT(*) over the raw
     # parquet table — no projection, no text split, so Spark answers it
@@ -904,12 +895,54 @@ def _ngram_jaccard_impl(
             )
             .repartition(max(2, n_parts // 2), F.col("doc_id"))
         )
-        bands = banded_simhash_bands(
-            wgrams, n_docs, n_bands=n_bands, weight_col="wt"
+        doc_frame = banded_simhash_doc_frame(
+            wgrams,
+            n_docs,
+            n_bands=n_bands,
+            weight_col="wt",
+            extra_aggs=(F.collect_list("g").alias("arr"),),
         )
     else:
-        # (doc_id, nb, band, key) rows — banding adds no shuffle.
-        bands = banded_simhash_bands(grams, n_docs, n_bands=n_bands)
+        # COMPOSITE per-doc aggregate (round 7): band vote counters
+        # AND the exact-verify gram array come out of ONE hash
+        # aggregate over the gram rows (banding still adds no
+        # shuffle), where round 6 ran three aggregation passes over
+        # the reused gram exchange — one for the votes, one per
+        # broadcast side for collect_list (each broadcast subplan is
+        # canonically distinct, so ReusedExchange couldn't merge
+        # them). The doc-level output is then the ONLY thing
+        # materialized: ~5k narrow rows + one ~300-long array each.
+        doc_frame = banded_simhash_doc_frame(
+            grams,
+            n_docs,
+            n_bands=n_bands,
+            extra_aggs=(F.collect_list("g").alias("arr"),),
+        )
+    # Materialize the per-doc frame ONCE for every consumer (both band
+    # self-join sides, both verify broadcasts) via a LAZY local
+    # checkpoint. A plain repartition-exchange materialization does
+    # NOT work here: column pruning specializes the shared subtree
+    # per consumer (the verify broadcasts need only (doc_id, arr), so
+    # Catalyst strips the vote counters out of their copy of the
+    # aggregate), the canonical subplans diverge, ReusedExchange
+    # never fires, and the gram pipeline re-runs per consumer —
+    # observed directly in the executed plan. localCheckpoint pins
+    # the frame at the RDD layer instead: the lazy form persists
+    # (memory+disk) and truncates lineage on first computation, all
+    # consumers read the same cached partitions, and — unlike
+    # df.cache(), whose CacheManager matches by canonical PLAN — a
+    # fresh RDD per call means repeated bench runs can never serve
+    # each other's results; the ContextCleaner drops the blocks when
+    # the frame is garbage-collected. Volume: one row per doc
+    # (2 longs + B keys + the ~300-long gram array) — the same size
+    # class as the gram rows, paid once, spilling to disk at scale.
+    doc_frame = doc_frame.repartition(
+        max(2, n_parts // 2), F.col("doc_id")
+    ).localCheckpoint(eager=False)
+    karr = ", ".join(f"k{j}" for j in range(n_bands))
+    bands = doc_frame.selectExpr(
+        "doc_id", "nb", f"posexplode(array({karr})) AS (band, key)"
+    )
     # Length filter in the candidate join is LOSSLESS for threshold t:
     # jaccard <= min(|bg1|,|bg2|)/max(|bg1|,|bg2|), so pairs failing
     # min >= t*max can never verify (PPJoin-style size filter). Cuts
@@ -936,11 +969,11 @@ def _ngram_jaccard_impl(
         )
         .dropDuplicates(["doc1", "doc2"])
     )
-    # COMPACT-ARRAY verify: collect each doc's distinct grams into one
-    # array (the aggregate runs directly on the reused gram exchange —
-    # already partitioned by doc_id, so NO shuffle), broadcast that
-    # 5k-row doc_id→array map to both sides of the candidate stream,
-    # and take |A∩B| = size(array_intersect(...)) per pair. Compared
+    # COMPACT-ARRAY verify: each doc's distinct-gram array came out of
+    # the SAME composite aggregate as the band keys (extra_aggs, zero
+    # additional passes); broadcast that 5k-row doc_id→array map to
+    # both sides of the candidate stream, and take
+    # |A∩B| = size(array_intersect(...)) per pair. Compared
     # to the round-5 relational verify (two 256k-row broadcast hash
     # relations + a (doc2, g) equi-join + a final count aggregate with
     # its own exchange), this builds two SMALL broadcast maps (one row
@@ -953,9 +986,8 @@ def _ngram_jaccard_impl(
     # ride along from the vote aggregate, so |A∪B| = nb1+nb2−ni is
     # arithmetic; candidates sharing zero grams yield ni=0 and fail
     # the threshold, exactly as the inner join did.
-    garr = grams.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
-    a1 = garr.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
-    a2 = garr.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
+    a1 = doc_frame.select(F.col("doc_id").alias("doc1"), F.col("arr").alias("arr1"))
+    a2 = doc_frame.select(F.col("doc_id").alias("doc2"), F.col("arr").alias("arr2"))
     inter = (
         cand.join(F.broadcast(a1), "doc1")
         .join(F.broadcast(a2), "doc2")
