@@ -24,6 +24,29 @@ whole-stage-codegen scalar math. (Neither JVM doubles nor DuckDB's
 C++ build reassociate floating-point — order is the expression
 order, so cross-engine bit-equality holds; the driver's hash compare
 enforces it every round.)
+
+THE 8 KB JIT CLIFF (round 7, measured): Spark-side dots must NOT be
+evaluated over two ARRAY columns at production dims. Each a[i]*b[i]
+term over array columns generates ~100+ bytes of bytecode (null +
+bounds checks per element access); a 64-dim two-array dot plus the
+fused stage scaffolding crosses HotSpot's DontCompileHugeMethods
+limit (8000 bytecode bytes per method) — the generated method is
+NEVER JIT-compiled at any tier and the whole fused stage runs in the
+bytecode interpreter. Whole-stage codegen compiles fine (no Janino
+error, nothing in the logs); the only symptom is throughput. Measured
+on the 89M-row IVF assignment stream at the 100x decade: 32-term dot
+2.9s → 48-term dot 378s (~130x, the cliff between 32 and 48 terms);
+the full packed-argmax stage 316s as arrays vs 1.3s in the
+SCALAR-COLUMN layout this module now uses: vectors travel as dim
+individual double columns (v_0..v_63) unpacked once at the scan, so
+each dot term is two local double loads + multiply + add (~10 bytes
+of bytecode) and a 64-term dot is ~600 bytes — three of them fit in
+one fused stage with room to spare. Same IEEE ops in the same order,
+bit-identical results (equality of the aggregate sum verified at the
+cliff probe; the driver's value-hash compare re-proves it per round).
+At 10x the interpreted form cost ~3s and passed unnoticed — only the
+100x decade exposed it; fixed-cost-per-row defects scale linearly
+and hide at small n.
 """
 
 from __future__ import annotations
@@ -98,6 +121,98 @@ def sql_dot(a: str, b: str, dim: int = DIM) -> str:
     ) + ")"
 
 
+# --- wide scalar-column layout (the 8 KB JIT cliff fix, see module
+# --- docstring): vectors as dim individual double columns.
+
+
+def unpack_exprs(vec_col: str, prefix: str, dim: int = DIM) -> list[str]:
+    """SQL select-exprs unpacking an array column into ``dim`` scalar
+    double columns ``{prefix}_0 .. {prefix}_{dim-1}`` — done ONCE at
+    the scan; everything downstream does scalar math.
+
+    The COALESCE(..., 0.0) makes every unpacked column NON-NULLABLE,
+    and that is load-bearing, not cosmetic: with nullable scalar
+    columns, any filter/join above the frame infers an
+    isnotnull(norm) constraint whose expression tree references all
+    ``dim`` columns, and Catalyst's constraint propagation through an
+    aliasing projection (q_i = v_i renames) KEEPS the original
+    constraint while adding each alias-substituted copy — 64 aliases
+    of a 64-attribute constraint is a 2^64 closure. Measured: plan
+    analysis OOMs the driver heap inside
+    UnaryNode.getAllValidConstraints / ExpressionSet.map before a
+    single task runs. Non-nullable columns generate no isnotnull
+    constraints, so the constraint sets stay tiny. Precondition
+    (documented contract): embedding vectors are dense and non-null —
+    a null element would become 0.0 here while the SQL oracle keeps
+    NULL semantics."""
+    return [
+        f"COALESCE(CAST({vec_col}[{i}] AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        f" AS {prefix}_{i}"
+        for i in range(dim)
+    ]
+
+
+def rename_exprs(src: str, dst: str, dim: int = DIM) -> list[str]:
+    """Column renames ``{src}_i AS {dst}_i`` for join-side aliasing."""
+    return [f"{src}_{i} AS {dst}_{i}" for i in range(dim)]
+
+
+def dot_cols(a: str, b: str, dim: int = DIM) -> str:
+    """Positional plain-double dot over SCALAR columns: ~10 bytes of
+    bytecode per term vs ~100+ for the two-array form — the layout
+    that keeps dot-heavy fused stages under the 8 KB JIT limit.
+    Identical IEEE ops in identical order to dot_sql/sql_dot."""
+    return "(" + " + ".join(f"{a}_{i} * {b}_{i}" for i in range(dim)) + ")"
+
+
+def plane_dot_cols(prefix: str, k: int, table: int = 0, dim: int = DIM) -> str:
+    """dot(vector-as-scalar-columns, plane_k) with literal
+    coefficients (~10 bytes/term)."""
+    cs = _plane(k, table)
+    return "(" + " + ".join(
+        f"{prefix}_{i} * ({cs[i]!r})" for i in range(dim)
+    ) + ")"
+
+
+def norm_cols(prefix: str, dim: int = DIM) -> str:
+    """SQRT(dot(x, x)) over scalar columns, for INLINE use. Norms are
+    deliberately NOT materialized as a named column: an alias whose
+    expression references all ``dim`` scalar columns is a
+    constraint-propagation bomb — Catalyst records `alias = expr` as
+    a plan constraint, and every later column RENAME (q_i = v_i, 64
+    of them) maps the accumulated constraint set per alias while
+    keeping the originals, so one 64-attribute constraint closes to
+    2^64 variants (driver OOM in getAllValidConstraints, measured).
+    Inline norms keep every constraint single-attribute, and the
+    recomputation is ~600 bytes of JIT'd bytecode per use — noise
+    next to the pair dot it accompanies. (Bit-equality is unaffected:
+    the same IEEE expression yields the same double wherever it is
+    evaluated.)"""
+    return f"SQRT({dot_cols(prefix, prefix, dim)})"
+
+
+def wide_base(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, v_0..v_{dim-1}) — the shared scalar-column frame every
+    embedding operator starts from. Unpacks BELOW an explicit
+    repartition (the unpack projection is CPU-bound and a single
+    parquet file would otherwise run on one core; the shuffle then
+    materializes scalar columns, so no downstream stage ever touches
+    the array form). Norms are computed inline at use sites via
+    ``norm_cols`` — see its docstring for why a norm COLUMN here
+    would OOM the planner. The same rule governs every operator in
+    this module: never alias a wide expression and rename columns
+    after it — rename FIRST, then compute."""
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    return embeddings.selectExpr(
+        f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
+    ).repartition(n_parts, F.col("vec_id"))
+
+
 def plane_dot_sql(vec: str, k: int, table: int = 0, dim: int = DIM) -> str:
     """dot(vec, plane_k) with the plane folded in as float literals
     (6-dp values round-trip exactly through SQL text in both
@@ -168,7 +283,6 @@ def bucket_frame(
     n_planes: int,
     n_tables: int = 1,
     dim: int = DIM,
-    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, t, bucket) for every vector × hyperplane table,
     computed EXPLODE-FIRST: posexplode the L·K plane matrix literal so
@@ -188,33 +302,34 @@ def bucket_frame(
     8.4s / 3.8s — and the latter is the shape that keeps widening
     codegen coverage instead of abandoning it.
 
-    Cost shape: n·L·K exploded rows each carrying the vector array
-    (no interpreted-HOF child — the Generate child is a folded
+    Cost shape: n·L·K exploded rows each carrying the vector's scalar
+    columns (no interpreted-HOF child — the Generate child is a folded
     Literal, the round-6 precision of the Generate lesson), consumed
     by a hash aggregate that completes MAP-SIDE: the upstream
     repartition on vec_id satisfies the (vec_id, t) clustering
     requirement (partitioning on a subset of the grouping keys), so
-    no new exchange appears. ``carry`` lists per-vector columns
-    (identical across a vector's exploded rows — include ``v`` itself
-    if wanted) to re-emit via first(), saving a join-back on the
-    single-table path; leave empty for the narrow (vec_id, t, bucket)
-    index frame so the agg state never holds arrays."""
-    cols = ["vec_id", "v"] + [c for c in carry if c not in ("vec_id", "v")]
+    no new exchange appears. Input is the WIDE frame (v_0..v_{dim-1});
+    the per-row dot is scalar-column × one-array-access (~70 bytes of
+    bytecode per term — under the 8 KB JIT limit where the two-array
+    form was not, see module docstring). Output is always the narrow
+    (vec_id, t, bucket) index frame; callers join vectors back by id
+    (co-partitioned — no extra exchange)."""
+    vcols = [f"v_{i}" for i in range(dim)]
     ex = base.select(
-        *cols,
+        "vec_id",
+        *vcols,
         F.posexplode(F.expr(_planes_literal_sql(n_planes, n_tables, dim))).alias(
             "i", "p"
         ),
     )
-    pdot = dot_sql("v", "p", dim)
+    pdot = "(" + " + ".join(f"v_{i} * p[{i}]" for i in range(dim)) + ")"
     bit = F.expr(
         f"CASE WHEN {pdot} >= 0.0 THEN shiftleft(1L, i % {n_planes}) ELSE 0L END"
     )
-    aggs = [F.first(c).alias(c) for c in carry] + [F.sum(bit).alias("bucket")]
     return (
         ex.withColumn("t", F.expr(f"CAST(i DIV {n_planes} AS INT)"))
         .groupBy("vec_id", "t")
-        .agg(*aggs)
+        .agg(F.sum(bit).alias("bucket"))
     )
 
 
@@ -243,53 +358,21 @@ def ann_topk(
       keys on the (small) query side only; no extra index storage or
       per-vector compute — the classic multi-probe LSH trade.
     Both compose; recall curves are measured in SCALE.md §ANN recall.
-    The defaults keep the oracle-pinned single-table plan."""
+    The defaults keep the oracle-pinned single-table plan (L=1 runs
+    the same unified index path — the candidate set, scores and
+    output rows are identical to the former specialized branch).
+
+    One explode-first pass over all L·K planes builds the whole
+    (vec_id, t, bucket) index frame (bucket_frame); candidate ids are
+    deduped BEFORE any cosine math, so the exact-verify cost is per
+    unique candidate, not per (table, candidate). All vector math
+    runs on the scalar-column layout (wide_base — the 8 KB JIT cliff
+    fix, module docstring)."""
     from pyspark.sql import Window
 
-    # Norms are per-ROW quantities: compute them before the join so the
-    # per-pair work inside the join is one dot product, not three. Also
-    # repartition by id — the bucket/norm projection is CPU-bound and a
-    # small parquet would otherwise run on one core (explicit count, so
-    # AQE's byte-based coalescer can't undo it).
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = (
-        embeddings.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
-    )
-    if n_tables == 1 and hamming_probes == 0:
-        bb = bucket_frame(base, n_planes, dim=dim, carry=("v", "norm")).drop("t")
-        q = bb.where(query_pred).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("bucket").alias("qbucket"),
-            F.col("norm").alias("qnorm"),
-        )
-        cand = F.broadcast(q).join(
-            bb,
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        cosine = F.expr(
-            f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)"
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-        return (
-            cand.select("query_id", "vec_id", cosine.alias("cosine"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-        )
-    # Multi-table: one explode-first pass over all L·K planes builds
-    # the whole (vec_id, t, bucket) index frame (bucket_frame —
-    # posexplode of the folded plane-matrix Literal is NOT the
-    # interpreted-HOF Generate pathology, and the per-row dot stays
-    # under the Janino method limit where the per-table
-    # K·dim-term bucket expression did not). Candidate ids are
-    # deduped BEFORE any cosine math, so the exact-verify cost is per
-    # unique candidate, not per (table, candidate).
+    base = wide_base(embeddings, id_col, vec_col, dim)
     buck = bucket_frame(base, n_planes, n_tables, dim)
     qb = buck.join(
         F.broadcast(base.where(query_pred).select("vec_id")),
@@ -323,21 +406,17 @@ def ann_topk(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    qv = base.where(query_pred).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    qv = base.where(query_pred).selectExpr(
+        "vec_id AS query_id", *rename_exprs("v", "q", dim)
+    )
+    cosine = F.expr(
+        f"ROUND({dot_cols('q', 'v', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('v', dim)}), 9)"
     )
     scored = (
         cand_ids.join(F.broadcast(qv), "query_id")
         .join(base, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.expr(
-                f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)"
-            ).alias("cosine"),
-        )
+        .select("query_id", "vec_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
@@ -367,19 +446,13 @@ def embedding_near_dup_pairs(
     sets; candidate = same bucket in ANY table) — the recall lever
     that pairs with the adaptive K, measured in SCALE.md §ANN recall.
     The defaults pin K=8, L=1 for the oracle-checked query."""
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = (
-        embeddings.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
-    )
+    base = wide_base(embeddings, id_col, vec_col, dim)
     # Narrow (vec_id, t, bucket) index frame for any L, explode-first
-    # (bucket_frame: the per-table K·dim-term bucket expression blows
-    # Janino's 64 KB method limit and drops the fused stage to
-    # interpreted execution).
+    # over the wide frame (bucket_frame: the per-table K·dim-term
+    # bucket expression blows the 64 KB Janino limit, and two-array
+    # dots blow the 8 KB JIT limit — module docstring).
     ids = bucket_frame(base, n_planes, n_tables, dim)
     a, b = ids.alias("a").hint("shuffle_hash"), ids.alias("b")
     cand = (
@@ -393,13 +466,12 @@ def embedding_near_dup_pairs(
     )
     if n_tables > 1:
         cand = cand.dropDuplicates(["id1", "id2"])
-    s1 = base.select(
-        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    s1 = base.selectExpr("vec_id AS id1", *rename_exprs("v", "a", dim))
+    s2 = base.selectExpr("vec_id AS id2", *rename_exprs("v", "b", dim))
+    cosine = F.expr(
+        f"ROUND({dot_cols('a', 'b', dim)}"
+        f" / ({norm_cols('a', dim)} * {norm_cols('b', dim)}), 9)"
     )
-    s2 = base.select(
-        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
-    )
-    cosine = F.expr(f"round({dot_sql('v1', 'v2', dim)} / (n1 * n2), 9)")
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -440,36 +512,32 @@ def ivf_topk(
       fixed nprobe in SCALE.md §ANN recall, pinned by a unit test."""
     from pyspark.sql import Window
 
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     if n_centroids is None:
         import math
 
         n_centroids = max(16, math.isqrt(embeddings.count()))
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = (
-        embeddings.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("vec_id"), dbl.alias("v"))
-        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v', dim)})"))
-    )
+    base = wide_base(embeddings, id_col, vec_col, dim)
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = base.select(array_to_vector(F.col("v")).alias("features"))
+        feat = base.select(
+            array_to_vector(F.array(*[F.col(f"v_{i}") for i in range(dim)])).alias(
+                "features"
+            )
+        )
         km = KMeans(k=n_centroids, seed=1337, maxIter=20).fit(feat)
         spark = embeddings.sparkSession
         cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+            (i, *[float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
         ]
-        cents = (
-            spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
-            .withColumn("cnorm", F.expr(f"sqrt({dot_sql('cv', 'cv', dim)})"))
+        schema = "cent_id bigint, " + ", ".join(
+            f"c_{i} double" for i in range(dim)
         )
+        cents = spark.createDataFrame(cent_rows, schema)
     else:
-        cents = base.orderBy("vec_id").limit(n_centroids).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cnorm"),
+        cents = base.orderBy("vec_id").limit(n_centroids).selectExpr(
+            "vec_id AS cent_id", *rename_exprs("v", "c", dim)
         )
     # Dense 0-based centroid index for the argmax packing below:
     # cent_id can be any vec_id value ("first" mode), but the packed
@@ -480,7 +548,6 @@ def ivf_topk(
     # the query probes key on cent_ix.
     cw = Window.orderBy("cent_id")
     cents = cents.withColumn("cent_ix", F.row_number().over(cw) - 1)
-    sim = F.expr(f"round({dot_sql('v', 'cv', dim)} / (norm * cnorm), 9)")
     # ARGMAX AS A PACKED-LONG MAX. Three formulations were measured at
     # the 100x decade (200k vectors x 447 centroids = 89M rows):
     # - row_number window over the wide pair stream: 403s (full
@@ -489,14 +556,19 @@ def ivf_topk(
     #   24-byte stream — struct-ordered max_by runs object-heavy /
     #   interpreted per row, 100x slower than a plain long max;
     # - pack (sim_nanos, tiebreak) into ONE bigint and take MAX: the
-    #   whole argmax rides codegen hash-agg with map-side combine,
-    #   ~2s. Ordering is EXACTLY (sim desc, cent_id asc): nanos =
-    #   round(sim*1e9) is the same monotone key the oracle's
+    #   whole argmax rides codegen hash-agg with map-side combine
+    #   (measured 1.3s in the scalar-column layout; as arrays the
+    #   same stage sat past the 8 KB JIT cliff at 316s — module
+    #   docstring). Ordering is EXACTLY (sim desc, cent_id asc):
+    #   nanos = round(sim*1e9) is the same monotone key the oracle's
     #   ROUND(sim, 9) ordering uses, and (2^20 - cent_id) in the low
     #   21 bits breaks ties toward the LOWEST centroid id. Bound:
     #   (1e9 + 1e9) * 2^21 = 4.2e15 << 2^63; the tie-break field is
     #   the dense cent_ix (0..c-1 < 2^20 for any c ≤ 2^20 centroids).
-    raw = f"{dot_sql('v', 'cv', dim)} / (norm * cnorm)"
+    raw = (
+        f"{dot_cols('v', 'c', dim)}"
+        f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
+    )
     packed = F.expr(
         f"(CAST(ROUND(({raw}) * 1000000000) AS BIGINT) + 1000000000L)"
         f" * 2097152L + (1048576L - cent_ix)"
@@ -519,27 +591,39 @@ def ivf_topk(
     # queries probe their nprobe nearest cells; data vectors live in
     # exactly one cell, so (query, candidate) pairs stay unique without
     # a dedup pass.
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    # RENAME FIRST, THEN COMPUTE (the constraint-bomb rule from
+    # norm_cols): cent_sim is an aliased wide expression, so every
+    # column it references must already carry its final name — a
+    # rename AFTER this projection would close the 128-attribute
+    # constraint over each alias.
+    w = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    sim = F.expr(
+        f"ROUND({dot_cols('q', 'c', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('c', dim)}), 9)"
+    )
     q = (
         base.where(query_pred)
+        .selectExpr("vec_id AS query_id", *rename_exprs("v", "q", dim))
         .join(F.broadcast(cents), how="cross")
         .select(
-            "vec_id", "v", "norm", "cent_id", "cent_ix", sim.alias("cent_sim")
+            "query_id",
+            *[F.col(f"q_{i}") for i in range(dim)],
+            "cent_id",
+            F.col("cent_ix").alias("qcell"),
+            sim.alias("cent_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.col("cent_ix").alias("qcell"),
-        )
+        .select("query_id", *[f"q_{i}" for i in range(dim)], "qcell")
     )
     cand = F.broadcast(q).join(
         assigned,
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cosine = F.expr(f"round({dot_sql('qv', 'v', dim)} / (qnorm * norm), 9)")
+    cosine = F.expr(
+        f"ROUND({dot_cols('q', 'v', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('v', dim)}), 9)"
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", cosine.alias("cosine"))

@@ -39,10 +39,13 @@ from ..operators.dedup import (
 from ..operators.similarity_search import (
     N_PLANES,
     ann_topk,
-    dot_sql,
+    dot_cols,
     embedding_near_dup_pairs,
+    norm_cols,
+    rename_exprs,
     sql_dot,
     sql_plane_dot,
+    wide_base,
 )
 from ..sources.bronze import load_table
 from .registry import register
@@ -564,28 +567,24 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the scale path."""
     e = load_table(spark, sf_dir, "embeddings")
     # Per-row norms BEFORE the join (one dot per pair instead of
-    # three) and an explicit repartition so the CPU-bound projection
-    # parallelizes even off a single parquet file.
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = (
-        e.repartition(n_parts, F.col("vec_id"))
-        .select("vec_id", dbl.alias("v"))
-        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v')})"))
-    )
-    q = base.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    # three); wide_base unpacks vectors to scalar double columns —
+    # the 8 KB JIT cliff fix (operators/similarity_search docstring):
+    # the Q·N pair stage's 64-term dot must be scalar-column math or
+    # HotSpot never JIT-compiles the fused method and the whole stage
+    # runs in the bytecode interpreter (~130x, measured).
+    base = wide_base(e)
+    q = base.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", *rename_exprs("v", "q")
     )
 
     pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.expr(f"round({dot_sql('qv', 'v')} / (qnorm * norm), 9)").alias(
-            "cosine"
-        ),
+        F.expr(
+            f"ROUND({dot_cols('q', 'v')}"
+            f" / ({norm_cols('q')} * {norm_cols('v')}), 9)"
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
