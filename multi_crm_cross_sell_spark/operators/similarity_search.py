@@ -36,8 +36,10 @@ bytecode interpreter. Whole-stage codegen compiles fine (no Janino
 error, nothing in the logs); the only symptom is throughput. Measured
 on the 89M-row IVF assignment stream at the 100x decade: 32-term dot
 2.9s → 48-term dot 378s (~130x, the cliff between 32 and 48 terms);
-the full packed-argmax stage 316s as arrays vs 1.3s in the
-SCALAR-COLUMN layout this module now uses: vectors travel as dim
+the full IVF query 316s as arrays vs ~17s (fresh JVM, noop-write
+sink — COUNT-based probes are worthless here, count() prunes the
+dot columns and measures nothing) in the SCALAR-COLUMN layout this
+module now uses: vectors travel as dim
 individual double columns (v_0..v_63) unpacked once at the scan, so
 each dot term is two local double loads + multiply + add (~10 bytes
 of bytecode) and a 64-term dot is ~600 bytes — three of them fit in
@@ -556,10 +558,15 @@ def ivf_topk(
     #   24-byte stream — struct-ordered max_by runs object-heavy /
     #   interpreted per row, 100x slower than a plain long max;
     # - pack (sim_nanos, tiebreak) into ONE bigint and take MAX: the
-    #   whole argmax rides codegen hash-agg with map-side combine
-    #   (measured 1.3s in the scalar-column layout; as arrays the
-    #   same stage sat past the 8 KB JIT cliff at 316s — module
-    #   docstring). Ordering is EXACTLY (sim desc, cent_id asc):
+    #   argmax rides a hash-agg with map-side combine over a Volcano
+    #   BNLJ + compiled UnsafeProjection (~13.5s for the 89M-row
+    #   assignment at the 100x decade in the scalar-column layout;
+    #   as arrays the same stage sat past the 8 KB JIT cliff and the
+    #   full query took 316s — module docstring). BNLJ never joins
+    #   whole-stage codegen in this Spark build (cross OR inner-true,
+    #   both measured Volcano), so the compiled projection is the
+    #   fast path available. Ordering is EXACTLY (sim desc,
+    #   cent_id asc):
     #   nanos = round(sim*1e9) is the same monotone key the oracle's
     #   ROUND(sim, 9) ordering uses, and (2^20 - cent_id) in the low
     #   21 bits breaks ties toward the LOWEST centroid id. Bound:

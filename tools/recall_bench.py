@@ -52,8 +52,10 @@ SCALES = [
 
 
 def brute_force_topk(e, k: int, query_mod: int = QUERY_MOD, within: int | None = None):
-    """Exact cosine top-k per query via positional codegen dots (the
-    operators' dot_sql — interpreted HOF folds cost ~10x more).
+    """Exact cosine top-k per query via positional codegen dots over
+    the scalar-column layout (wide_base — the two-array form crosses
+    the 8 KB JIT cliff on the Q·N pair stream, see
+    operators/similarity_search).
     ``within``: restrict ground truth to the query's own replica
     (vec_id // within equal) — the meaningful 100x metric, because at
     dim 64 the max of ~1e5 DECORRELATED cosines exceeds the genuine
@@ -62,19 +64,16 @@ def brute_force_topk(e, k: int, query_mod: int = QUERY_MOD, within: int | None =
     0.30-0.45), so global recall measures the weak-neighbor regime,
     not index quality. Within-replica truth is isometry-preserved by
     the replica construction."""
-    from multi_crm_cross_sell_spark.operators.similarity_search import dot_sql
-
-    n_parts = e.sparkSession.sparkContext.defaultParallelism * 2
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = (
-        e.repartition(n_parts, F.col("vec_id"))
-        .select("vec_id", dbl.alias("v"))
-        .withColumn("norm", F.expr(f"sqrt({dot_sql('v', 'v')})"))
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        dot_cols,
+        norm_cols,
+        rename_exprs,
+        wide_base,
     )
-    q = base.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+
+    base = wide_base(e)
+    q = base.where(F.col("vec_id") % query_mod == 0).selectExpr(
+        "vec_id AS query_id", *rename_exprs("v", "q")
     )
     cond = F.col("vec_id") != F.col("query_id")
     if within:
@@ -86,7 +85,9 @@ def brute_force_topk(e, k: int, query_mod: int = QUERY_MOD, within: int | None =
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.expr(f"{dot_sql('qv', 'v')} / (qnorm * norm)").alias("cosine"),
+        F.expr(
+            f"{dot_cols('q', 'v')} / ({norm_cols('q')} * {norm_cols('v')})"
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
