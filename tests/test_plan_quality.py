@@ -126,3 +126,54 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan, plan
+
+
+def test_embedding_plans_scalar_layout_and_bounded_planning(spark):
+    """Round-7 regression pins for the embedding family:
+
+    1. Planning must COMPLETE (and fast). The constraint-propagation
+       closure (an aliased wide expression — the old norm column —
+       plus 64 column renames) OOM'd the driver inside
+       getAllValidConstraints before any task ran; a hang/OOM here is
+       that bug returning.
+    2. All pair-stage dot products must run on the SCALAR-COLUMN
+       layout (v_0..v_63), never on two array columns: a 64-dim
+       two-array dot exceeds HotSpot's 8000-byte DontCompileHugeMethods
+       limit once fused, and the whole stage silently runs in the
+       bytecode interpreter (~130x, SCALE.md). The array form may
+       appear ONLY in the unpack projections feeding wide_base.
+    """
+    import time
+
+    for name in (
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "cosine_topk_bruteforce",
+    ):
+        t0 = time.time()
+        df = all_queries()[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert time.time() - t0 < 120, f"{name}: planning took too long"
+        # every reference to the raw array column must be an unpack
+        # subscript (embedding[i]) inside a projection — a bare
+        # `embedding#` operand in a *multiply* means an array-form dot
+        # survived somewhere.
+        for line in plan.splitlines():
+            if "* embedding#" in line or "embedding#" in line and "] *" in line:
+                raise AssertionError(
+                    f"{name}: array-form dot product in plan:\n{line[:300]}"
+                )
+
+
+def test_wide_base_has_no_wide_alias(spark):
+    """wide_base must expose only vec_id + v_0..v_63 — no norm column
+    (the constraint bomb) and no array column (the JIT cliff)."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        DIM,
+        wide_base,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cols = wide_base(e).columns
+    assert cols == ["vec_id"] + [f"v_{i}" for i in range(DIM)]
