@@ -103,6 +103,14 @@ def main() -> None:
             q.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
+    # One untimed FULL-SCALE query before the timed loop: the sf0.001
+    # warmup pass JIT-compiles codegen paths but not the sf-dir-scale
+    # shuffle/reader paths, and round 6→7 showed the first timed slot
+    # (pricing_summary) absorbing ~0.7s of that residual warmup even
+    # under min-of-n. Burn it here instead.
+    first = qs.get(HEADLINE[0])
+    if first is not None:
+        first.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     # Repeat the timed pass and report the per-query MIN: this box's
     # wall clock swings >2x under external contention (BENCH_r02's 10x
     # minhash outlier on unchanged code), and min-of-n is the standard

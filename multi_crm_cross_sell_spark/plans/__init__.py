@@ -35,36 +35,21 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-7 rotation (33 parked / 50 in-window / 83 registered):
-# ALL sixteen round-6 parked-at-birth queries rejoin the window and
-# get their first driver rows, and the three round-7 newcomers
-# (benchmark_decontamination_bloom, bpe_vocab, document_bpe_ids)
-# enter in their birth round per R1. The fourteen entries parked in
-# round 6 (last driver rows: round 5) stay parked one more round —
-# their R2 deadline is round 8, where they MUST rejoin. Nineteen
-# round-6-driver-green entries park in exchange, chosen per R5:
-# six variants with in-window §2 siblings, seven beyond-reference
-# curation/OLAP ops, and six §2 rows green in round 6 (their §2
-# coverage is also exercised inside in-window composites where
-# noted). All 33 parked entries were exact-equality re-verified this
-# round (tools/check.py full sweep — see the round-close commit).
+# Round-8 rotation (33 parked / 50 in-window / 83 registered):
+# The fourteen entries parked since round 6 hit their R2 deadline
+# this round and ALL rejoin the driver window. The nineteen entries
+# parked in round 7 stay parked one more round (their R2 deadline is
+# round 9). Fourteen round-7-driver-green entries park in exchange,
+# chosen per R5: three family variants whose base operator stays
+# in-window, and eleven beyond-reference curation/OLAP ops whose §2
+# coverage (where any) has an in-window sibling. The four round-7
+# driver-red queries (unigram/bigram LM quality, document_token_ids,
+# textrank_keywords — oracle HUGEINT dtype bug, fixed this round)
+# deliberately STAY in-window so CORRECTNESS_r08 shows them green.
+# All parked entries re-verified exact-equality green this round
+# (tools/check.py full sweep — see the round-close commit).
 _TAIL = (
-    # -- parked round 6, last driver row round 5; R2 deadline = r8 --
-    "customers_without_urgent_orders",  # J7 anti; semi in window
-    "event_tumbling_windows",  # ST5; sessionization in window
-    "weekly_order_rollup",  # A2; daily_order_stats in window
-    "order_priority_pivot",  # A5; sales_rollup_cube in window
-    "ann_lsh_multitable",  # ANN family; lsh+ivf in window
-    "token_jaccard_pairs",  # SO2-SO3; inside er_match_cascade
-    "deterministic_pred_id",  # F20; hashing family
-    "ab_bucket_allocation",  # F21; hashing family
-    "domain_extraction",  # F3; inside er_match_cascade
-    "near_dup_clusters",  # clustering; minhash pairs in window
-    "string_agg_per_group",  # J4/M5
-    "trend_with_date_spine",  # A6; daily bucketing in window
-    "distinct_union_nations",  # SO1/SO4
-    "simhash_fingerprints",  # simhash; banded blocking in window
-    # -- parked round 7 (driver-green r6), per R5 --
+    # -- parked round 7 (driver-green r6); R2 deadline = r9 --
     # (a) variants with an in-window §2 sibling:
     "blocked_similarity_join",  # J2 via er_match_cascade
     "event_sliding_windows",  # ST5 via event_sessionization
@@ -87,6 +72,23 @@ _TAIL = (
     "event_props_json",  # M1/M3, r6 green
     "er_threshold_sweep",  # ML12, r6 green
     "multimodal_features",  # invariant oracle, r6 green
+    # -- parked round 8 (driver-green r7), per R5; R2 deadline = r10 --
+    # (a) family variants whose base stays in-window:
+    "ngram_jaccard_dedup_idf",  # idf variant; ngram_jaccard_dedup stays
+    "ann_ivf_topk",  # ANN family; ann_lsh_topk + multitable in window
+    "embedding_near_dup",  # dedup family; minhash + ngram stay
+    # (b) beyond-reference curation/OLAP ops (r7 driver-green):
+    "dataset_mix_downsample",
+    "dataset_split_assignments",
+    "sequence_packing",
+    "document_chunks",
+    "embedding_int8_quantize",
+    "tfidf_top_terms",
+    "corpus_curation_report",
+    "benchmark_decontamination_bloom",  # exact anchor stays in window
+    "sales_rollup_cube",  # A5 sibling order_priority_pivot rejoins
+    "order_value_histogram",
+    "balance_outliers_zscore",
 )
 
 

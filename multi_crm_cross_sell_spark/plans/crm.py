@@ -156,8 +156,8 @@ pairs AS (
     a.c_custkey AS account1_id, b.c_custkey AS account2_id,
     a.c_name AS account1_name, b.c_name AS account2_name,
     a.n_name AS org1_id, b.n_name AS org2_id,
-    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE 0.0 END AS same_segment,
-    CASE WHEN a.n_regionkey = b.n_regionkey THEN 1.0 ELSE 0.0 END AS same_region,
+    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS DOUBLE) AS same_segment,
+    CAST(CASE WHEN a.n_regionkey = b.n_regionkey THEN 1 ELSE 0 END AS DOUBLE) AS same_region,
     LEAST(GREATEST(COALESCE(a.c_acctbal,1.0),1.0), GREATEST(COALESCE(b.c_acctbal,1.0),1.0))
       / GREATEST(GREATEST(COALESCE(a.c_acctbal,1.0),1.0), GREATEST(COALESCE(b.c_acctbal,1.0),1.0))
       AS size_ratio,

@@ -1942,7 +1942,7 @@ def benchmark_decontamination_bloom(
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           SUM(nll_micro) AS sum_nll_micro,
+           CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro,
            ROUND(SUM(nll_micro) / (COUNT(*) * 1e6), 6) AS avg_nll,
            ROUND(EXP(SUM(nll_micro) / (COUNT(*) * 1e6)), 6) AS ppl
     FROM scored GROUP BY doc_id
@@ -2314,7 +2314,7 @@ def vocab_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            STRING_AGG(CAST(id AS VARCHAR), ' ' ORDER BY i) AS input_ids,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN id = 1 THEN 1 ELSE 0 END) AS n_unk
+           CAST(SUM(CASE WHEN id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
     FROM ids GROUP BY doc_id
     """,
     tags=("curation", "tokenizer", "encoding", "beyond-reference"),
@@ -2460,7 +2460,7 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           SUM(nll_micro) AS sum_nll_micro,
+           CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro,
            ROUND(SUM(nll_micro) / (COUNT(*) * 1e6), 6) AS avg_nll,
            ROUND(EXP(SUM(nll_micro) / (COUNT(*) * 1e6)), 6) AS ppl
     FROM scored GROUP BY doc_id
@@ -2669,7 +2669,7 @@ def _textrank_oracle() -> str:
         base
         + steps
         + f"""
-    SELECT node AS word, r AS rank_micro,
+    SELECT node AS word, CAST(r AS BIGINT) AS rank_micro,
            CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INTEGER) AS rnk
     FROM pr{_TEXTRANK_ITERS} QUALIFY rnk <= {_TEXTRANK_TOPK}
     """
@@ -2886,12 +2886,22 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-pair row per step. The corpus contributes only one word-count
     shuffle. Production-M (32k merges) keeps the same split: the
     per-step job cost is type-table-sized, not corpus-sized."""
-    from ..operators.bpe import alphabet, learn_bpe, word_types
+    from ..operators.bpe import (
+        alphabet_from_counts,
+        learn_bpe_from_counts,
+        word_types,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    types = word_types(docs, _BPE_TYPES)
-    merges = learn_bpe(types, _BPE_MERGES)
-    base = len(alphabet(types))
+    # ONE corpus job: collect the capped type table, then both the
+    # merge learning and the base alphabet run driver-local on it
+    # (the previous alphabet(types) call re-ran the corpus word-count
+    # shuffle a second time for a ≤26-row answer).
+    type_counts = [
+        (r.word, r.cnt) for r in word_types(docs, _BPE_TYPES).collect()
+    ]
+    merges = learn_bpe_from_counts(type_counts, _BPE_MERGES)
+    base = len(alphabet_from_counts(type_counts))
     rows = [
         (k + 1, t1, t2, t1 + t2, score, base + k)
         for k, (t1, t2, score) in enumerate(merges)
@@ -3014,58 +3024,96 @@ def document_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. docs with no tokenizable words surface with zeros via the
        final left join (never silently dropped)."""
     from ..operators.bpe import (
-        alphabet,
+        alphabet_from_counts,
         apply_merges,
         initial_state,
-        learn_bpe,
+        learn_bpe_from_counts,
+        tokenizable,
         tokens_of_state,
-        word_types,
+        top_types,
+        word_counts,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    types = word_types(docs, _BPE_TYPES)
-    merges = learn_bpe(types, _BPE_MERGES)
-    base = alphabet(types)
+    # TWO corpus passes total (was four in round 7): one word-count
+    # shuffle whose vocabulary-sized output is cached and serves the
+    # learning cap (collected top-_BPE_TYPES; alphabet derived
+    # driver-side from the same collected list) AND the distinct-word
+    # apply table; and the final per-doc aggregation pass below. A
+    # fully-fused single-pass variant (cache the (doc_id, word)
+    # pre-aggregate, derive word counts from it) measured SLOWER at
+    # sf0.1 (1.5s vs 1.2s): the wide cached table plus two extra
+    # groupBy(word) shuffles over it cost more than one re-explode.
+    wcounts = word_counts(docs).cache()
+    type_counts = [
+        (r.word, r.cnt) for r in top_types(wcounts, _BPE_TYPES).collect()
+    ]
+    merges = learn_bpe_from_counts(type_counts, _BPE_MERGES)
+    base = alphabet_from_counts(type_counts)
     vocab_rows = [(c, i) for i, c in enumerate(base)] + [
         (t1 + t2, len(base) + k) for k, (t1, t2, _) in enumerate(merges)
     ]
-    vocab = spark.createDataFrame(vocab_rows, "token string, token_id bigint")
 
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    ).where(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 20))
-    dwords = words.select("word").distinct()
+    ).where(tokenizable(F.col("word")))
+    dwords = wcounts.select("word")
+    # Per-word token stats as a PROJECTION over the cached word
+    # counts: the vocabulary (base alphabet + M merges) is plan-tiny,
+    # so token-id lookup is a map literal instead of a broadcast
+    # join, and the per-word aggregates run as array expressions over
+    # the ≤(max_len)-element token list — no explode, no groupBy
+    # shuffle, two fewer AQE stage rounds. The `tids` array is bound
+    # in its OWN projection before being referenced four times
+    # (CollapseProject will not re-inline a non-cheap alias — the
+    # round-3 HOF-CSE rule). At production merge counts (32k) the
+    # map literal grows with the vocab; swap back to the broadcast-
+    # join variant beyond ~10k entries.
+    vmap_sql = "map(" + ",".join(
+        f"'{tok}',{tid}L" for tok, tid in vocab_rows
+    ) + ")"
     wtok = dwords.select(
         "word",
         tokens_of_state(
             apply_merges(initial_state(F.col("word")), merges)
         ).alias("ts"),
     )
-    wid = (
-        wtok.select("word", F.posexplode("ts").alias("tpos", "token"))
-        .join(F.broadcast(vocab), "token", "left")
-        .select(
-            "word",
-            "tpos",
-            F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid"),
-        )
+    wtids = wtok.select(
+        "word",
+        F.expr("size(ts)").alias("wn"),
+        F.expr(f"transform(ts, t -> coalesce({vmap_sql}[t], -1L))").alias(
+            "tids"
+        ),
     )
-    wstats = wid.groupBy("word").agg(
-        F.count("*").alias("wn"),
-        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("wunk"),
-        F.sum("tid").alias("wsum"),
-        F.min_by("tid", "tpos").alias("wfirst"),
-        F.max_by("tid", "tpos").alias("wlast"),
+    wstats = wtids.select(
+        "word",
+        "wn",
+        F.expr("size(filter(tids, t -> t = -1L))").alias("wunk"),
+        F.expr("aggregate(tids, 0L, (a, t) -> a + t)").alias("wsum"),
+        F.expr("tids[0]").alias("wfirst"),
+        F.expr("element_at(tids, -1)").alias("wlast"),
+    )
+    # The stats join probes the pre-aggregated (doc_id, word) table,
+    # not the per-occurrence stream: the broadcast probe and the
+    # min_by/max_by aggregation run on distinct-word-per-doc rows.
+    # Measured at sf0.1: the per-occurrence join+agg was 1.7s of a
+    # 2.4s query. first/last ids survive exactly: the word holding
+    # the doc's min (max) occurrence position is by definition the
+    # first (last) tokenizable word.
+    pre = words.groupBy("doc_id", "word").agg(
+        F.count("*").alias("cnt"),
+        F.min("pos").alias("minpos"),
+        F.max("pos").alias("maxpos"),
     )
     agg = (
-        words.join(F.broadcast(wstats), "word")
+        pre.join(F.broadcast(wstats), "word")
         .groupBy("doc_id")
         .agg(
-            F.sum("wn").alias("n_tokens"),
-            F.sum("wunk").alias("n_unk"),
-            F.sum("wsum").alias("id_sum"),
-            F.min_by("wfirst", "pos").alias("first_id"),
-            F.max_by("wlast", "pos").alias("last_id"),
+            F.sum(F.col("cnt") * F.col("wn")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wunk")).alias("n_unk"),
+            F.sum(F.col("cnt") * F.col("wsum")).alias("id_sum"),
+            F.min_by("wfirst", "minpos").alias("first_id"),
+            F.max_by("wlast", "maxpos").alias("last_id"),
         )
     )
     z = F.lit(0).cast("bigint")

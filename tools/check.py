@@ -3,8 +3,21 @@
 Runs every registered query on Spark AND its DuckDB oracle at a given
 sf dir, then compares: row count, column-name set, dtype families, and
 exact cell values (columns sorted by name, rows sorted by all columns,
-NaN==NaN). Exact equality here is a strictly stronger condition than
-any value-hash the driver applies, so green locally ⇒ green in verify.
+NaN==NaN).
+
+SOUNDNESS CAVEAT (learned in round 7): exact value equality here is
+necessary but NOT sufficient for a driver green — the driver's
+value-hash is *representation*-sensitive. DuckDB silently promotes
+SUM(BIGINT) to HUGEINT (int128), which round-trips to a different
+pandas dtype than Spark's int64 and hash-mismatches even when every
+cell is equal. Two guards close that hole:
+
+  1. ORACLE TYPE LINT (hard FAIL): any oracle output column whose
+     DuckDB type is HUGEINT/UHUGEINT/DECIMAL is rejected — cast it
+     in the oracle SQL (`CAST(SUM(x) AS BIGINT)`).
+  2. RAW DTYPE CHECK (WARN): spark/oracle pandas dtype *family*
+     mismatches before normalization are printed, since they are the
+     signal the driver's hash actually sees.
 
 Usage:
     python tools/check.py [sf_dir] [query ...]
@@ -59,6 +72,48 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("float64").astype("Int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(rel: "duckdb.DuckDBPyRelation") -> list[str]:
+    """Reject oracle output columns whose DuckDB type the driver's
+    representation-sensitive hash cannot match against Spark (the
+    round-7 HUGEINT bug class)."""
+    problems = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(b in t for b in _BANNED_ORACLE_TYPES):
+            problems.append(
+                f"oracle col {col} has banned DuckDB type {t} — "
+                f"add an explicit CAST in the oracle SQL"
+            )
+    return problems
+
+
+def _dtype_family(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
+def raw_dtype_warnings(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    warns = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        sf, of = _dtype_family(sdf[c].dtype), _dtype_family(odf[c].dtype)
+        if sf != of:
+            warns.append(
+                f"col {c}: raw dtype family differs pre-normalization: "
+                f"spark={sdf[c].dtype} ({sf}) oracle={odf[c].dtype} ({of})"
+            )
+    return warns
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -124,12 +179,16 @@ def main() -> int:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.execute(q.oracle).fetchdf()
+            rel = con.sql(q.oracle)
+            lint = lint_oracle_types(rel)
+            odf = rel.df()
         except Exception:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        problems = lint + compare(name, sdf, odf)
+        for w in raw_dtype_warnings(sdf, odf):
+            print(f"WARN {name}: {w}")
         if problems:
             n_fail += 1
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
