@@ -249,6 +249,25 @@ def bucket_sql(
     return f"({terms})"
 
 
+def bucket_cols(
+    prefix: str, n_planes: int = N_PLANES, table: int = 0, dim: int = DIM
+) -> str:
+    """K-bit LSH bucket over SCALAR columns as one SQL string. At
+    ~10 bytecode bytes per multiply-add term this stays JIT-safe for
+    K·dim up to ~600 terms (the shallow single-table path guards on
+    exactly that); beyond it use bucket_frame's explode-first form.
+    Wrapped in COALESCE(..., -1) at use sites so the join key is
+    non-nullable — otherwise inner-join constraint inference pushes
+    an isnotnull(bucket) filter containing the full K·dim expression
+    down to the scan (the round-3 inlined-expression lesson)."""
+    terms = " + ".join(
+        f"(CASE WHEN {plane_dot_cols(prefix, k, table, dim)} >= 0.0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(n_planes)
+    )
+    return f"({terms})"
+
+
 def bucket_id(
     vec: str, n_planes: int = N_PLANES, table: int = 0, dim: int = DIM
 ) -> Column:
@@ -374,10 +393,110 @@ def ann_topk(
 
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
-    base = wide_base(embeddings, id_col, vec_col, dim)
-    buck = bucket_frame(base, n_planes, n_tables, dim)
+
+    if n_tables == 1 and hamming_probes == 0 and n_planes * dim <= 600:
+        # SHALLOW single-table path (the round-6 plan shape, on the
+        # scalar-column layout): one narrow shuffle of the raw rows,
+        # then a single fused stage does unpack → bucket → broadcast
+        # probe → inline cosine. No index frame, no checkpoints, no
+        # dedup (one table ⇒ one bucket per vector ⇒ pairs already
+        # unique) — at small/medium n the unified index path below is
+        # pure planning+scheduling overhead (measured: 1.6s vs 1.0s
+        # at sf0.1 on a 2000-vector corpus whose execution is
+        # trivial). The K·dim ≤ 600 guard keeps the single-projection
+        # bucket ~5 KB of bytecode — under the 8 KB JIT cliff — and
+        # the bucket projection sits directly above the exchange
+        # read, where codegen CAN split expression methods; adaptive
+        # K at the 100x decade exceeds the guard and takes the
+        # explode-first index path instead.
+        n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+        vcols = [f"v_{i}" for i in range(dim)]
+        raw = embeddings.selectExpr(
+            f"{id_col} AS vec_id", f"{vec_col} AS _vec"
+        )
+        # Repartition ONLY when the corpus is big enough for the
+        # probe stage to need multi-core parallelism: the decision
+        # reads the optimizer's size estimate (planning-time, no
+        # job). Below the threshold the probe fuses straight onto
+        # the scan — one less exchange and one less AQE round
+        # (measured 0.97s -> 0.79s at sf0.1); above it (the 100x
+        # decade: ~51 MB of vectors in one parquet split) the
+        # explicit hash repartition restores the 32-way CPU spread
+        # the byte-based file splitter would not provide.
+        try:
+            nbytes = int(
+                raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            nbytes = 1 << 60
+        if nbytes > 32 * 1024 * 1024:
+            raw = raw.repartition(n_parts, F.col("vec_id"))
+        bb = raw.selectExpr(
+            "vec_id", *unpack_exprs("_vec", "v", dim)
+        ).selectExpr(
+            "vec_id",
+            *vcols,
+            f"COALESCE({bucket_cols('v', n_planes, 0, dim)}, -1) AS bucket",
+        )
+        q = (
+            embeddings.selectExpr(
+                f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
+            )
+            .where(query_pred)
+            .selectExpr("vec_id AS query_id", *rename_exprs("v", "q", dim))
+            .selectExpr(
+                "query_id",
+                *[f"q_{i}" for i in range(dim)],
+                f"COALESCE({bucket_cols('q', n_planes, 0, dim)}, -1)"
+                " AS qbucket",
+            )
+        )
+        cosine = F.expr(
+            f"ROUND({dot_cols('q', 'v', dim)}"
+            f" / ({norm_cols('q', dim)} * {norm_cols('v', dim)}), 9)"
+        )
+        scored = (
+            F.broadcast(q)
+            .join(
+                bb,
+                (F.col("qbucket") == F.col("bucket"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select("query_id", "vec_id", cosine.alias("cosine"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= k
+        )
+
+    # Lazy RDD-level persist on the two shared frames: `base` feeds
+    # four consumers (index build, query-id broadcast, query vectors,
+    # candidate re-rank) and `buck` two (query buckets, candidate
+    # side). Column pruning specializes each consumer's copy, the
+    # canonical subplans diverge, and ReusedExchange does NOT fire
+    # (the round-7 ngram lesson) — without the checkpoint the scan +
+    # 64-column unpack + repartition re-ran up to 3x (measured: 3
+    # parquet scans in the executed plan at sf0.1; 1 after).
+    base = wide_base(embeddings, id_col, vec_col, dim).localCheckpoint(
+        eager=False
+    )
+    buck = bucket_frame(base, n_planes, n_tables, dim).localCheckpoint(
+        eager=False
+    )
+    # Query ids come from the RAW frame, column-pruned to the id —
+    # routing them through `base` would block the broadcast build on
+    # the full unpack+repartition materialization just to read ids.
+    qids = (
+        embeddings.withColumnRenamed(id_col, "vec_id")
+        .where(query_pred)
+        .select("vec_id")
+    )
     qb = buck.join(
-        F.broadcast(base.where(query_pred).select("vec_id")),
+        F.broadcast(qids),
         "vec_id",
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -406,8 +525,13 @@ def ann_topk(
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
     )
+    if n_tables > 1 or hamming_probes >= 1:
+        # dedup-before-cosine only when duplicates are POSSIBLE: with
+        # one table and no multi-probe each vector occupies exactly
+        # one bucket, so every (query, candidate) pair is already
+        # unique and the dropDuplicates shuffle is a pure tax.
+        cand_ids = cand_ids.dropDuplicates(["query_id", "vec_id"])
     qv = base.where(query_pred).selectExpr(
         "vec_id AS query_id", *rename_exprs("v", "q", dim)
     )
