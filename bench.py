@@ -141,6 +141,18 @@ def main() -> None:
                 book[name] = dt
     total = sum(timings.values())
 
+    # Broadcast-payload metric for the decontamination pair: the
+    # bloom variant's 100 TB win is bytes-to-every-executor, so the
+    # bench records it as a measured number next to the walls.
+    try:
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            decontamination_broadcast_payload,
+        )
+
+        payload = decontamination_broadcast_payload(spark, sf_dir)
+    except Exception:
+        payload = {}
+
     print(
         json.dumps(
             {
@@ -150,6 +162,7 @@ def main() -> None:
                 "queries": timings,
                 "curation_total": round(sum(cur_timings.values()), 3),
                 "curation_queries": cur_timings,
+                "decon_broadcast_payload": payload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -31,14 +31,18 @@ Probing (bloom_prune) is element_at(words, pos div 64 + 1) &
 (1 << pos%64) per probe — pure integer codegen, no UDF, no Python
 boundary; the words literal is bound once per plan.
 
-SCALE BOUND of the literal embedding: the array rides in the plan, so
-it must stay plan-sized — fine to m ≈ 2^24 bits (2 MB, ~1M-gram
-benchmark at 16 bits/element). Beyond that, ship the SAME words array via
-sc.broadcast and test bits in an Arrow-batched pandas UDF (numpy
-bitmap index — the positions stay JVM-computed, so hash parity
-holds), or register the JVM BloomFilterAggregate. The m sizing below
-keeps 16 bits/element: with k=3 probes the theoretical FP rate is
-(1 - e^{-kn/m})^k ≈ 0.4%, measured in tests/test_curation_ops.py.
+SCALE BOUND: the words array is collected to the driver and re-shipped
+as a broadcast one-row frame (see bloom_prune — NOT a plan literal any
+more), so the remaining bound is the driver collect + createDataFrame
+round-trip payload, held to m ≈ 2^24 bits (2 MB, ~1M-gram benchmark at
+16 bits/element) as a comfort margin rather than a hard ceiling — the
+cap CAN simply be raised within driver memory. Well beyond it, skip
+the Python round-trip: ship the words via sc.broadcast and test bits
+in an Arrow-batched pandas UDF (numpy bitmap index — the positions
+stay JVM-computed, so hash parity holds), or register the JVM
+BloomFilterAggregate. The m sizing below keeps 16 bits/element: with
+k=3 probes the theoretical FP rate is (1 - e^{-kn/m})^k ≈ 0.4%,
+measured in tests/test_curation_ops.py.
 """
 
 from __future__ import annotations
@@ -48,7 +52,10 @@ from pyspark.sql import functions as F
 
 BLOOM_K = 3  # probes per element
 BLOOM_BITS_PER_ELEMENT = 16  # m = next_pow2(16·n): ~0.4% FP at k=3
-_MAX_LITERAL_BITS = 1 << 24  # 2 MB of plan payload — the literal bound
+# Driver collect + createDataFrame payload bound (2 MB of bigints) —
+# a comfort margin, not a hard ceiling: the words travel as broadcast
+# data, so this can be raised within driver memory (module docstring).
+_MAX_BITMAP_BITS = 1 << 24
 
 
 def bloom_m_bits(n_elements: int) -> int:
@@ -56,12 +63,13 @@ def bloom_m_bits(n_elements: int) -> int:
     element, floored at 4096 so tiny sets don't degenerate."""
     target = max(4096, BLOOM_BITS_PER_ELEMENT * max(1, n_elements))
     m = 1 << (target - 1).bit_length()
-    if m > _MAX_LITERAL_BITS:
+    if m > _MAX_BITMAP_BITS:
         raise ValueError(
             f"bloom of {n_elements} elements needs m={m} bits — beyond the "
-            f"{_MAX_LITERAL_BITS}-bit plan-literal bound; ship the words "
-            "array via sc.broadcast + pandas-UDF probe instead (see module "
-            "docstring)"
+            f"{_MAX_BITMAP_BITS}-bit driver-payload bound (collect + "
+            "createDataFrame round trip); raise the bound within driver "
+            "memory, or ship the words via sc.broadcast + pandas-UDF probe "
+            "(see module docstring)"
         )
     return m
 

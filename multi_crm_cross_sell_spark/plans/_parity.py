@@ -50,14 +50,23 @@ def _units(scale: str) -> int:
 # pricing_summary, 1.8s → 0.4s at sf0.1).
 # Overflow bound: |Σ x·10^f| must stay under 2^63 ≈ 9.2e18 — with
 # f=6 that is ~9.2e12 in value units, crossed near sf≈40 on lineitem
-# sums. The accumulation therefore runs through TRY_SUM, which
-# returns NULL on long overflow in BOTH ANSI modes (verified: plain
-# sum wraps to a garbage value under non-ANSI, try_sum nulls), and
-# the NULL is turned into a loud RAISE_ERROR whenever the group was
-# non-empty — so a wrong-answer-by-wrap is impossible, not merely
-# documented: any deployment that crosses the bound gets an
+# sums. TWO overflow surfaces are guarded, and both must be:
+#   1. ACCUMULATOR overflow — the sum crosses 2^63 over many rows.
+#      try_sum returns NULL on long overflow in BOTH ANSI modes
+#      (verified: plain sum wraps to garbage under non-ANSI), and the
+#      NULL becomes a loud RAISE_ERROR whenever the group was
+#      non-empty.
+#   2. PER-ROW cast overflow — a single |x·10^f| ≥ 2^63. Under
+#      non-ANSI, CAST(double AS BIGINT) SATURATES to ±Long.MaxValue
+#      (it does not wrap and does not NULL), so without its own guard
+#      a saturated row yields a finite wrong sum that try_sum never
+#      sees as overflow. An explicit abs-compare RAISEs before the
+#      cast. (try_cast would NULL instead — but sum/try_sum SKIP null
+#      inputs, silently dropping the row: strictly worse.)
+# So a wrong-answer-by-wrap-or-saturation is impossible, not merely
+# documented: any deployment that crosses either bound gets an
 # exception naming the fix (widen to decimal / plain double agg, see
-# SCALE.md) instead of a silently wrapped sum.
+# SCALE.md) instead of a silently wrong sum.
 # tests/test_parity_guard.py pins both halves: the bound holds at
 # test scale, and a synthetic crossing raises under ANSI *and*
 # non-ANSI. DuckDB needs no guard — its SUM(BIGINT) widens to
@@ -70,20 +79,28 @@ def _units(scale: str) -> int:
 # changes between plan construction and execution.
 
 
+_OVERFLOW_MSG = (
+    "dsum/davg long-units overflow (|x·10^f| or |sum·10^f| >= 2^63): "
+    "widen the aggregation to decimal or plain double — "
+    "see plans/_parity.py and SCALE.md"
+)
+
+
 def _guarded_unit_sum(c: Column, u: int) -> Column:
-    """try_sum of the long units with a loud overflow trap: NULL from
-    try_sum with a non-empty group can only mean the 2^63 bound was
-    crossed, so raise instead of returning a wrapped/NULL answer."""
-    s = F.try_sum(F.round(c * u).cast("bigint"))
+    """try_sum of the long units with loud overflow traps on BOTH
+    surfaces: a per-row abs-compare raises before the (non-ANSI:
+    saturating) double→bigint cast can produce a finite wrong value,
+    and a NULL from try_sum over a non-empty group can then only mean
+    accumulator overflow, so it raises too."""
+    unit = F.round(c * u)
+    row = F.when(
+        F.abs(unit) >= F.lit(float(2**63)),
+        F.raise_error(F.lit(_OVERFLOW_MSG)).cast("double"),
+    ).otherwise(unit)
+    s = F.try_sum(row.cast("bigint"))
     return F.when(
         s.isNull() & (F.count(c) > 0),
-        F.raise_error(
-            F.lit(
-                "dsum/davg long-units overflow (|sum·10^f| >= 2^63): "
-                "widen the aggregation to decimal or plain double — "
-                "see plans/_parity.py and SCALE.md"
-            )
-        ).cast("bigint"),
+        F.raise_error(F.lit(_OVERFLOW_MSG)).cast("bigint"),
     ).otherwise(s)
 
 

@@ -21,6 +21,7 @@ metadata); ``spark.sql.warehouse.dir`` controls the storage root.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -155,6 +156,20 @@ def compact(
             "would destroy directory partition pruning"
         )
 
+    if p_cols and order_cols:
+        # Rejected, not combined (ADVICE round 7): a range repartition
+        # on order_cols makes every range task write its own file for
+        # every partition value it touches — one file per (task,
+        # value) pair, re-creating exactly the small-files problem
+        # compaction exists to fix. Range-cluster WITHIN partitions by
+        # compacting each partition directory separately instead.
+        raise ValueError(
+            "compact: order_cols cannot be combined with partition_cols "
+            "(each range task would write one file per partition value "
+            "it touches, re-fragmenting the table); compact partition "
+            "directories individually to range-cluster within them"
+        )
+
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, (n + target_file_rows - 1) // target_file_rows)
@@ -162,9 +177,40 @@ def compact(
         o = [order_cols] if isinstance(order_cols, str) else list(order_cols)
         out = df.repartitionByRange(n_files, *o)
     elif p_cols:
-        # One output file per partition value (hash-partition on the
-        # partition key so each key's rows land in one task).
-        out = df.repartition(*p_cols)
+        # Honor target_file_rows INSIDE each partition value (ADVICE
+        # round 7 — a bare repartition(*p_cols) always produced one
+        # file per value, leaving a huge hive partition as one giant
+        # file): derive a per-value bucket count from the per-value
+        # row counts (one small agg job over low-cardinality partition
+        # keys), spread each value's rows across its buckets, and
+        # hash-partition on (partition key, bucket) with one shuffle
+        # partition per bucket. Hash collisions can co-locate two
+        # (value, bucket) pairs in one task — that merges two target-
+        # size files into one, never re-fragments.
+        per_val = (
+            df.groupBy(*p_cols).count().withColumnRenamed("count", "_pv_n")
+        )
+        per_val = per_val.withColumn(
+            "_pv_buckets",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_pv_n") / F.lit(target_file_rows)),
+            ).cast("int"),
+        ).drop("_pv_n")
+        total_buckets = int(
+            per_val.agg(F.sum("_pv_buckets")).collect()[0][0] or 1
+        )
+        out = (
+            df.join(F.broadcast(per_val), p_cols)
+            .withColumn(
+                "_pv_b",
+                F.pmod(
+                    F.monotonically_increasing_id(), F.col("_pv_buckets")
+                ),
+            )
+            .repartition(total_buckets, *p_cols, F.col("_pv_b"))
+            .drop("_pv_buckets", "_pv_b")
+        )
     elif df.rdd.getNumPartitions() < n_files:
         # coalesce cannot INCREASE partition count (e.g. recompacting
         # an already-compacted table with a smaller target): pay the

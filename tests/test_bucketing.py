@@ -282,3 +282,49 @@ class TestCompaction:
         n = compact(spark, src, target_file_rows=2_000)
         assert n == 3
         assert len(glob.glob(f"{src}/part-*")) == 3
+
+
+class TestCompactPartitionedSizing:
+    """ADVICE round-7: the partitioned compact path must honor
+    target_file_rows (a huge hive partition must split into multiple
+    target-size files, not stay one giant file), and the
+    order_cols+partition_cols combination must be rejected (each
+    range task would write one file per partition value it touches —
+    re-fragmentation)."""
+
+    def test_partitioned_compact_splits_large_partitions(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "bigpart")
+        # skewed: k=0 has 9000 rows, k=1 has 1000
+        spark.range(10_000).selectExpr(
+            "id", "CASE WHEN id < 9000 THEN 0 ELSE 1 END AS k"
+        ).repartition(8).write.partitionBy("k").parquet(src)
+        before = sorted(r.id for r in spark.read.parquet(src).collect())
+
+        compact(spark, src, target_file_rows=2_000, partition_cols="k")
+
+        files_k0 = glob.glob(f"{src}/k=0/*.parquet")
+        files_k1 = glob.glob(f"{src}/k=1/*.parquet")
+        # k=0 needs ceil(9000/2000)=5 buckets (hash collisions can
+        # merge a pair, never fragment); k=1 fits in one file.
+        assert 2 <= len(files_k0) <= 5, files_k0
+        assert len(files_k1) == 1, files_k1
+        after = sorted(r.id for r in spark.read.parquet(src).collect())
+        assert after == before
+
+    def test_order_plus_partition_cols_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from multi_crm_cross_sell_spark.sources.silver import compact
+
+        src = str(tmp_path / "combo")
+        spark.range(2_000).selectExpr("id", "id % 2 AS k").write.partitionBy(
+            "k"
+        ).parquet(src)
+        with _pytest.raises(ValueError, match="order_cols cannot be combined"):
+            compact(spark, src, order_cols="id", partition_cols="k")

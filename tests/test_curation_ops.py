@@ -471,12 +471,12 @@ class TestBloomDecontamination:
         )
         assert bloom == exact
 
-    def test_literal_bound_raises(self):
+    def test_bitmap_bound_raises(self):
         import pytest as _pytest
 
         from multi_crm_cross_sell_spark.operators.bloom import bloom_m_bits
 
-        with _pytest.raises(ValueError, match="plan-literal bound"):
+        with _pytest.raises(ValueError, match="driver-payload bound"):
             bloom_m_bits(10_000_000)
 
 
@@ -613,3 +613,68 @@ class TestBPE:
             assert r.id_sum == sum(ids)
             assert r.first_id == (ids[0] if ids else -1)
             assert r.last_id == (ids[-1] if ids else -1)
+
+
+class TestBpeMergeExhaustion:
+    """ADVICE round-7 latent bug: if the corpus exhausts its mergeable
+    pairs before _BPE_MERGES steps, the unrolled oracle's tail
+    best{k} CTEs are EMPTY — a comma join there collapsed every later
+    state to zero rows (oracle reports zero tokens for every doc)
+    while the Spark side still applies the merges it did learn. The
+    LEFT JOIN + CASE fallback must keep both engines step-for-step
+    equal on such a corpus."""
+
+    def _tiny_dir(self, spark, tmp_path):
+        # two word types, one possible merge chain: ab -> (ab);
+        # after merges (a,b) and e.g. (ab,?) nothing is left long
+        # before 10 steps.
+        rows = [
+            (0, "ab ab ba", "en", "t", 8),
+            (1, "ab ba ba", "en", "t", 8),
+            (2, "zz 123 ab", "en", "t", 9),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = str(tmp_path / "tinybpe")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        return out
+
+    def test_oracle_matches_spark_when_merges_exhaust(self, spark, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from multi_crm_cross_sell_spark.operators.bpe import (
+            learn_bpe,
+            word_types,
+        )
+        from multi_crm_cross_sell_spark.plans.datapipe import _BPE_MERGES
+
+        d = self._tiny_dir(spark, tmp_path)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        merges = learn_bpe(word_types(docs, 1000), _BPE_MERGES)
+        assert 0 < len(merges) < _BPE_MERGES  # the exhaustion premise
+
+        qs = all_queries()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        for name in ("bpe_vocab", "document_bpe_ids"):
+            q = qs[name]
+            sdf = (
+                q.fn(spark, d)
+                .toPandas()
+                .sort_values(by=list(q.fn(spark, d).columns))
+                .reset_index(drop=True)
+            )
+            odf = (
+                con.execute(q.oracle)
+                .fetchdf()
+                .sort_values(by=list(sdf.columns))
+                .reset_index(drop=True)
+            )
+            assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+            assert len(sdf) > 0, name
+            for c in sdf.columns:
+                assert list(sdf[c]) == list(odf[c]), (name, c)

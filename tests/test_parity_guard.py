@@ -92,3 +92,17 @@ def test_textrank_integer_fixpoint_holds_under_ansi(spark):
     with _with_ansi(spark, "true"):
         ansi = q.fn(spark, SF).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, ansi))
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_single_row_cast_saturation_raises_loudly(spark, ansi):
+    """ADVICE round-7: per-ROW overflow is a separate surface from
+    accumulator overflow — under non-ANSI, CAST(double AS BIGINT)
+    SATURATES (no wrap, no NULL), so one |x·10^f| >= 2^63 row used to
+    produce a finite wrong sum that try_sum never flagged. The
+    per-row abs-compare guard must raise instead, in both modes."""
+    # ONE row of 1e17 with f=2 → units 1e19 >= 2^63: saturation zone.
+    df = spark.range(1).select(F.lit(1.0e17).alias("x"))
+    with _with_ansi(spark, ansi):
+        with pytest.raises(Exception, match="long-units overflow"):
+            df.agg(dsum("x", "s")).collect()
