@@ -91,12 +91,23 @@ def _guarded_unit_sum(c: Column, u: int) -> Column:
     surfaces: a per-row abs-compare raises before the (non-ANSI:
     saturating) double→bigint cast can produce a finite wrong value,
     and a NULL from try_sum over a non-empty group can then only mean
-    accumulator overflow, so it raises too."""
-    unit = F.round(c * u)
+    accumulator overflow, so it raises too.
+
+    The per-row compare runs on the RAW column against a precomputed
+    threshold 2^63·(1−2^-50)/u — not on round(c·u), which would
+    evaluate the round+multiply twice per row (measured +0.5s on the
+    8-agg pricing pass at sf0.1; this form costs ~nothing over the
+    accumulator guard alone). The 2^-50 margin makes the check
+    CONSERVATIVE: if |c| < thr then the computed double c·u is
+    provably < 2^63 (one multiplication rounding of ≤2^-52 relative
+    cannot bridge a 2^-50 gap), so silent saturation is impossible;
+    values inside the ~8000-ulp sliver below the true bound raise a
+    false-positive overflow — the safe direction for a guard."""
+    thr = (2.0**63) * (1.0 - 2.0**-50) / u
     row = F.when(
-        F.abs(unit) >= F.lit(float(2**63)),
+        F.abs(c) >= F.lit(thr),
         F.raise_error(F.lit(_OVERFLOW_MSG)).cast("double"),
-    ).otherwise(unit)
+    ).otherwise(F.round(c * u))
     s = F.try_sum(row.cast("bigint"))
     return F.when(
         s.isNull() & (F.count(c) > 0),
