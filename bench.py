@@ -66,6 +66,9 @@ CURATION = [
     "embedding_int8_quantize",
     "bpe_vocab",
     "document_bpe_ids",
+    # Round 8 newcomers (measured from birth):
+    "stratified_sample",
+    "dataset_temperature_mix",
 ]
 
 

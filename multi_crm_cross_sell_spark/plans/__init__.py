@@ -35,19 +35,22 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (33 parked / 50 in-window / 83 registered):
+# Round-8 rotation (35 parked / 50 in-window / 85 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
-# round 9). Fourteen round-7-driver-green entries park in exchange,
-# chosen per R5: three family variants whose base operator stays
-# in-window, and eleven beyond-reference curation/OLAP ops whose §2
-# coverage (where any) has an in-window sibling. The four round-7
-# driver-red queries (unigram/bigram LM quality, document_token_ids,
-# textrank_keywords — oracle HUGEINT dtype bug, fixed this round)
-# deliberately STAY in-window so CORRECTNESS_r08 shows them green.
-# All parked entries re-verified exact-equality green this round
-# (tools/check.py full sweep — see the round-close commit).
+# round 9). The two round-8 newcomers (stratified_sample,
+# dataset_temperature_mix) enter in their birth round per R1.
+# Sixteen round-7-driver-green entries park in exchange, chosen per
+# R5: three family variants whose base operator stays in-window,
+# twelve beyond-reference curation/OLAP ops whose §2 coverage (where
+# any) has an in-window sibling, and one §2 row green in round 7
+# (J7 semi; the anti sibling holds the in-window J7 row). The four
+# round-7 driver-red queries (unigram/bigram LM quality,
+# document_token_ids, textrank_keywords — oracle HUGEINT dtype bug,
+# fixed this round) deliberately STAY in-window so CORRECTNESS_r08
+# shows them green. All parked entries re-verified exact-equality
+# green this round (tools/check.py full sweep — round-close commit).
 _TAIL = (
     # -- parked round 7 (driver-green r6); R2 deadline = r9 --
     # (a) variants with an in-window §2 sibling:
@@ -89,6 +92,9 @@ _TAIL = (
     "sales_rollup_cube",  # A5 sibling order_priority_pivot rejoins
     "order_value_histogram",
     "balance_outliers_zscore",
+    "range_join_incidents",  # beyond-reference binned range join
+    # (c) §2 row green in round 7 (J7 semi; anti stays in-window):
+    "customers_with_urgent_orders",
 )
 
 

@@ -3183,3 +3183,140 @@ def document_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: two more dataset-mix primitives. dataset_mix_downsample is
+# the fixed-CAP stratified sampler; these add the fraction-
+# proportional sampler (per-stratum caps derived from per-stratum
+# counts) and the temperature-weighting pass (the α-exponent source
+# re-weighting every multilingual/multi-source pre-training mix uses,
+# e.g. the mBERT/XLM-R exponent-smoothed sampling scheme — public
+# method).
+# ---------------------------------------------------------------------------
+
+_STRAT_FRAC_PCT = 20  # keep 20% of every (source, lang) stratum
+_MIX_ALPHA = 0.3  # temperature exponent (flattens the source skew)
+_MIX_BUDGET = 10_000  # documents allocated by the expected-mix column
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.lang
+    FROM ranked r JOIN counts c ON r.source = c.source AND r.lang = c.lang
+    WHERE r.rn <= CAST(CEIL(c.n * {_STRAT_FRAC_PCT} / 100.0) AS BIGINT)
+    """,
+    tags=("curation", "sampling", "stratified", "beyond-reference"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-proportional stratified sampling: keep ceil(frac·n)
+    documents of EVERY (source, lang) stratum, chosen by md5 rank —
+    deterministic across runs, partitionings and engines (the same
+    stability argument as dataset_mix_downsample, which is the
+    fixed-cap sibling; this one preserves the stratum PROPORTIONS
+    instead of flattening them). The salt prefix decorrelates this
+    sampler's choices from the downsampler's.
+
+    Scale shape: one count aggregate (strata are low-cardinality by
+    construction), broadcast back onto the rank window's output —
+    same single source/lang shuffle as the window itself; the
+    ceil(n·f) arithmetic is the identical IEEE expression on both
+    engines, so the per-stratum cap is engine-identical even when
+    n·f/100 is inexact."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id", "source", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(counts), ["source", "lang"])
+        .where(
+            F.col("rn")
+            <= F.expr(f"CAST(CEIL(n * {_STRAT_FRAC_PCT} / 100.0) AS BIGINT)")
+        )
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "dataset_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS nd FROM per),
+    wts AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(POWER(n_docs * 1.0 / nd, {_MIX_ALPHA}) * 1e9)
+                  AS BIGINT) AS raw_micro
+      FROM per CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(raw_micro) AS z FROM wts)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(raw_micro * 1.0 / z, 9) AS weight,
+           CAST(({_MIX_BUDGET} * raw_micro) // z AS BIGINT) AS alloc_docs
+    FROM wts CROSS JOIN norm
+    """,
+    tags=("curation", "sampling", "temperature", "beyond-reference"),
+)
+def dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source weights: w_s ∝ (n_s/N)^α with
+    α={_MIX_ALPHA}, plus the integer document allocation of a
+    {_MIX_BUDGET}-doc budget under those weights — the standard
+    exponent-smoothing that keeps head sources from drowning the tail
+    in a pre-training mix.
+
+    Float-parity discipline (plans/_parity.py applied to a
+    NORMALIZED-weights pass): POWER is transcendental (≤1 ulp libm
+    divergence), so each raw weight is immediately ROUND(·1e9)ed into
+    an integer micro-weight; the normalizer z is then an INTEGER sum
+    (associative — partial aggregation order cannot move it), the
+    reported weight divides two engine-identical exact integers, and
+    the budget allocation uses integer floor-division — no float
+    boundary anywhere an engine could disagree on."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("nd"))
+    wts = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST(ROUND(POWER(n_docs * 1.0 / nd, {_MIX_ALPHA}) * 1e9)"
+            " AS BIGINT)"
+        ).alias("raw_micro"),
+    )
+    norm = wts.agg(F.sum("raw_micro").alias("z"))
+    return wts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("raw_micro") * 1.0 / F.col("z"), 9).alias("weight"),
+        F.expr(f"CAST(({_MIX_BUDGET} * raw_micro) DIV z AS BIGINT)").alias(
+            "alloc_docs"
+        ),
+    )

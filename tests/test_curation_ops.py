@@ -678,3 +678,98 @@ class TestBpeMergeExhaustion:
             assert len(sdf) > 0, name
             for c in sdf.columns:
                 assert list(sdf[c]) == list(odf[c]), (name, c)
+
+
+class TestStratifiedSample:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        strata = defaultdict(list)
+        for r in docs:
+            strata[(r.source, r.lang)].append(r.doc_id)
+        want = set()
+        for (s, lg), ids in strata.items():
+            k = math.ceil(len(ids) * 20 / 100.0)
+            ranked = sorted(
+                ids,
+                key=lambda d: (
+                    hashlib.md5(f"strat:{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            want.update((d, s, lg) for d in ranked[:k])
+        got = {
+            (r.doc_id, r.source, r.lang)
+            for r in all_queries()["stratified_sample"].fn(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_proportions_preserved(self, spark, sf_dir):
+        """Every stratum keeps ceil(20%) of its rows — proportional,
+        unlike the fixed-cap downsampler."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = {
+            (r.source, r.lang): r.n
+            for r in docs.groupBy("source", "lang").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        got = {
+            (r.source, r.lang): r.n
+            for r in all_queries()["stratified_sample"]
+            .fn(spark, sf_dir)
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for key, n in base.items():
+            assert got.get(key, 0) == math.ceil(n * 20 / 100.0), key
+
+
+class TestDatasetTemperatureMix:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from collections import Counter
+
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        n_docs = Counter(r.source for r in rows)
+        n_tokens = Counter()
+        for r in rows:
+            n_tokens[r.source] += len(r.text.split(" "))
+        nd = sum(n_docs.values())
+        raw = {
+            s: int(round((n / nd) ** 0.3 * 1e9)) for s, n in n_docs.items()
+        }
+        z = sum(raw.values())
+        got = {
+            r.source: r
+            for r in all_queries()["dataset_temperature_mix"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert set(got) == set(n_docs)
+        for s in n_docs:
+            assert got[s].n_docs == n_docs[s]
+            assert got[s].n_tokens == n_tokens[s]
+            assert got[s].alloc_docs == (10_000 * raw[s]) // z
+            assert abs(got[s].weight - raw[s] / z) < 1e-9
+
+    def test_temperature_flattens_skew(self, spark, sf_dir):
+        """α < 1 must LIFT tail sources and SHRINK head sources
+        relative to proportional sampling — the whole point of the
+        exponent."""
+        recs = all_queries()["dataset_temperature_mix"].fn(spark, sf_dir).collect()
+        nd = sum(r.n_docs for r in recs)
+        head = max(recs, key=lambda r: r.n_docs)
+        tail = min(recs, key=lambda r: r.n_docs)
+        if head.n_docs != tail.n_docs:
+            assert head.weight < head.n_docs / nd + 1e-12
+            assert tail.weight > tail.n_docs / nd - 1e-12
+        # weights are a distribution
+        assert abs(sum(r.weight for r in recs) - 1.0) < 1e-6
