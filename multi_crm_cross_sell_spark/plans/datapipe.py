@@ -2792,14 +2792,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("85 * coalesce(acc, 0) div 100")
             ).cast("bigint").alias("r"),
         )
-        # Checkpoint every SECOND iteration (and the last): lineage
-        # stays bounded at two join+agg levels — same constant-size
-        # guarantee — while the eager materialization barrier (one
-        # full job submit/schedule round per checkpoint, the dominant
-        # cost of this query: ~0.25s x 10 at sf0.1) is paid half as
-        # often. Integer fixpoint, so results are bit-identical
+        # Checkpoint every FIFTH iteration (and the last): lineage
+        # stays bounded at five join+agg levels — still a constant-
+        # size guarantee — while the eager materialization barrier
+        # (one full job submit/schedule round per checkpoint, the
+        # dominant cost of this query on a vocabulary-sized graph:
+        # ~0.25s x 10 at sf0.1 when taken every iteration) is paid
+        # only twice. Integer fixpoint, so results are bit-identical
         # however the iterations are batched.
-        if it % 2 == 1 or it == _TEXTRANK_ITERS - 1:
+        if it % 5 == 4 or it == _TEXTRANK_ITERS - 1:
             pr = pr.localCheckpoint(eager=True)
     w_rank = Window.orderBy(F.col("r").desc(), F.col("node"))
     return (

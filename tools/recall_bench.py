@@ -39,7 +39,11 @@ QUERY_MOD = 100
 # adaptive-K claim is about. Configs are focused at 100x for the same
 # reason: the blowup detector (pinned K), the headline operating
 # point (adaptive K, L2+probe) and the IVF counterpart.
-QUERY_MOD_PER_SCALE = {"sf1x100": 50_000}
+# Round 8: 50k → 10k (4 → 20 queries at the 100x corpus). The 4-query
+# sample made the within-replica recall column read 0.0 — too coarse
+# to distinguish "weak-neighbor regime" from "index defect"; 20
+# queries keeps the exact ground truth at a cheap 4M pairs.
+QUERY_MOD_PER_SCALE = {"sf1x100": 10_000}
 
 _SCALE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale"
