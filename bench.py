@@ -69,6 +69,7 @@ CURATION = [
     # Round 8 newcomers (measured from birth):
     "stratified_sample",
     "dataset_temperature_mix",
+    "perplexity_filter_by_lang",
 ]
 
 

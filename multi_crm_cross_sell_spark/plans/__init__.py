@@ -35,17 +35,18 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (35 parked / 50 in-window / 85 registered):
+# Round-8 rotation (36 parked / 50 in-window / 86 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
-# round 9). The two round-8 newcomers (stratified_sample,
-# dataset_temperature_mix) enter in their birth round per R1.
-# Sixteen round-7-driver-green entries park in exchange, chosen per
+# round 9). The three round-8 newcomers (stratified_sample,
+# dataset_temperature_mix, perplexity_filter_by_lang) enter in their
+# birth round per R1. Seventeen round-7-driver-green entries park in
+# exchange, chosen per
 # R5: three family variants whose base operator stays in-window,
-# twelve beyond-reference curation/OLAP ops whose §2 coverage (where
-# any) has an in-window sibling, and one §2 row green in round 7
-# (J7 semi; the anti sibling holds the in-window J7 row). The four
+# thirteen beyond-reference curation/OLAP ops whose §2 coverage
+# (where any) has an in-window sibling, and one §2 row green in
+# round 7 (J7 semi; the anti sibling holds the in-window J7 row). The four
 # round-7 driver-red queries (unigram/bigram LM quality,
 # document_token_ids, textrank_keywords — oracle HUGEINT dtype bug,
 # fixed this round) deliberately STAY in-window so CORRECTNESS_r08
@@ -93,6 +94,8 @@ _TAIL = (
     "order_value_histogram",
     "balance_outliers_zscore",
     "range_join_incidents",  # beyond-reference binned range join
+    "vocab_construction",  # its ranked-vocab table lives on inside
+    #   document_token_ids, which stays in-window
     # (c) §2 row green in round 7 (J7 semi; anti stays in-window):
     "customers_with_urgent_orders",
 )

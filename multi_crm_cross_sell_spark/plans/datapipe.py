@@ -3321,3 +3321,139 @@ def dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_docs"
         ),
     )
+
+
+_PPL_GATE_PCT = 90  # keep docs at or below the per-language p90 score
+
+
+@register(
+    "perplexity_filter_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN(CAST(tot.n AS DOUBLE) / f.cnt) * 1e6) AS BIGINT)
+               AS nll_micro
+      FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(s.nll_micro) // COUNT(*) AS BIGINT) AS score_micro
+      FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+      GROUP BY d.doc_id, d.lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_micro, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM per_doc
+    ),
+    thr AS (
+      SELECT lang,
+             (10 - ({_PPL_GATE_PCT} * (n - 1)) % 100 // 10)
+               * MAX(CASE WHEN rn = ({_PPL_GATE_PCT} * (n - 1)) // 100 + 1
+                          THEN score_micro END)
+             + (({_PPL_GATE_PCT} * (n - 1)) % 100 // 10)
+               * MAX(CASE WHEN rn = LEAST(({_PPL_GATE_PCT} * (n - 1)) // 100 + 2, n)
+                          THEN score_micro END)
+               AS thr10x
+      FROM ranked GROUP BY lang, n
+    )
+    SELECT r.doc_id, r.lang, r.score_micro,
+           CAST(t.thr10x AS BIGINT) AS lang_thr_micro_x10,
+           (r.score_micro * 10 <= t.thr10x) AS kept
+    FROM ranked r JOIN thr t ON r.lang = t.lang
+    """,
+    tags=("curation", "quality", "quantile", "stratified", "beyond-reference"),
+)
+def perplexity_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified perplexity gating: score every document by
+    its unigram-LM average negative log-likelihood (integer micro-nats
+    per token — the unigram_lm_quality scorer), then keep documents at
+    or below their OWN language's p{_PPL_GATE_PCT} — the standard
+    per-language quality gate (a flat global threshold would flush
+    low-resource languages whose corpus-wide LM fit is worse).
+
+    EXACT INTEGER PERCENTILE: quantile interpolation is a float
+    boundary an engine pair can disagree on (lerp computed as
+    (1-d)·a + d·b vs a + d·(b-a) differs in final ulps, and FLOOR/
+    ROUND of the result can then flip a threshold integer). Instead
+    the percentile_cont semantics are computed in pure integers:
+    index i = p·(n-1)/100 has lo = i div 1, frac = i mod 1 with
+    denominator 10, so thr·10 = (10-dd)·a[lo] + dd·a[lo+1] for
+    integer dd — both engines derive the identical integer and the
+    gate compares score·10 ≤ thr·10 with no float anywhere.
+
+    Scale shape: the scorer is the unigram pass (broadcast vocab, one
+    corpus shuffle); the per-language order statistics need a rank —
+    languages are low-cardinality, so the window shuffles on lang and
+    AQE skew-splits a dominant language; at extreme scale swap the
+    window for a two-pass histogram threshold (the documented
+    dataset_mix_downsample trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(ROUND(LN(CAST(n AS DOUBLE) / cnt) * 1e6) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(
+            scored.groupBy("doc_id").agg(
+                F.expr("CAST(SUM(nll_micro) DIV COUNT(*) AS BIGINT)").alias(
+                    "score_micro"
+                )
+            ),
+            "doc_id",
+        )
+    )
+    w_rank = Window.partitionBy("lang").orderBy("score_micro", "doc_id")
+    w_n = Window.partitionBy("lang")
+    ranked = per_doc.select(
+        "doc_id",
+        "lang",
+        "score_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    p = _PPL_GATE_PCT
+    thr = ranked.groupBy("lang", "n").agg(
+        (
+            (10 - F.expr(f"({p} * (n - 1)) % 100 DIV 10"))
+            * F.max(
+                F.expr(
+                    f"CASE WHEN rn = ({p} * (n - 1)) DIV 100 + 1"
+                    " THEN score_micro END"
+                )
+            )
+            + F.expr(f"({p} * (n - 1)) % 100 DIV 10")
+            * F.max(
+                F.expr(
+                    f"CASE WHEN rn = LEAST(({p} * (n - 1)) DIV 100 + 2, n)"
+                    " THEN score_micro END"
+                )
+            )
+        ).alias("thr10x")
+    ).select("lang", "thr10x")
+    return ranked.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "score_micro",
+        F.col("thr10x").cast("bigint").alias("lang_thr_micro_x10"),
+        (F.col("score_micro") * 10 <= F.col("thr10x")).alias("kept"),
+    )

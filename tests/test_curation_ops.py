@@ -773,3 +773,52 @@ class TestDatasetTemperatureMix:
             assert tail.weight > tail.n_docs / nd - 1e-12
         # weights are a distribution
         assert abs(sum(r.weight for r in recs) - 1.0) < 1e-6
+
+
+class TestPerplexityFilterByLang:
+    def test_threshold_is_exact_percentile_cont(self, spark, sf_dir):
+        """The integer thr·10 must equal 10× the textbook
+        percentile_cont (linear interpolation) of each language's
+        integer scores — exactly, because with p=90 the interpolation
+        fraction has denominator 10 and the whole computation stays
+        in integers."""
+        from collections import defaultdict
+
+        rows = (
+            all_queries()["perplexity_filter_by_lang"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+        by_lang = defaultdict(list)
+        thr = {}
+        for r in rows:
+            by_lang[r.lang].append(r.score_micro)
+            thr[r.lang] = r.lang_thr_micro_x10
+        for lang, scores in by_lang.items():
+            s = sorted(scores)
+            n = len(s)
+            i10 = 90 * (n - 1) // 10  # index*10 with one frac digit
+            lo, dd = i10 // 10, i10 % 10
+            hi = min(lo + 1, n - 1)
+            want = (10 - dd) * s[lo] + dd * s[hi]
+            assert thr[lang] == want, (lang, thr[lang], want)
+
+    def test_keep_rate_and_stratification(self, spark, sf_dir):
+        """~90% of every language is kept (ties can push it above),
+        and every kept/dropped decision matches the comparison
+        against the language's own threshold."""
+        from collections import Counter
+
+        rows = (
+            all_queries()["perplexity_filter_by_lang"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+        total, kept = Counter(), Counter()
+        for r in rows:
+            total[r.lang] += 1
+            kept[r.lang] += int(r.kept)
+            assert r.kept == (r.score_micro * 10 <= r.lang_thr_micro_x10)
+        for lang in total:
+            rate = kept[lang] / total[lang]
+            assert 0.85 <= rate <= 1.0, (lang, rate)
