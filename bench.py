@@ -70,6 +70,7 @@ CURATION = [
     "stratified_sample",
     "dataset_temperature_mix",
     "perplexity_filter_by_lang",
+    "length_bucketed_batches",
 ]
 
 

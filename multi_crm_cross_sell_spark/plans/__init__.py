@@ -35,18 +35,19 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (36 parked / 50 in-window / 86 registered):
+# Round-8 rotation (37 parked / 50 in-window / 87 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
-# round 9). The three round-8 newcomers (stratified_sample,
-# dataset_temperature_mix, perplexity_filter_by_lang) enter in their
-# birth round per R1. Seventeen round-7-driver-green entries park in
-# exchange, chosen per
+# round 9). The four round-8 newcomers (stratified_sample,
+# dataset_temperature_mix, perplexity_filter_by_lang,
+# length_bucketed_batches) enter in their birth round per R1.
+# Eighteen round-7-driver-green entries park in exchange, chosen per
 # R5: three family variants whose base operator stays in-window,
 # thirteen beyond-reference curation/OLAP ops whose §2 coverage
-# (where any) has an in-window sibling, and one §2 row green in
-# round 7 (J7 semi; the anti sibling holds the in-window J7 row). The four
+# (where any) has an in-window sibling, and two §2 rows green in
+# round 7 (J7 semi — the anti sibling holds the in-window J7 row —
+# and A2/F22 daily — weekly_order_rollup holds the row). The four
 # round-7 driver-red queries (unigram/bigram LM quality,
 # document_token_ids, textrank_keywords — oracle HUGEINT dtype bug,
 # fixed this round) deliberately STAY in-window so CORRECTNESS_r08
@@ -96,8 +97,9 @@ _TAIL = (
     "range_join_incidents",  # beyond-reference binned range join
     "vocab_construction",  # its ranked-vocab table lives on inside
     #   document_token_ids, which stays in-window
-    # (c) §2 row green in round 7 (J7 semi; anti stays in-window):
-    "customers_with_urgent_orders",
+    # (c) §2 rows green in round 7:
+    "customers_with_urgent_orders",  # J7 semi; anti stays in-window
+    "daily_order_stats",  # A2/F22; weekly_order_rollup stays in-window
 )
 
 

@@ -3457,3 +3457,72 @@ def perplexity_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("thr10x").cast("bigint").alias("lang_thr_micro_x10"),
         (F.col("score_micro") * 10 <= F.col("thr10x")).alias("kept"),
     )
+
+
+_BATCH_SIZE = 32  # documents per training batch
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn
+      FROM lens
+    )
+    SELECT CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_len,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS pad_tokens
+    FROM ranked GROUP BY 1
+    """,
+    tags=("curation", "batching", "padding", "beyond-reference"),
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: sort documents by token count,
+    cut into fixed-size batches, and report each batch's padding
+    waste (n·max_len − Σlen) — the sorted-batching trick that cuts
+    pad-token compute versus random batching (near-equal lengths
+    inside a batch ⇒ max≈mean). The report quantifies exactly the
+    saving: Σ pad_tokens here versus what random batches would pay.
+
+    Deterministic by construction: (n_tokens, doc_id) is a total
+    order, batch boundaries are integer arithmetic on the rank.
+
+    Scale shape: ONE global sort (rangepartition + local sort — the
+    same shape as global_rank_topn) over (doc_id, n_tokens) narrow
+    rows, then a map-side-combinable aggregate on the integer batch
+    key. At 100 TB you would shard the sort by a coarse length bucket
+    first (identical output for whole buckets) — documented, not
+    needed at bench scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    ranked = lens.select(
+        "doc_id", "n_tokens", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy(
+            F.expr(f"CAST((rn - 1) DIV {_BATCH_SIZE} AS BIGINT)").alias(
+                "batch_id"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_len"),
+            F.max("n_tokens").cast("bigint").alias("max_len"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.expr(
+                "CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)"
+            ).alias("pad_tokens"),
+        )
+    )

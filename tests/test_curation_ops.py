@@ -822,3 +822,37 @@ class TestPerplexityFilterByLang:
         for lang in total:
             rate = kept[lang] / total[lang]
             assert 0.85 <= rate <= 1.0, (lang, rate)
+
+
+class TestLengthBucketedBatches:
+    def test_matches_python_reference_and_beats_random_padding(
+        self, spark, sf_dir
+    ):
+        docs = _docs(spark, sf_dir)
+        lens = sorted(
+            (len(t.split(" ")), d) for d, t in docs.items()
+        )
+        B = 32
+        want = {}
+        for i in range(0, len(lens), B):
+            chunk = lens[i : i + B]
+            ls = [n for n, _ in chunk]
+            want[i // B] = (
+                len(ls),
+                min(ls),
+                max(ls),
+                sum(ls),
+                len(ls) * max(ls) - sum(ls),
+            )
+        got = {
+            r.batch_id: (r.n_docs, r.min_len, r.max_len, r.sum_tokens, r.pad_tokens)
+            for r in all_queries()["length_bucketed_batches"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert got == want
+        # sorted batching must waste (weakly) fewer pad tokens than
+        # one giant everything-padded-to-global-max batch
+        global_max = max(n for n, _ in lens)
+        naive = global_max * len(lens) - sum(n for n, _ in lens)
+        assert sum(v[4] for v in got.values()) <= naive
