@@ -47,7 +47,40 @@ def tune(spark: SparkSession) -> SparkSession:
     # Spark vectorized reader cannot decode natively; read as long nanos
     # and convert (sources/bronze.py floors to micros, matching DuckDB).
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable in PYTHON WORKERS regardless
+    of the driver process's cwd/PYTHONPATH. Pandas-UDF closures
+    (extractive_summary, the ML pipeline, stateful streaming)
+    reference this package by name; cloudpickle serializes them by
+    reference, so a worker spawned by a driver that imported us via a
+    sys.path hack from another cwd raises ModuleNotFoundError at the
+    first UDF batch. addPyFile of a package zip fixes that for every
+    session shape. Idempotent per JVM (addPyFile dedups by filename);
+    failures are non-fatal because the common layouts (cwd=repo, or
+    PYTHONPATH set) never needed it."""
+    try:
+        import os
+        import shutil
+        import tempfile
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        stamp = os.path.join(
+            tempfile.gettempdir(), "multi_crm_cross_sell_spark_pkg"
+        )
+        if not os.path.exists(stamp + ".zip"):
+            shutil.make_archive(
+                stamp,
+                "zip",
+                root_dir=root,
+                base_dir="multi_crm_cross_sell_spark",
+            )
+        spark.sparkContext.addPyFile(stamp + ".zip")
+    except Exception:
+        pass
 
 
 def get_spark(
