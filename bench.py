@@ -71,6 +71,9 @@ CURATION = [
     "dataset_temperature_mix",
     "perplexity_filter_by_lang",
     "length_bucketed_batches",
+    "semantic_dedup",
+    "dsir_importance_weights",
+    "dedup_keep_best",
 ]
 
 

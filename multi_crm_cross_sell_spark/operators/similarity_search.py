@@ -606,36 +606,35 @@ def embedding_near_dup_pairs(
     )
 
 
-def ivf_topk(
+def ivf_assign(
     embeddings: DataFrame,
-    query_pred: Column,
-    k: int = 5,
     n_centroids: int | None = 16,
-    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "first",
     dim: int = DIM,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: assign every vector to its nearest
-    centroid cell; a query searches its ``nprobe`` nearest cells.
-    nprobe > 1 recovers the boundary neighbors a single-cell probe
-    misses (a vector just across the Voronoi edge), at a linear cost
-    multiplier on the candidate set — the standard IVF recall knob.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF index-build: nearest-centroid cell assignment for
+    every vector. Returns ``(base, cents, assigned)`` where ``base``
+    is the scalar-column layout of the input, ``cents`` carries the
+    codebook (``cent_id``, ``c_0..c_{dim-1}``, dense ``cent_ix``) and
+    ``assigned`` is ``base`` plus the ``cell`` (= winning cent_ix)
+    column. Used by :func:`ivf_topk` (ANN probes) and
+    :func:`semantic_dedup_frame` (SemDeDup within-cell dedup) — the
+    argmax-as-packed-long-max trick and its measured rationale live
+    here once.
 
     ``centroids``:
     - ``"first"`` (default): the ``n_centroids`` lowest-id vectors —
       deterministic and oracle-reproducible where a KMeans fit would
-      not be; pinned by the registered query.
+      not be; pinned by the registered queries.
     - ``"kmeans"``: train the codebook with MLlib KMeans (fixed seed,
       Euclidean objective) — the production path promised in SCALE.md.
       The INDEX STRUCTURE is identical either way (cell assignment via
-      small-side broadcast join + argmin window, then an equi-join on
-      cell id), and that is the part that must scale: the per-pair
-      search space shrinks from O(N) to O(nprobe·N/n_centroids) and
-      the cell join shuffles on an int key. Trained centroids tile the
-      data instead of echoing the first rows — measured recall@10 at
-      fixed nprobe in SCALE.md §ANN recall, pinned by a unit test."""
+      small-side broadcast join + argmin), and that is the part that
+      must scale. Trained centroids tile the data instead of echoing
+      the first rows — measured recall@10 at fixed nprobe in SCALE.md
+      §ANN recall, pinned by a unit test."""
     from pyspark.sql import Window
 
     if n_centroids is None:
@@ -719,6 +718,33 @@ def ivf_topk(
         )
     )
     assigned = base.join(cells, "vec_id")
+    return base, cents, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int | None = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "first",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    centroid cell (:func:`ivf_assign`); a query searches its
+    ``nprobe`` nearest cells. nprobe > 1 recovers the boundary
+    neighbors a single-cell probe misses (a vector just across the
+    Voronoi edge), at a linear cost multiplier on the candidate set —
+    the standard IVF recall knob. The per-pair search space shrinks
+    from O(N) to O(nprobe·N/n_centroids) and the cell join shuffles
+    on an int key; centroid-mode trade-offs in :func:`ivf_assign`."""
+    from pyspark.sql import Window
+
+    base, cents, assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, centroids, dim
+    )
     # queries probe their nprobe nearest cells; data vectors live in
     # exactly one cell, so (query, candidate) pairs stay unique without
     # a dedup pass.
@@ -763,3 +789,68 @@ def ivf_topk(
     )
 
 
+
+
+def semantic_dedup_frame(
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "first",
+    dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare
+    pairs ONLY within a cluster cell and drop every vector that has a
+    lower-id in-cell neighbor with cosine ≥ ``threshold``. The kept
+    row of each semantic-duplicate neighborhood is its lowest id —
+    deterministic, so the whole operator is oracle-reproducible.
+
+    Returns one row per input vector: ``(vec_id, n_dup_lower,
+    max_sim_lower, kept)`` where ``n_dup_lower`` counts the lower-id
+    in-cell neighbors at or above the threshold and ``kept`` marks
+    the representatives (n_dup_lower == 0).
+
+    Scale shape: the cell assignment is :func:`ivf_assign` (broadcast
+    codebook, packed-long argmax, map-side combine — measured at the
+    100x decade); the pairwise stage is a SELF-JOIN ON THE INT CELL
+    KEY, so the candidate space is Σ|cell|² ≈ n²/c instead of n².
+    With the adaptive c = max(16, isqrt(n)) codebook that is ~n^1.5
+    comparisons total and expected per-cell occupancy √n — the same
+    occupancy-balance argument the ANN path uses, and exactly the
+    trick SemDeDup itself relies on to run at web scale. Skewed cells
+    (a dense semantic mode) are an AQE skew-join case: the join key
+    is a plain int, so runtime skew splitting applies. No stage ever
+    shuffles more than the wide base once."""
+    base, cents, assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, centroids, dim
+    )
+    lo = assigned.selectExpr(
+        "vec_id AS lo_id", "cell AS lo_cell", *rename_exprs("v", "u", dim)
+    )
+    cosine = F.expr(
+        f"ROUND({dot_cols('v', 'u', dim)}"
+        f" / ({norm_cols('v', dim)} * {norm_cols('u', dim)}), 9)"
+    )
+    pairs = assigned.join(
+        lo,
+        (F.col("cell") == F.col("lo_cell")) & (F.col("lo_id") < F.col("vec_id")),
+    ).select("vec_id", cosine.alias("cosine"))
+    dup = (
+        pairs.where(F.col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dup_lower"),
+            F.max("cosine").alias("max_sim_lower"),
+        )
+    )
+    ids = embeddings.select(F.col(id_col).alias("vec_id"))
+    return ids.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("bigint").alias(
+            "n_dup_lower"
+        ),
+        "max_sim_lower",
+        F.col("n_dup_lower").isNull().alias("kept"),
+    )

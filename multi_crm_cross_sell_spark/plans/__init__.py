@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (37 parked / 50 in-window / 87 registered):
+# Round-8 rotation (40 parked / 50 in-window / 90 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -51,8 +51,13 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # round-7 driver-red queries (unigram/bigram LM quality,
 # document_token_ids, textrank_keywords — oracle HUGEINT dtype bug,
 # fixed this round) deliberately STAY in-window so CORRECTNESS_r08
-# shows them green. All parked entries re-verified exact-equality
-# green this round (tools/check.py full sweep — round-close commit).
+# shows them green. Three more round-8 newcomers (semantic_dedup,
+# dsir_importance_weights, dedup_keep_best) also enter at birth per
+# R1; in exchange three round-7-driver-green §2 rows park per R5(c)
+# (score_explanations, event_funnel_metrics, feedback_asof_labels —
+# each one round only, R2 deadline r10). All parked entries
+# re-verified exact-equality green this round (tools/check.py full
+# sweep — round-close commit).
 _TAIL = (
     # -- parked round 7 (driver-green r6); R2 deadline = r9 --
     # (a) variants with an in-window §2 sibling:
@@ -100,6 +105,12 @@ _TAIL = (
     # (c) §2 rows green in round 7:
     "customers_with_urgent_orders",  # J7 semi; anti stays in-window
     "daily_order_stats",  # A2/F22; weekly_order_rollup stays in-window
+    # -- parked round 8 exchange for the three R1 newcomers
+    #    (semantic_dedup / dsir_importance_weights / dedup_keep_best),
+    #    per R5(c) — driver-green r7, one round only, deadline r10 --
+    "score_explanations",  # ML9; flagship sibling stays in-window
+    "event_funnel_metrics",  # A11
+    "feedback_asof_labels",  # ML14/P11
 )
 
 

@@ -3526,3 +3526,312 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_tokens"),
         )
     )
+
+
+# τ calibrated to the synthetic embedding corpus: in-cell cosine sits
+# in [-0.1, 0.6] with its 99th percentile ≈ 0.35 at every sf (no true
+# duplicate vectors are planted), so 0.35 marks the top ~1% most
+# semantically redundant pairs — non-degenerate at all test scales.
+# A production corpus with planted dups would run τ ≈ 0.9+.
+_SEMDEDUP_TAU = 0.35
+
+
+def _semantic_dedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
+    """DuckDB mirror of semantic_dedup: the SAME adaptive isqrt
+    codebook + nearest-centroid assignment CTEs as _ivf_oracle, then
+    a within-cell self-join keeps only pairs with a LOWER id on one
+    side — the lowest id of each semantic-duplicate neighborhood is
+    the representative, everything else is dropped."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM (
+    SELECT vec_id, v, norm, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS hi,
+         ROUND({dd('a.v', 'b.v')} / (a.norm * b.norm), 9) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+),
+dup AS (
+  SELECT hi, CAST(COUNT(*) AS BIGINT) AS n_dup_lower,
+         MAX(cosine) AS max_sim_lower
+  FROM pairs WHERE cosine >= {tau} GROUP BY hi
+)
+SELECT e.vec_id,
+       CAST(COALESCE(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+       d.max_sim_lower,
+       d.n_dup_lower IS NULL AS kept
+FROM embeddings e LEFT JOIN dup d ON d.hi = e.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "embedding", "semdedup", "beyond-reference"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — the sixth member of the dedup family (exact
+    hash / MinHash / SimHash / n-gram Jaccard / embedding-LSH /
+    semantic): cluster the embedding space with the SAME adaptive
+    isqrt(n) deterministic codebook the IVF index uses
+    (operators/similarity_search.ivf_assign), then compare pairs only
+    WITHIN a cell and drop every vector with a lower-id in-cell
+    neighbor at cosine ≥ τ. Where embedding_near_dup finds
+    near-IDENTICAL vectors (LSH buckets, high-precision), this is the
+    curation-grade SEMANTIC pass: the cell partition is a semantic
+    clustering, so τ can sit far below the near-dup band and the
+    candidate space stays Σ|cell|² ≈ n^1.5 instead of n² — exactly
+    the trick the paper uses to run at web scale. Scale notes +
+    skew/AQE story in the operator docstring."""
+    from ..operators.similarity_search import semantic_dedup_frame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_frame(e, threshold=_SEMDEDUP_TAU, n_centroids=None)
+
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    buck AS (
+      SELECT doc_id, {_SQL_BASE_HASH.format(x='w')} % {_DSIR_BUCKETS} AS b
+      FROM toks
+    ),
+    tgt AS (
+      SELECT b.b, COUNT(*) AS cnt
+      FROM buck b JOIN documents d USING (doc_id)
+      WHERE d.source = '{_DSIR_TARGET}' GROUP BY b.b
+    ),
+    raw AS (SELECT b, COUNT(*) AS cnt FROM buck GROUP BY b),
+    nt AS (
+      SELECT COUNT(*) AS n FROM buck b JOIN documents d USING (doc_id)
+      WHERE d.source = '{_DSIR_TARGET}'
+    ),
+    nr AS (SELECT COUNT(*) AS n FROM buck),
+    lr AS (
+      SELECT r.b,
+             CAST(ROUND((LN((COALESCE(t.cnt, 0) + 1.0) / (nt.n + {_DSIR_BUCKETS}))
+                         - LN((r.cnt + 1.0) / (nr.n + {_DSIR_BUCKETS}))) * 1e6)
+                  AS BIGINT) AS lr_micro
+      FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN nt CROSS JOIN nr
+    ),
+    scored AS (
+      SELECT buck.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_micro,
+             ROUND(SUM(lr.lr_micro) / (COUNT(*) * 1e6), 6) AS avg_logratio
+      FROM buck JOIN lr ON lr.b = buck.b
+      GROUP BY buck.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_micro, avg_logratio,
+           ROW_NUMBER() OVER (ORDER BY dsir_micro DESC, doc_id)
+             <= (COUNT(*) OVER () + 3) // 4 AS selected
+    FROM scored
+    """,
+    tags=("curation", "sampling", "dsir", "beyond-reference"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed-unigram distribution looks like a TARGET domain (here the
+    '{target}' source) versus the raw corpus. Features are hashed
+    n-gram buckets (md5 → mod B, engine-identical); both bucket
+    distributions get Laplace +1 smoothing; the per-doc importance
+    weight is Σ_tokens log(p_target(b)/p_raw(b)) — documents with
+    positive total log-ratio are the ones importance resampling keeps
+    with high probability. This is the principled replacement for the
+    per-source hard caps in dataset_mix_downsample when the target is
+    a DISTRIBUTION, not a quota.
+
+    Parity discipline: per-token log-ratios are INTEGER micro-nats
+    (round before sum — plans/_parity.py rationale), so per-doc sums
+    and the selected flag are engine-exact; only the final avg is a
+    rounded float.
+
+    Scale shape: identical to unigram_lm_quality — one narrow token
+    explode, two FIXED-SIZE (B={buckets}) bucket aggregates that
+    partial-combine map-side, a broadcast of the B-row log-ratio
+    table back onto the token stream, and a per-doc partial agg whose
+    shuffle carries one row per document. The model is B integers —
+    smaller than the vocabularies unigram_lm_quality broadcasts — so
+    the plan holds unchanged at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    buck = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (base_hash(F.col("w")) % _DSIR_BUCKETS).alias("b"),
+    )
+    tgt = (
+        buck.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    raw = buck.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    nt = buck.where(F.col("source") == _DSIR_TARGET).agg(
+        F.count("*").alias("n_t")
+    )
+    nr = buck.agg(F.count("*").alias("n_r"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_t") + F.lit(_DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("r_cnt") + F.lit(1.0))
+                        / (F.col("n_r") + F.lit(_DSIR_BUCKETS))
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    avg = F.col("dsir_micro") / (F.col("n_tokens") * F.lit(1e6))
+    scored = (
+        buck.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_micro",
+            F.round(avg, 6).alias("avg_logratio"),
+        )
+    )
+    # Keep the top quartile by importance weight: rank and corpus size
+    # are both integer-exact, so the selection boundary is
+    # engine-identical (the "resample ∝ exp(weight)" step of DSIR is
+    # sampling; the deterministic contract here is its top-k skeleton).
+    # Global window over one narrow row per DOC — the
+    # length_bucketed_batches shape.
+    wsel = Window.orderBy(F.col("dsir_micro").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_micro",
+        "avg_logratio",
+        (
+            F.row_number().over(wsel) * 4
+            <= F.count("*").over(Window.partitionBy()) + 3
+        ).alias("selected"),
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    target=_DSIR_TARGET, buckets=_DSIR_BUCKETS
+)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.node AS doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.node
+         ) AS rnk
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+       rnk = 1 AS kept
+FROM ranked
+""",
+    tags=("dedup", "clustering", "representative", "beyond-reference"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution: fold the MinHash
+    near-dup pairs into connected components (same fixpoint as
+    near_dup_clusters), then keep the BEST member of each cluster —
+    the longest document (n_chars, ties to the lowest doc_id) —
+    instead of the arbitrary min-id representative. "Which duplicate
+    survives" is a real curation decision: near-dup groups in web
+    corpora are typically one full article plus truncated or
+    boilerplate-wrapped copies, and keep-longest is the standard
+    resolution.
+
+    Scale shape: the pair generation and the label-propagation
+    fixpoint are the near_dup_clusters plan unchanged (narrow
+    (id, label) shuffles, checkpoint-bounded lineage); the new work
+    is one join of the cluster table back to documents on doc_id and
+    one per-cluster rank window over rows that are IN clusters only —
+    a vanishing fraction of the corpus. The oracle reaches the same
+    fixpoint via a recursive CTE."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.select("doc_id", "cluster_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.row_number().over(w) == 1).alias("kept"),
+        )
+    )

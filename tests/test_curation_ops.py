@@ -856,3 +856,176 @@ class TestLengthBucketedBatches:
         global_max = max(n for n, _ in lens)
         naive = global_max * len(lens) - sum(n for n, _ in lens)
         assert sum(v[4] for v in got.values()) <= naive
+
+
+class TestSemanticDedup:
+    def _reference(self, spark, sf_dir, tau):
+        """Pure-Python SemDeDup replica: same deterministic codebook,
+        same left-to-right double dot products (bit-identical to the
+        positional SQL), same 9dp rounding."""
+        import math
+
+        rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+        ids = sorted(vecs)
+        c = max(16, math.isqrt(len(ids)))
+        cents = ids[:c]
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + x * y
+            return s
+
+        norm = {i: math.sqrt(dot(vecs[i], vecs[i])) for i in ids}
+        cell = {}
+        for i in ids:
+            best = max(
+                cents,
+                key=lambda cid: (
+                    round(dot(vecs[i], vecs[cid]) / (norm[i] * norm[cid]), 9),
+                    -cid,
+                ),
+            )
+            cell[i] = best
+        n_dup = {i: 0 for i in ids}
+        max_sim = {}
+        for i in ids:
+            for j in ids:
+                if j >= i or cell[j] != cell[i]:
+                    continue
+                cos = round(dot(vecs[i], vecs[j]) / (norm[i] * norm[j]), 9)
+                if cos >= tau:
+                    n_dup[i] += 1
+                    max_sim[i] = max(max_sim.get(i, cos), cos)
+        return n_dup, max_sim, cell
+
+    def test_matches_python_reference(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import _SEMDEDUP_TAU
+
+        got = {
+            r.vec_id: r
+            for r in all_queries()["semantic_dedup"].fn(spark, sf_dir).collect()
+        }
+        n_dup, max_sim, _ = self._reference(spark, sf_dir, _SEMDEDUP_TAU)
+        assert set(got) == set(n_dup)
+        for i, want in n_dup.items():
+            assert got[i].n_dup_lower == want, i
+            assert got[i].kept == (want == 0), i
+            if want:
+                assert got[i].max_sim_lower == max_sim[i], i
+
+    def test_lowest_id_per_cell_always_kept(self, spark, sf_dir):
+        """The minimum id of every cell has no lower-id neighbor, so it
+        must survive — the deterministic-representative contract."""
+        from multi_crm_cross_sell_spark.plans.datapipe import _SEMDEDUP_TAU
+
+        got = {
+            r.vec_id: r
+            for r in all_queries()["semantic_dedup"].fn(spark, sf_dir).collect()
+        }
+        _, _, cell = self._reference(spark, sf_dir, _SEMDEDUP_TAU)
+        mins = {}
+        for i, c in cell.items():
+            mins[c] = min(mins.get(c, i), i)
+        for rep in mins.values():
+            assert got[rep].kept, rep
+        assert any(not r.kept for r in got.values()), "degenerate: no dups"
+
+
+class TestDsirImportanceWeights:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from multi_crm_cross_sell_spark.operators.dedup import P
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _DSIR_BUCKETS,
+            _DSIR_TARGET,
+        )
+
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+        def bucket(w):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            return (h % P) % _DSIR_BUCKETS
+
+        raw, tgt = Counter(), Counter()
+        doc_buckets = {}
+        for r in rows:
+            bs = [bucket(w) for w in r.text.split(" ")]
+            doc_buckets[r.doc_id] = bs
+            raw.update(bs)
+            if r.source == _DSIR_TARGET:
+                tgt.update(bs)
+        n_r, n_t = sum(raw.values()), sum(tgt.values())
+        lr = {
+            b: round(
+                (
+                    math.log((tgt.get(b, 0) + 1.0) / (n_t + _DSIR_BUCKETS))
+                    - math.log((raw[b] + 1.0) / (n_r + _DSIR_BUCKETS))
+                )
+                * 1e6
+            )
+            for b in raw
+        }
+        want = {
+            d: sum(lr[b] for b in bs) for d, bs in doc_buckets.items()
+        }
+        got = {
+            r.doc_id: r
+            for r in all_queries()["dsir_importance_weights"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert set(got) == set(want)
+        for d, micro in want.items():
+            assert got[d].dsir_micro == micro, d
+            assert got[d].n_tokens == len(doc_buckets[d]), d
+        k = (len(want) + 3) // 4
+        sel_want = set(
+            sorted(want, key=lambda d: (-want[d], d))[:k]
+        )
+        sel_got = {d for d, r in got.items() if r.selected}
+        assert sel_got == sel_want
+
+    def test_target_docs_score_higher_on_average(self, spark, sf_dir):
+        """The importance weight must actually separate the target
+        domain: mean weight of target-source docs above corpus mean."""
+        from multi_crm_cross_sell_spark.plans.datapipe import _DSIR_TARGET
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = (
+            all_queries()["dsir_importance_weights"]
+            .fn(spark, sf_dir)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .collect()
+        )
+        tgt = [r.avg_logratio for r in scored if r.source == _DSIR_TARGET]
+        rest = [r.avg_logratio for r in scored if r.source != _DSIR_TARGET]
+        assert tgt and rest
+        assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+class TestDedupKeepBest:
+    def test_consistent_with_clusters_and_keeps_longest(self, spark, sf_dir):
+        clusters = {
+            r.doc_id: r.cluster_id
+            for r in all_queries()["near_dup_clusters"].fn(spark, sf_dir).collect()
+        }
+        n_chars = {
+            r.doc_id: r.n_chars
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        got = list(all_queries()["dedup_keep_best"].fn(spark, sf_dir).collect())
+        assert {r.doc_id for r in got} == set(clusters)
+        by_cluster = {}
+        for r in got:
+            assert clusters[r.doc_id] == r.cluster_id, r.doc_id
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            kept = [r for r in members if r.kept]
+            assert len(kept) == 1, cid
+            best = min(members, key=lambda r: (-n_chars[r.doc_id], r.doc_id))
+            assert kept[0].doc_id == best.doc_id, cid

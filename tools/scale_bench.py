@@ -76,6 +76,16 @@ QUERIES = [
     "range_join_incidents",
     "document_chunks",
     "bigram_lm_quality",
+    # Round 8: the semantic members of the curation family. The
+    # isometric sign-flip replicas preserve within-replica cosines
+    # exactly and decorrelate cross-replica pairs, so semantic_dedup's
+    # true dup structure scales linearly — the right stress for its
+    # Σ|cell|² ≈ n^1.5 candidate bound. DSIR's bucket tables stay
+    # FIXED-size (B=512) while the token stream grows linearly;
+    # keep-best inherits near_dup_clusters' fixpoint plus one join.
+    "semantic_dedup",
+    "dsir_importance_weights",
+    "dedup_keep_best",
 ]
 
 
