@@ -854,3 +854,218 @@ def semantic_dedup_frame(
         "max_sim_lower",
         F.col("n_dup_lower").isNull().alias("kept"),
     )
+
+
+# --- Product quantization (PQ): 4-bit codes over 8 subspaces — the
+# --- memory-compression member of the ANN family (FAISS IVFPQ shape).
+
+PQ_M = 8  # subspaces (dim 64 -> 8 dims each)
+PQ_KS = 16  # centroids per subspace -> 4-bit codes, 8*4 = 32 bits/vector
+
+
+def pq_codebook(
+    base: DataFrame, dim: int = DIM, n_sub: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """Deterministic PQ codebook: subspace m's centroids are the m-th
+    subvectors of the ``ks`` lowest-id vectors (the IVF "first" mode
+    discipline — oracle-reproducible where a trained codebook is not;
+    a k-means codebook slots into the same frame shape). Returns
+    (m, c, pc_0..pc_{ds-1}) with c dense 0-based per subspace."""
+    from pyspark.sql import Window
+
+    ds = dim // n_sub
+    first = base.orderBy("vec_id").limit(ks)
+    parts = [
+        first.selectExpr(
+            "vec_id",
+            f"CAST({m} AS INT) AS m",
+            *[f"v_{m * ds + j} AS pc_{j}" for j in range(ds)],
+        )
+        for m in range(n_sub)
+    ]
+    cb = parts[0]
+    for p in parts[1:]:
+        cb = cb.unionByName(p)
+    cw = Window.partitionBy("m").orderBy("vec_id")
+    return cb.withColumn("c", F.row_number().over(cw) - 1).drop("vec_id")
+
+
+def _sub_dist_cols(ds: int) -> str:
+    """Positional squared-L2 over scalar subvector columns — same
+    IEEE ops in the same order as the generated oracle string."""
+    return "(" + " + ".join(
+        f"(s_{j} - pc_{j}) * (s_{j} - pc_{j})" for j in range(ds)
+    ) + ")"
+
+
+def pq_encode(
+    base: DataFrame,
+    cb: DataFrame,
+    dim: int = DIM,
+    n_sub: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Encode every vector as one packed bigint of ``n_sub`` 5-bit
+    code fields (4 bits used at ks=16): per subspace, the nearest
+    centroid by squared L2, ties to the lowest centroid index.
+
+    Plan shape: union the narrow (vec_id, m, s_0..s_{ds-1}) subvector
+    stream (n·M rows), broadcast-join the M·ks-row codebook on m, and
+    take the argmin as a PACKED-LONG MIN (dn·32 + c — the ivf_assign
+    argmax trick, map-side combined), then one more map-side-combined
+    sum packs the M codes into a single bigint. Each distance is an
+    8-term scalar-column expression (~80 bytecode bytes — far under
+    the 8 KB JIT cliff that a fused 64-dim form would graze). Bound:
+    dn = round(d²·1e9) < 2^45 for |x| ≤ 100 components, ·32 + c ≪
+    2^63."""
+    ds = dim // n_sub
+    parts = [
+        base.selectExpr(
+            "vec_id",
+            f"CAST({m} AS INT) AS m",
+            *[f"v_{m * ds + j} AS s_{j}" for j in range(ds)],
+        )
+        for m in range(n_sub)
+    ]
+    sub = parts[0]
+    for p in parts[1:]:
+        sub = sub.unionByName(p)
+    pk = F.expr(
+        f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT) * 32 + c"
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", pk.alias("pk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("pk").alias("pk"))
+        .select("vec_id", "m", F.pmod(F.col("pk"), F.lit(32)).alias("code"))
+    )
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(code, CAST(5 * m AS INT))")).alias("pq_code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    n_sub: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composition): IVF cells prune the
+    candidate set to O(nprobe·n/c) per query, then candidates are
+    scored by ASYMMETRIC DISTANCE COMPUTATION — the query's exact
+    subvectors against each candidate's 4-bit PQ codes, i.e. M table
+    lookups per pair instead of a dim-term dot product. At 100 TB the
+    point is MEMORY: a 64-dim float32 vector is 256 bytes, its PQ
+    code is one bigint (32× smaller), so the scored candidate stream
+    ships codes, not vectors, and the per-query distance tables
+    (n_q · M·ks rows of integer nanos) broadcast.
+
+    Deterministic end-to-end: "first"-mode IVF codebook and PQ
+    codebooks, integer-nano distances (round BEFORE summing — the
+    plans/_parity.py discipline), ties to the lowest centroid /
+    vec_id, so the whole index is oracle-reproducible in SQL.
+
+    Output: (query_id, vec_id, adc_nanos, rk) — the top-k candidates
+    per query by approximate distance ASC. ADC is an approximation by
+    construction (codes quantize the data side); recall vs exact
+    brute force is measured in tools/recall_bench.py, not assumed."""
+    from pyspark.sql import Window
+
+    base, cents, assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, "first", dim
+    )
+    ds = dim // n_sub
+    cb = pq_codebook(base, dim, n_sub, ks)
+    codes = pq_encode(base, cb, dim, n_sub, ks)
+
+    # Query probes: nearest nprobe cells, narrow output (the ivf_topk
+    # probe block minus the wide payload — ADC needs only the qdist
+    # tables, built separately below).
+    cent_sim = F.expr(
+        f"ROUND({dot_cols('q', 'c', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('c', dim)}), 9)"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    probes = (
+        base.where(query_pred)
+        .selectExpr("vec_id AS query_id", *rename_exprs("v", "q", dim))
+        .join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "cent_id",
+            F.col("cent_ix").alias("qcell"),
+            cent_sim.alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qcell")
+    )
+    cand = probes.join(
+        assigned.select("vec_id", "cell"),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+
+    # Per-query distance tables: exact query subvectors vs every PQ
+    # centroid — n_q · M · ks rows of (query_id, m, c, dn), broadcast.
+    qparts = [
+        base.where(query_pred).selectExpr(
+            "vec_id AS query_id",
+            f"CAST({m} AS INT) AS m",
+            *[f"v_{m * ds + j} AS s_{j}" for j in range(ds)],
+        )
+        for m in range(n_sub)
+    ]
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionByName(p)
+    qdist = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "c",
+        F.expr(
+            f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT)"
+        ).alias("dn"),
+    )
+
+    # ADC: explode each candidate into its M code fields, look each up
+    # in the broadcast distance table, sum — map-side combined on the
+    # (query_id, vec_id) key.
+    exploded = (
+        cand.join(codes, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.explode(
+                F.array(*[F.lit(m) for m in range(n_sub)])
+            ).alias("m"),
+            "pq_code",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "m",
+            F.expr(
+                "CAST(pmod(shiftright(pq_code, CAST(5 * m AS INT)), 32) AS INT)"
+            ).alias("c"),
+        )
+    )
+    scored = (
+        exploded.join(F.broadcast(qdist), ["query_id", "m", "c"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dn").alias("adc_nanos"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_nanos"), F.asc("vec_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(wq)).where(
+        F.col("rk") <= k
+    )

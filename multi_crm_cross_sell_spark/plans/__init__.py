@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (40 parked / 50 in-window / 90 registered):
+# Round-8 rotation (41 parked / 50 in-window / 91 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -55,7 +55,9 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # dsir_importance_weights, dedup_keep_best) also enter at birth per
 # R1; in exchange three round-7-driver-green §2 rows park per R5(c)
 # (score_explanations, event_funnel_metrics, feedback_asof_labels —
-# each one round only, R2 deadline r10). All parked entries
+# each one round only, R2 deadline r10). A fourth newcomer
+# (ann_pq_topk — IVFPQ) also enters at birth, with ranking_eval_metrics
+# (ML13, green r7) parking in exchange, same R5(c) terms. All parked entries
 # re-verified exact-equality green this round (tools/check.py full
 # sweep — round-close commit).
 _TAIL = (
@@ -111,6 +113,7 @@ _TAIL = (
     "score_explanations",  # ML9; flagship sibling stays in-window
     "event_funnel_metrics",  # A11
     "feedback_asof_labels",  # ML14/P11
+    "ranking_eval_metrics",  # ML13/W9-W10; exchange for ann_pq_topk
 )
 
 

@@ -3835,3 +3835,133 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).alias("kept"),
         )
     )
+
+
+def _pq_oracle(n_sub: int = 8, ks: int = 16, k: int = 5) -> str:
+    """DuckDB mirror of ann_pq_topk: the _ivf_oracle assignment CTEs
+    for candidate pruning, plus the PQ codebook / encode / ADC stages
+    generated positionally (same IEEE ops in the same order — the
+    scalar-column parity discipline)."""
+    dd = sql_dot
+    dim = 64
+    ds = dim // n_sub
+    sub_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, "
+        + ", ".join(f"v[{m * ds + j + 1}] AS s_{j}" for j in range(ds))
+        + " FROM base"
+        for m in range(n_sub)
+    )
+    cb_rows = "\n  UNION ALL ".join(
+        f"SELECT {m} AS m, crn - 1 AS c, "
+        + ", ".join(f"v[{m * ds + j + 1}] AS pc_{j}" for j in range(ds))
+        + " FROM firstks"
+        for m in range(n_sub)
+    )
+    dist = "(" + " + ".join(
+        f"(s.s_{j} - c.pc_{j}) * (s.s_{j} - c.pc_{j})" for j in range(ds)
+    ) + ")"
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS qcell
+  FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+),
+firstks AS (
+  SELECT v, crn FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM base)
+  WHERE crn <= {ks}
+),
+cb AS (
+  {cb_rows}
+),
+subs AS (
+  {sub_rows}
+),
+cdist AS (
+  SELECT s.vec_id, s.m, c.c,
+         CAST(ROUND({dist} * 1000000000) AS BIGINT) AS dn
+  FROM subs s JOIN cb c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dn, c) AS rn
+    FROM cdist) WHERE rn = 1
+),
+qdist AS (
+  SELECT vec_id AS query_id, m, c, dn FROM cdist
+  WHERE vec_id % 100 = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a
+    ON a.cell = p.qcell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         CAST(SUM(qd.dn) AS BIGINT) AS adc_nanos
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN qdist qd ON qd.query_id = cand.query_id
+              AND qd.m = codes.m AND qd.c = codes.code
+  GROUP BY cand.query_id, cand.vec_id
+)
+SELECT query_id, vec_id, adc_nanos, rk FROM (
+  SELECT query_id, vec_id, adc_nanos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_nanos ASC, vec_id
+         ) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "beyond-reference"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the product-quantization member of the ANN family
+    (LSH buckets / IVF cells / PQ codes, the FAISS IVFPQ composition):
+    IVF cells prune candidates to O(nprobe·n/c) per query, PQ encodes
+    every vector as ONE bigint of 8 four-bit subspace codes (32×
+    smaller than the float32 vector — the 100 TB memory story), and
+    candidates are scored by asymmetric distance computation: 8
+    integer-nano table lookups per pair against the query's broadcast
+    distance tables instead of a 64-term dot. Deterministic
+    "first"-mode codebooks and round-before-sum integer distances
+    make the whole index oracle-reproducible; recall vs exact brute
+    force is MEASURED in tools/recall_bench.py (IVFPQ rows), not
+    assumed."""
+    from ..operators.similarity_search import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2)

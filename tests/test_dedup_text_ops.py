@@ -573,3 +573,97 @@ class TestWeightedBanding:
         assert list(out.columns) == ["doc1", "doc2", "jaccard"]
         assert (out["jaccard"] >= 0.5).all()
         assert (out["doc1"] < out["doc2"]).all()
+
+
+class TestPq:
+    def _base_vecs(self, spark, sf_dir):
+        rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        return {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def test_encode_matches_python_reference(self, spark, sf_dir):
+        """PQ codes replicated in pure Python: same deterministic
+        codebook (subvectors of the 16 lowest-id vectors), same
+        integer-nano distances, ties to the lowest centroid."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            PQ_KS,
+            PQ_M,
+            pq_codebook,
+            pq_encode,
+            wide_base,
+        )
+
+        vecs = self._base_vecs(spark, sf_dir)
+        ids = sorted(vecs)
+        ds = 64 // PQ_M
+        cb = {
+            (m, c): vecs[ids[c]][m * ds : (m + 1) * ds]
+            for m in range(PQ_M)
+            for c in range(PQ_KS)
+        }
+
+        def dn(s, pc):
+            d = 0.0
+            for a, b in zip(s, pc):
+                d = d + (a - b) * (a - b)
+            return round(d * 1e9)
+
+        want = {}
+        for i in ids:
+            code = 0
+            for m in range(PQ_M):
+                s = vecs[i][m * ds : (m + 1) * ds]
+                best = min(
+                    range(PQ_KS), key=lambda c: (dn(s, cb[(m, c)]), c)
+                )
+                code += best << (5 * m)
+            want[i] = code
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = wide_base(e, "vec_id", "embedding", 64)
+        got = {
+            r.vec_id: r.pq_code
+            for r in pq_encode(base, pq_codebook(base)).collect()
+        }
+        assert got == want
+
+    def test_topk_ranked_by_adc_and_excludes_self(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import pq_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = pq_topk(e, F.col("vec_id") % 50 == 0, k=3).collect()
+        assert len(out) > 0
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            assert len(rows) <= 3
+            ranks = sorted(r.rk for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            d = [r.adc_nanos for r in sorted(rows, key=lambda r: r.rk)]
+            assert d == sorted(d)  # approximate distance ascending
+            assert all(r.vec_id != q for r in rows)
+
+    def test_codebook_vectors_encode_to_themselves(self, spark, sf_dir):
+        """A vector that IS a codebook source has distance exactly 0 to
+        its own subvector in every subspace, so its code must be its
+        own index — the reconstruction fixpoint of quantization."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            PQ_KS,
+            PQ_M,
+            pq_codebook,
+            pq_encode,
+            wide_base,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = wide_base(e, "vec_id", "embedding", 64)
+        ids = sorted(self._base_vecs(spark, sf_dir))[:PQ_KS]
+        codes = {
+            r.vec_id: r.pq_code
+            for r in pq_encode(base, pq_codebook(base)).collect()
+        }
+        for c, vid in enumerate(ids):
+            want = sum(c << (5 * m) for m in range(PQ_M))
+            assert codes[vid] == want, vid

@@ -110,6 +110,7 @@ def main() -> None:
         adaptive_n_planes,
         ann_topk,
         ivf_topk,
+        pq_topk,
     )
     from multi_crm_cross_sell_spark.session import get_spark
     from multi_crm_cross_sell_spark.sources.bronze import load_table
@@ -215,6 +216,17 @@ def main() -> None:
                         centroids=mode,
                     ),
                 )
+        # IVFPQ: same cell pruning, ADC scoring over 4-bit codes — the
+        # recall delta vs plain IVF at equal nprobe is the price of
+        # the 32x memory compression; measured, not assumed.
+        pq_probes = (2, 4) if label != "sf1x100" else (4,)
+        for nprobe in pq_probes:
+            run(
+                f"ivfpq_first_adaptive_p{nprobe}",
+                lambda nprobe=nprobe: pq_topk(
+                    e, pred, k=K_EVAL, n_centroids=None, nprobe=nprobe
+                ),
+            )
     spark.stop()
 
 

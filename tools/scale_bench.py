@@ -86,6 +86,9 @@ QUERIES = [
     "semantic_dedup",
     "dsir_importance_weights",
     "dedup_keep_best",
+    # Round 8: IVFPQ — candidate pruning scales with the IVF cells it
+    # reuses; the new cost center is the n·M-row encode stream.
+    "ann_pq_topk",
 ]
 
 
