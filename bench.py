@@ -74,6 +74,7 @@ CURATION = [
     "semantic_dedup",
     "dsir_importance_weights",
     "dedup_keep_best",
+    "repeated_span_stats",
 ]
 
 

@@ -826,24 +826,56 @@ def semantic_dedup_frame(
     base, cents, assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, centroids, dim
     )
-    lo = assigned.selectExpr(
+    # LAZY RDD PERSIST before the self-join: the two join sides are
+    # rename-divergent copies of `assigned`, so canonical-plan
+    # matching finds no ReusedExchange and the 100x plan ran the
+    # n·c-row BNLJ argmax assignment TWICE (measured in the round-8
+    # profile). localCheckpoint dedupes every consumer at RDD level
+    # (the column-pruning lesson — cache() would serve cross-run hits
+    # inside bench's min-of-n loop).
+    ck = assigned.localCheckpoint(eager=False)
+    # Norms ONCE PER ROW, not per pair: computed inline the pair
+    # stage re-ran both 64-term norms for every candidate pair —
+    # 128 of 192 float terms per pair were redundant. Alias the norm
+    # AFTER all renames (the constraint-closure rule: rename first,
+    # then compute wide expressions; inputs are non-nullable so no
+    # isnotnull constraint is generated for the alias).
+    hi = ck.selectExpr(
+        "vec_id",
+        "cell",
+        *[f"v_{i}" for i in range(dim)],
+        f"{norm_cols('v', dim)} AS nv",
+    )
+    lo = ck.selectExpr(
         "vec_id AS lo_id", "cell AS lo_cell", *rename_exprs("v", "u", dim)
+    ).selectExpr(
+        "lo_id",
+        "lo_cell",
+        *[f"u_{i}" for i in range(dim)],
+        f"{norm_cols('u', dim)} AS nu",
     )
     cosine = F.expr(
-        f"ROUND({dot_cols('v', 'u', dim)}"
-        f" / ({norm_cols('v', dim)} * {norm_cols('u', dim)}), 9)"
+        f"ROUND({dot_cols('v', 'u', dim)} / (nv * nu), 9)"
     )
-    pairs = assigned.join(
+    pairs = hi.join(
         lo,
         (F.col("cell") == F.col("lo_cell")) & (F.col("lo_id") < F.col("vec_id")),
     ).select("vec_id", cosine.alias("cosine"))
+    # Threshold as CONDITIONAL AGGREGATES, not a where(): a filter on
+    # the derived cosine column would be pushed below the projection
+    # with the whole dot/norm tree INLINED (the round-3 pushdown
+    # bomb), evaluating every pair's cosine twice. Conditional sums
+    # reference the projected column once; the n_dup_lower > 0 gate
+    # above the aggregation is equivalent to the pair filter because
+    # absent groups and zero-count groups both coalesce to 0/kept.
+    hit = F.col("cosine") >= threshold
     dup = (
-        pairs.where(F.col("cosine") >= threshold)
-        .groupBy("vec_id")
+        pairs.groupBy("vec_id")
         .agg(
-            F.count("*").alias("n_dup_lower"),
-            F.max("cosine").alias("max_sim_lower"),
+            F.sum(hit.cast("bigint")).alias("n_dup_lower"),
+            F.max(F.when(hit, F.col("cosine"))).alias("max_sim_lower"),
         )
+        .where(F.col("n_dup_lower") > 0)
     )
     ids = embeddings.select(F.col(id_col).alias("vec_id"))
     return ids.join(dup, "vec_id", "left").select(

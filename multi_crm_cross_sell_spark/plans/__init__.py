@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (41 parked / 50 in-window / 91 registered):
+# Round-8 rotation (42 parked / 50 in-window / 92 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -57,7 +57,10 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # (score_explanations, event_funnel_metrics, feedback_asof_labels —
 # each one round only, R2 deadline r10). A fourth newcomer
 # (ann_pq_topk — IVFPQ) also enters at birth, with ranking_eval_metrics
-# (ML13, green r7) parking in exchange, same R5(c) terms. All parked entries
+# (ML13, green r7) parking in exchange, same R5(c) terms; a fifth
+# (repeated_span_stats — exact-substring spans) likewise, with
+# incremental_watermark_sync (S7/ST2, green r7, streaming tests keep
+# covering it) parking in exchange. All parked entries
 # re-verified exact-equality green this round (tools/check.py full
 # sweep — round-close commit).
 _TAIL = (
@@ -114,6 +117,7 @@ _TAIL = (
     "event_funnel_metrics",  # A11
     "feedback_asof_labels",  # ML14/P11
     "ranking_eval_metrics",  # ML13/W9-W10; exchange for ann_pq_topk
+    "incremental_watermark_sync",  # S7/ST2; exchange for repeated_span_stats
 )
 
 

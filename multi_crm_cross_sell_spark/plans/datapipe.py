@@ -3965,3 +3965,133 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2)
+
+
+_SPAN_K = 5  # anchor-gram width (words) for repeated-span detection
+_SPAN_FLAG_WORDS = 20  # flag docs carrying a span at least this long
+
+
+@register(
+    "repeated_span_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ARRAY_TO_STRING(ws[i:i + {_SPAN_K} - 1], ' ') AS g
+      FROM words, UNNEST(RANGE(1, LEN(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE LEN(ws) >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+      ) WHERE nd >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, isl, COUNT(*) AS n_pos FROM isl GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(n_pos + {_SPAN_K} - 1) AS BIGINT) AS max_span_words,
+             CAST(SUM(n_pos) AS BIGINT) AS n_dup_grams
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.max_span_words, 0) AS BIGINT) AS max_span_words,
+           COALESCE(p.max_span_words, 0) >= {_SPAN_FLAG_WORDS} AS flagged
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    tags=("curation", "dedup", "exact-substring", "beyond-reference"),
+)
+def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the scalable skeleton
+    of exact-substring deduplication (Lee et al. 2022,
+    arXiv:2107.06499: repeated ≥50-token substrings are the single
+    highest-yield dedup signal in web corpora). The suffix array is
+    replaced by fixed-width ANCHOR GRAMS: a position is "repeated"
+    when its {{k}}-word gram also appears in another document, and
+    maximal runs of consecutive repeated positions are folded into
+    SPANS via the gaps-and-islands rewrite (pos − row_number is
+    constant exactly on a consecutive run). A span of g consecutive
+    repeated grams certifies a shared substring of g+k−1 words, so
+    ``max_span_words`` lower-bounds the longest cross-doc substring
+    and ``flagged`` marks docs carrying one ≥ {{flag}} words.
+
+    Scale shape: positional grams are EXPLODE-FIRST lead() windows
+    (the _word_gram_rows discipline — no Generate-pathology); the
+    gram frequency pass partial-combines map-side before its string
+    shuffle (the vocab/decontamination class); the hits join keys on
+    the gram string; islands + spans shuffle only (doc_id, pos) int
+    pairs. Everything is linear in corpus size — the n² suffix-array
+    sort the paper needs a custom sharded build for never appears."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(wnd) for i in range(1, _SPAN_K)
+    ]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", _SPAN_K - 1).over(wnd).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(wnd)).alias("isl"),
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(F.count("*").alias("n_pos"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        (F.max("n_pos") + F.lit(_SPAN_K - 1)).cast("bigint").alias(
+            "max_span_words"
+        ),
+        F.sum("n_pos").cast("bigint").alias("n_dup_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_words", F.lit(0)).cast("bigint").alias(
+                "max_span_words"
+            ),
+            (F.coalesce("max_span_words", F.lit(0)) >= _SPAN_FLAG_WORDS).alias(
+                "flagged"
+            ),
+        )
+    )
+
+
+repeated_span_stats.__doc__ = repeated_span_stats.__doc__.format(
+    k=_SPAN_K, flag=_SPAN_FLAG_WORDS
+)

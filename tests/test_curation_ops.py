@@ -1029,3 +1029,57 @@ class TestDedupKeepBest:
             assert len(kept) == 1, cid
             best = min(members, key=lambda r: (-n_chars[r.doc_id], r.doc_id))
             assert kept[0].doc_id == best.doc_id, cid
+
+
+class TestRepeatedSpanStats:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from collections import Counter
+
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _SPAN_FLAG_WORDS,
+            _SPAN_K,
+        )
+
+        docs = _docs(spark, sf_dir)
+        pos_grams = {}
+        gram_docs = {}
+        for did, text in docs.items():
+            ws = text.split(" ")
+            gs = [
+                (i, " ".join(ws[i : i + _SPAN_K]))
+                for i in range(len(ws) - _SPAN_K + 1)
+            ]
+            pos_grams[did] = gs
+            for _, g in gs:
+                gram_docs.setdefault(g, set()).add(did)
+        want = {}
+        for did, gs in pos_grams.items():
+            hit_pos = sorted(
+                i for i, g in gs if len(gram_docs[g]) >= 2
+            )
+            spans = []
+            for p in hit_pos:
+                if spans and p == spans[-1][1] + 1:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            span_lens = [b - a + 1 for a, b in spans]
+            want[did] = (
+                len(hit_pos),
+                len(spans),
+                (max(span_lens) + _SPAN_K - 1) if span_lens else 0,
+            )
+        got = {
+            r.doc_id: r
+            for r in all_queries()["repeated_span_stats"].fn(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for did, (n_dup, n_spans, max_w) in want.items():
+            r = got[did]
+            assert (r.n_dup_grams, r.n_spans, r.max_span_words) == (
+                n_dup,
+                n_spans,
+                max_w,
+            ), did
+            assert r.flagged == (max_w >= _SPAN_FLAG_WORDS), did
+        assert any(r.n_spans > 0 for r in got.values()), "degenerate"

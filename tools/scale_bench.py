@@ -89,6 +89,9 @@ QUERIES = [
     # Round 8: IVFPQ — candidate pruning scales with the IVF cells it
     # reuses; the new cost center is the n·M-row encode stream.
     "ann_pq_topk",
+    # Round 8: repeated-span detection — the gram-frequency pass is
+    # the vocab/decon class; islands shuffle narrow (doc, pos) pairs.
+    "repeated_span_stats",
 ]
 
 
