@@ -1767,9 +1767,25 @@ def decontamination_broadcast_payload(
     row = bench.agg(
         F.sum(F.length("g")).alias("b"), F.count("*").alias("n")
     ).collect()[0]
+    # Mirror the query's sizing rule (upper bound on occurrences, not
+    # the distinct count) so the reported bitmap bytes are the bytes
+    # the bloom variant actually broadcasts.
+    n_upper = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
     return {
         "exact_broadcast_bytes": int(row.b or 0),
-        "bloom_broadcast_bytes": bloom_m_bits(int(row.n)) // 8,
+        "bloom_broadcast_bytes": bloom_m_bits(int(n_upper or 1)) // 8,
     }
 
 
@@ -1922,26 +1938,48 @@ def benchmark_decontamination_bloom(
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _word_gram_rows(docs, _DECON_N)
-    # Lazy RDD persist: the bench gram set has THREE consumers (the
-    # sizing count, the bloom build, the exact verify join) and
-    # without it each one re-ran the bench-side scan + gram explode +
-    # distinct shuffle — the benchmark-side work tripled for a frame
-    # that is small and static by definition. localCheckpoint rather
-    # than cache(): cache matches by canonical plan and would serve
-    # CROSS-RUN hits inside the bench's min-of-n loop, understating
-    # the real per-run wall.
-    bench = (
+    # Lazy RDD persist on the RAW bench gram stream: it feeds both the
+    # bloom build and the verify join's distinct, and without it each
+    # consumer re-ran the bench-side scan + gram explode (the
+    # column-pruning lesson). The bloom build takes the stream
+    # UN-deduplicated — bit_or is idempotent, duplicates re-set the
+    # same bits — so the distinct shuffle runs once, on the verify
+    # side only, where it keeps the broadcast payload minimal.
+    # localCheckpoint rather than cache(): cache matches by canonical
+    # plan and would serve CROSS-RUN hits inside the bench's min-of-n
+    # loop, understating the real per-run wall.
+    bench_raw = (
         grams.where(F.col("doc_id") % _DECON_MOD == 0)
         .select("g")
-        .distinct()
         .localCheckpoint(eager=False)
     )
-    # Size the bitmap from the bench-set cardinality (one count job —
-    # bench is the small, static side by definition), then build the
-    # words distributively.
-    n_bench = bench.count()
-    m_bits = bloom_m_bits(n_bench)
-    words = build_bloom_words(bench, "g", m_bits, BLOOM_K)
+    bench = bench_raw.distinct()
+    # Size the bitmap from an UPPER BOUND on the bench-set cardinality:
+    # total bench gram occurrences, computed as one narrow agg over the
+    # bench DOCS (size(split) arithmetic — no window, no explode, no
+    # distinct shuffle). A distinct count would be exact but must
+    # materialize the whole bench gram pipeline first (measured ~0.3s
+    # of the query at sf0.1); the bound oversizes the bitmap by at most
+    # the gram-multiplicity factor (≤2× in practice), which only
+    # LOWERS the false-positive rate, and the power-of-two rounding in
+    # bloom_m_bits usually lands on the same m anyway. At 100 TB this
+    # is also the right shape: word-count arithmetic partial-combines
+    # map-side, a distinct-gram count shuffles gram strings.
+    n_upper = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
+    m_bits = bloom_m_bits(int(n_upper or 1))
+    words = build_bloom_words(bench_raw, "g", m_bits, BLOOM_K)
     train = grams.where(F.col("doc_id") % _DECON_MOD != 0)
     survivors = bloom_prune(train, "g", words, m_bits, BLOOM_K)
     hits = (
@@ -3694,23 +3732,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("w"),
     ).select(
         "doc_id",
-        "source",
         (base_hash(F.col("w")) % _DSIR_BUCKETS).alias("b"),
+        (F.col("source") == _DSIR_TARGET).alias("is_t"),
     )
-    tgt = (
-        buck.where(F.col("source") == _DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.count("*").alias("t_cnt"))
+    # buck (explode + md5 per token) feeds the bucket statistics AND
+    # the per-doc scoring join; a lazy localCheckpoint keeps the hash
+    # pipeline single-pass (column pruning would otherwise specialize
+    # the copies — round-7 lesson). Target/raw counts fold into ONE
+    # fixed-B aggregate; the corpus totals nt/nr are derived from the
+    # B-row frame, not re-scanned (was 4 token passes, now 1 —
+    # measured 1.33s -> ~0.6s at sf0.1).
+    buck = buck.localCheckpoint(eager=False)
+    stats = buck.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.count(F.when(F.col("is_t"), 1)).alias("t_cnt"),
     )
-    raw = buck.groupBy("b").agg(F.count("*").alias("r_cnt"))
-    nt = buck.where(F.col("source") == _DSIR_TARGET).agg(
-        F.count("*").alias("n_t")
+    totals = stats.agg(
+        F.sum("r_cnt").alias("n_r"), F.sum("t_cnt").alias("n_t")
     )
-    nr = buck.agg(F.count("*").alias("n_r"))
     lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
+        stats.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(
@@ -4053,10 +4094,17 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_last").isNotNull())
         .select("doc_id", "pos", "g")
     )
+    # grams feeds BOTH the dup aggregate and the hits join; column
+    # pruning specializes the two copies (round-7 lesson) so without a
+    # lazy localCheckpoint the posexplode+window pipeline runs twice.
+    # Cross-doc duplication is min(doc_id) != max(doc_id) — exactly
+    # COUNT(DISTINCT doc_id) >= 2 but a plain agg instead of the
+    # two-phase distinct expand (measured 1.39s -> 1.05s at sf0.1).
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("g")
     )
     hits = grams.join(dup, "g").select("doc_id", "pos")
