@@ -75,6 +75,7 @@ CURATION = [
     "dsir_importance_weights",
     "dedup_keep_best",
     "repeated_span_stats",
+    "repeated_span_removal",
 ]
 
 

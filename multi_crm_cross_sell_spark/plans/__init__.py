@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (42 parked / 50 in-window / 92 registered):
+# Round-8 rotation (43 parked / 50 in-window / 93 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -60,7 +60,11 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # (ML13, green r7) parking in exchange, same R5(c) terms; a fifth
 # (repeated_span_stats — exact-substring spans) likewise, with
 # incremental_watermark_sync (S7/ST2, green r7, streaming tests keep
-# covering it) parking in exchange. All parked entries
+# covering it) parking in exchange. A sixth newcomer
+# (repeated_span_removal — exact-substring span REMOVAL, the output
+# half of the Lee et al. pipeline) enters at birth per R1, with
+# event_sessionization parking per R5(a) — its ST5 coverage keeps an
+# in-window sibling (event_tumbling_windows). All parked entries
 # re-verified exact-equality green this round (tools/check.py full
 # sweep — round-close commit).
 _TAIL = (
@@ -118,6 +122,8 @@ _TAIL = (
     "feedback_asof_labels",  # ML14/P11
     "ranking_eval_metrics",  # ML13/W9-W10; exchange for ann_pq_topk
     "incremental_watermark_sync",  # S7/ST2; exchange for repeated_span_stats
+    "event_sessionization",  # ST5 via event_tumbling_windows; exchange
+    #   for repeated_span_removal
 )
 
 

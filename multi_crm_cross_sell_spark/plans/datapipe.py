@@ -4160,3 +4160,167 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 repeated_span_stats.__doc__ = repeated_span_stats.__doc__.format(
     k=_SPAN_K, flag=_SPAN_FLAG_WORDS
 )
+
+
+@register(
+    "repeated_span_removal",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM words, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ARRAY_TO_STRING(ws[i:i + {_SPAN_K} - 1], ' ') AS g
+      FROM words, UNNEST(RANGE(1, LEN(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE LEN(ws) >= {_SPAN_K}
+    ),
+    marks AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS cnt
+        FROM grams
+      ) WHERE cnt >= 2 AND rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, isl
+    ),
+    cover AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, UNNEST(RANGE(s, e + {_SPAN_K})) AS pos FROM spans
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w FROM toks t
+      ANTI JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             STRING_AGG(w, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept_words
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+           CAST(LEN(STRING_SPLIT(d.text, ' '))
+                - COALESCE(a.n_kept_words, 0) AS BIGINT)
+             AS n_removed_words
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("curation", "dedup", "exact-substring", "beyond-reference"),
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication with SPAN REMOVAL — the output
+    half of Lee et al. 2022 (arXiv:2107.06499) that
+    :func:`repeated_span_stats` only reports on: every duplicated
+    {k}-word anchor gram keeps its CANONICAL first occurrence
+    (lowest doc_id, then lowest position) and all other occurrences
+    mark their covered words for removal; maximal runs of marked
+    positions fold into spans (gaps-and-islands) and the cleaned text
+    is reassembled from the surviving words. Unlike doc-level dedup,
+    this removes boilerplate shared by otherwise-distinct documents
+    (the paper's motivating case) while every span's first occurrence
+    survives somewhere in the corpus.
+
+    Determinism: the canonical occurrence is an integer-ordered
+    row_number over (doc_id, pos) — no float, no tie — so the kept
+    word set and the reassembled strings are engine-exact.
+
+    Scale shape: one gram window pass (the _word_gram_rows
+    discipline), ONE exchange on the gram string for the
+    rank/multiplicity window (the same cost class as the dedup
+    family's gram groupBys — rn and cnt share the exchange and sort),
+    islands/coverage shuffle narrow (doc_id, pos) int pairs, the
+    anti-join prunes the token stream, and the order-preserving
+    re-aggregation rides collect_list(struct(pos, w)) + array_sort —
+    per-doc state only, the document_token_ids shape. Linear in
+    corpus size; no suffix array, no all-pairs stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, _SPAN_K)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", _SPAN_K - 1).over(wnd).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    # rn (canonical-first rank) and cnt (occurrence multiplicity)
+    # share one exchange+sort on g: the count's unbounded frame is
+    # order-insensitive, so Catalyst plans both window functions over
+    # the same sorted partition.
+    wg = Window.partitionBy("g").orderBy("doc_id", "pos")
+    marks = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.row_number().over(wg).alias("rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("cnt"),
+        )
+        .where((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", "pos")
+    )
+    isl = marks.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(wnd)).alias("isl"),
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    # Adjacent islands' coverages can overlap (coverage extends k-1
+    # words past the last anchor), so positions dedup before counting.
+    cover = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("e") + F.lit(_SPAN_K - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(cover, ["doc_id", "pos"], "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+        lambda x: x["w"],
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", ordered).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept_words"),
+    )
+    n_words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.select("doc_id", n_words.alias("_n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_words", F.lit(0)).cast("bigint").alias(
+                "n_kept_words"
+            ),
+            (F.col("_n_words") - F.coalesce("n_kept_words", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_words"),
+        )
+    )
+
+
+repeated_span_removal.__doc__ = repeated_span_removal.__doc__.format(
+    k=_SPAN_K
+)

@@ -1083,3 +1083,66 @@ class TestRepeatedSpanStats:
             ), did
             assert r.flagged == (max_w >= _SPAN_FLAG_WORDS), did
         assert any(r.n_spans > 0 for r in got.values()), "degenerate"
+
+
+class TestRepeatedSpanRemoval:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import _SPAN_K
+
+        docs = _docs(spark, sf_dir)
+        # Canonical-first marking: every occurrence of a gram except
+        # the (min doc_id, min pos) one marks its K covered positions.
+        occ: dict[str, list[tuple[int, int]]] = {}
+        words = {}
+        for did in sorted(docs):
+            ws = docs[did].split(" ")
+            words[did] = ws
+            for i in range(len(ws) - _SPAN_K + 1):
+                occ.setdefault(" ".join(ws[i : i + _SPAN_K]), []).append(
+                    (did, i)
+                )
+        covered: dict[int, set[int]] = {did: set() for did in docs}
+        for g, places in occ.items():
+            if len(places) < 2:
+                continue
+            for did, p in sorted(places)[1:]:
+                covered[did].update(range(p, p + _SPAN_K))
+        want = {}
+        for did, ws in words.items():
+            kept = [w for i, w in enumerate(ws) if i not in covered[did]]
+            want[did] = (" ".join(kept), len(kept), len(ws) - len(kept))
+        got = {
+            r.doc_id: r
+            for r in all_queries()["repeated_span_removal"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert set(got) == set(want)
+        for did, (clean, n_kept, n_rm) in want.items():
+            r = got[did]
+            assert (r.clean_text, r.n_kept_words, r.n_removed_words) == (
+                clean,
+                n_kept,
+                n_rm,
+            ), did
+        assert any(r.n_removed_words > 0 for r in got.values()), "degenerate"
+        # the canonical first occurrence of every duplicated gram
+        # survives: each dup gram must still appear somewhere
+        kept_grams = set()
+        for r in got.values():
+            ws = r.clean_text.split(" ") if r.clean_text else []
+            for i in range(len(ws) - _SPAN_K + 1):
+                kept_grams.add(" ".join(ws[i : i + _SPAN_K]))
+        dup_grams = {g for g, p in occ.items() if len(p) >= 2}
+        # spans removed mid-doc can re-join distant words, so the
+        # cleaned corpus may contain NEW grams — but every duplicated
+        # gram whose canonical occurrence sits in an UNTOUCHED region
+        # must survive verbatim.
+        for g, places in occ.items():
+            if len(places) < 2:
+                continue
+            did, p = sorted(places)[0]
+            if all(
+                q not in covered[did] for q in range(p, p + _SPAN_K)
+            ):
+                assert g in kept_grams, g

@@ -92,6 +92,11 @@ QUERIES = [
     # Round 8: repeated-span detection — the gram-frequency pass is
     # the vocab/decon class; islands shuffle narrow (doc, pos) pairs.
     "repeated_span_stats",
+    # Round 8: the iterative integer-PageRank showcase — the
+    # token-disjoint replicas grow the co-occurrence graph linearly
+    # (disjoint components per replica), stressing the per-iteration
+    # rank-vector join + dst aggregate exactly as vocab growth would.
+    "textrank_keywords",
 ]
 
 
