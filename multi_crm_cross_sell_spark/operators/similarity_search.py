@@ -606,6 +606,75 @@ def embedding_near_dup_pairs(
     )
 
 
+def _half_up_exact(x):
+    """HALF_UP (round half away from zero) with EXACT tie detection —
+    numpy's round() is banker's and the naive floor(|x|+0.5) misrounds
+    values within one ulp below a .5 boundary (the +0.5 add rounds up
+    to the boundary first; at |x| ≈ 1e9 that is a ~1.2e-7 window, ~20
+    expected hits per 89M values). For |x| < 2^52, x − floor(x) is
+    computed exactly in IEEE, so comparing the exact fraction against
+    0.5 reproduces Java BigDecimal HALF_UP / DuckDB ROUND bit-for-bit
+    (the shortest-decimal-repr subtlety cannot flip a side: a repr
+    that round-trips to x lies on x's side of every representable
+    boundary)."""
+    import numpy as np
+
+    pos = np.floor(x)
+    neg = np.ceil(x)
+    return np.where(x >= 0.0, pos + (x - pos >= 0.5), neg - (neg - x >= 0.5))
+
+
+def _assign_cells_arrow(
+    base: DataFrame, cents: DataFrame, dim: int
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched numpy pass —
+    bit-identical to the packed-long BNLJ argmax (same left-to-right
+    accumulation order per dot/norm, same HALF_UP nano rounding, same
+    packed tie-break), ~15× faster at the 100× decade: the BNLJ
+    materializes n·c UnsafeRows of 2·dim doubles (≈90 GB at 200k×447)
+    and is memory-bandwidth-bound, while this path streams each
+    vector batch ONCE and does the n·c·dim flops in vectorized C.
+    The centroid matrix rides the task closure (c·dim doubles — the
+    same payload the BNLJ broadcasts). Returns (vec_id, cell)."""
+    import numpy as np
+
+    crows = sorted(cents.collect(), key=lambda r: r["cent_ix"])
+    C = np.array(
+        [[r[f"c_{i}"] for i in range(dim)] for r in crows], dtype=np.float64
+    )
+    cix = np.array([r["cent_ix"] for r in crows], dtype=np.int64)
+    # Centroid norms once, in the SAME i-ascending accumulation order
+    # as norm_cols (per-step IEEE rounding identical ⇒ identical
+    # doubles; sqrt is correctly rounded).
+    cacc = np.zeros(len(crows))
+    for i in range(dim):
+        cacc += C[:, i] * C[:, i]
+    cnorm = np.sqrt(cacc)
+
+    vcols = [f"v_{i}" for i in range(dim)]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = pdf[vcols].to_numpy(dtype=np.float64)
+            m = V.shape[0]
+            accd = np.zeros((m, C.shape[0]))
+            accn = np.zeros(m)
+            for i in range(dim):
+                accd += V[:, i : i + 1] * C[None, :, i]
+                accn += V[:, i] * V[:, i]
+            sim = accd / (np.sqrt(accn)[:, None] * cnorm[None, :])
+            nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+            pk = (nanos + 1_000_000_000) * 2_097_152 + (1_048_576 - cix)[
+                None, :
+            ]
+            cell = 1_048_576 - (pk.max(axis=1) % 2_097_152)
+            yield pdf[["vec_id"]].assign(cell=cell)
+
+    return base.mapInPandas(fn, schema="vec_id bigint, cell bigint")
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int | None = 16,
@@ -613,6 +682,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroids: str = "first",
     dim: int = DIM,
+    impl: str = "arrow",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF index-build: nearest-centroid cell assignment for
     every vector. Returns ``(base, cents, assigned)`` where ``base``
@@ -695,28 +765,43 @@ def ivf_assign(
     #   21 bits breaks ties toward the LOWEST centroid id. Bound:
     #   (1e9 + 1e9) * 2^21 = 4.2e15 << 2^63; the tie-break field is
     #   the dense cent_ix (0..c-1 < 2^20 for any c ≤ 2^20 centroids).
-    raw = (
-        f"{dot_cols('v', 'c', dim)}"
-        f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
-    )
-    packed = F.expr(
-        f"(CAST(ROUND(({raw}) * 1000000000) AS BIGINT) + 1000000000L)"
-        f" * 2097152L + (1048576L - cent_ix)"
-    )
-    pairs = base.join(F.broadcast(cents), how="cross").select(
-        "vec_id", packed.alias("pk")
-    )
-    cells = (
-        pairs.groupBy("vec_id")
-        .agg(F.max("pk").alias("pk"))
-        .select(
-            "vec_id",
-            (
-                F.lit(1048576).cast("bigint")
-                - F.pmod(F.col("pk"), F.lit(2097152))
-            ).alias("cell"),
+    # Two bit-identical implementations (same packed key, same HALF_UP
+    # nanos, same accumulation order — equality pinned by a unit test):
+    # - "arrow" (default): one Arrow-batched numpy pass per partition,
+    #   centroid matrix in the task closure. The BNLJ materializes
+    #   n·c UnsafeRows of 2·dim doubles (~90 GB at the 100× decade)
+    #   and is memory-bandwidth-bound — measured 72.6s vs ~4s for the
+    #   same 89M-pair assignment; this is the "built-ins can't express
+    #   it efficiently" case the Pandas-UDF escape hatch exists for
+    #   (the op is a dense matmul).
+    # - "bnlj": the JVM packed-long argmax below, kept measurable for
+    #   A/B and for environments where the Python worker path is
+    #   unavailable.
+    if impl == "arrow":
+        cells = _assign_cells_arrow(base, cents, dim)
+    else:
+        raw = (
+            f"{dot_cols('v', 'c', dim)}"
+            f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
         )
-    )
+        packed = F.expr(
+            f"(CAST(ROUND(({raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+            f" * 2097152L + (1048576L - cent_ix)"
+        )
+        pairs = base.join(F.broadcast(cents), how="cross").select(
+            "vec_id", packed.alias("pk")
+        )
+        cells = (
+            pairs.groupBy("vec_id")
+            .agg(F.max("pk").alias("pk"))
+            .select(
+                "vec_id",
+                (
+                    F.lit(1048576).cast("bigint")
+                    - F.pmod(F.col("pk"), F.lit(2097152))
+                ).alias("cell"),
+            )
+        )
     assigned = base.join(cells, "vec_id")
     return base, cents, assigned
 

@@ -177,3 +177,29 @@ def test_wide_base_has_no_wide_alias(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     cols = wide_base(e).columns
     assert cols == ["vec_id"] + [f"v_{i}" for i in range(DIM)]
+
+
+def test_ivf_assign_arrow_matches_bnlj(spark):
+    """The Arrow-batched numpy assignment must be BIT-IDENTICAL to the
+    JVM packed-long BNLJ argmax: same left-to-right accumulation order
+    per dot/norm, same exact-HALF_UP nano rounding (numpy's banker's
+    round and the naive floor(|x|+0.5) both misround near .5
+    boundaries), same packed tie-break. A single differing cell means
+    one of those invariants broke."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        ivf_assign,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, _, a = ivf_assign(e, None, impl="arrow")
+    _, _, b = ivf_assign(e, None, impl="bnlj")
+    mism = (
+        a.select("vec_id", "cell")
+        .join(
+            b.select("vec_id", b.cell.alias("cell_b")),
+            "vec_id",
+        )
+        .where("cell != cell_b")
+        .count()
+    )
+    assert mism == 0
