@@ -2562,14 +2562,24 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
     wnd = Window.partitionBy("doc_id").orderBy("pos")
+    # pairs feeds both the observed-bigram aggregate and the scoring
+    # join; uni feeds both its broadcast and the |V| count. Lazy
+    # checkpoints keep each pipeline single-pass (column pruning would
+    # otherwise specialize the copies and re-run the explode+window
+    # per consumer — the round-7 lesson).
     pairs = (
         toks.select("doc_id", F.lag("w").over(wnd).alias("prev"), "w")
         .where(F.col("prev").isNotNull())
+        .localCheckpoint(eager=False)
     )
     # c(prev) counts every occurrence of the word anywhere (the
     # standard add-one denominator), not only occurrences with a
     # successor — the oracle aggregates over toks the same way.
-    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
     vsz = uni.agg(F.count("*").alias("vsz"))
     bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
     # uni and the 1-row |V| are vocabulary-sized → broadcast hints.
