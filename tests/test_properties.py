@@ -107,3 +107,75 @@ class TestWordGramRowsProperties:
                     " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
                 )
                 assert got.get(i, Counter()) == want, (n, i)
+
+
+class TestHalfUpExactProperties:
+    @given(
+        st.floats(
+            min_value=-2.1e9,
+            max_value=2.1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        )
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_matches_decimal_half_up(self, x):
+        """_half_up_exact must agree with ROUND_HALF_UP applied to the
+        EXACT binary value of the double — the semantics Spark's
+        BigDecimal ROUND and DuckDB's std::round share (see the
+        ivf_assign docstring for why the shortest-repr detail cannot
+        diverge)."""
+        import decimal
+
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            _half_up_exact,
+        )
+
+        got = float(_half_up_exact(np.array([x]))[0])
+        want = float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert got == want, (x, got, want)
+
+    def test_adversarial_near_half_boundary(self):
+        """Values within one ulp of a .5 boundary — the exact window
+        where floor(|x|+0.5) and numpy's banker's round both misround."""
+        import decimal
+
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            _half_up_exact,
+        )
+
+        cases = []
+        for k in (2.0, 1e6, 1e9):
+            half = k + 0.5
+            cases += [
+                np.nextafter(half, -np.inf),
+                half,
+                np.nextafter(half, np.inf),
+                -np.nextafter(half, -np.inf),
+                -half,
+                -np.nextafter(half, np.inf),
+            ]
+        arr = np.array(cases, dtype=np.float64)
+        got = _half_up_exact(arr)
+        for x, g in zip(cases, got):
+            want = float(
+                decimal.Decimal(float(x)).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            assert float(g) == want, (x, float(g), want)
+        # and the naive form really does misround the case we guard:
+        # 0.5 - 2^-54 + 0.5 rounds UP to exactly 1.0 in IEEE (the sum
+        # 1 - 2^-54 is not representable at ulp(1) = 2^-52), so
+        # floor(|x| + 0.5) says 1 where HALF_UP says 0.
+        x = np.nextafter(0.5, -np.inf)
+        assert np.floor(abs(x) + 0.5) == 1.0
+        assert float(_half_up_exact(np.array([x]))[0]) == 0.0
