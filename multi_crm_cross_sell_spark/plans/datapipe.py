@@ -2857,15 +2857,19 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("r"),
         ).unionByName(no_in)
-        # Checkpoint every FIFTH iteration (and the last): lineage
+        # Checkpoint every FIFTH iteration, EXCEPT the last: lineage
         # stays bounded at five join+agg levels — still a constant-
         # size guarantee — while the eager materialization barrier
         # (one full job submit/schedule round per checkpoint, the
         # dominant cost of this query on a vocabulary-sized graph:
         # ~0.25s x 10 at sf0.1 when taken every iteration) is paid
-        # only twice. Integer fixpoint, so results are bit-identical
-        # however the iterations are batched.
-        if it % 5 == 4 or it == _TEXTRANK_ITERS - 1:
+        # only ONCE: the final five iterations ride into the output
+        # action itself (single consumer, same depth-5 plan bound;
+        # a trailing eager checkpoint only added a redundant
+        # materialization job — measured 3.0s -> 2.3s at sf0.1).
+        # Integer fixpoint, so results are bit-identical however the
+        # iterations are batched.
+        if it % 5 == 4 and it < _TEXTRANK_ITERS - 1:
             pr = pr.localCheckpoint(eager=True)
     w_rank = Window.orderBy(F.col("r").desc(), F.col("node"))
     return (
