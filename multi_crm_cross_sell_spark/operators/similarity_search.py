@@ -625,7 +625,7 @@ def _half_up_exact(x):
 
 
 def _assign_cells_arrow(
-    base: DataFrame, cents: DataFrame, dim: int
+    base: DataFrame, cents: DataFrame, dim: int, cblock: int = 1024
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy pass —
     bit-identical to the packed-long BNLJ argmax (same left-to-right
@@ -652,6 +652,15 @@ def _assign_cells_arrow(
     cnorm = np.sqrt(cacc)
 
     vcols = [f"v_{i}" for i in range(dim)]
+    # Centroid CHUNKING bounds the (batch × centroids) temporaries:
+    # with c = isqrt(n) at web scale (n = 1e9 ⇒ c ≈ 32k) an unchunked
+    # 10k-row batch would allocate 10k × 32k float64 ≈ 2.5 GB per
+    # temp. Blocks of ≤1024 centroids keep every temp ≤ ~80 MB and a
+    # running elementwise max over the PACKED keys is associative, so
+    # the winner is identical however the blocks are cut. The centroid
+    # matrix itself (c·dim doubles, 16 MB at c = 32k) rides the task
+    # binary, which TorrentBroadcast ships once per stage, not per
+    # task.
 
     def fn(batches):
         for pdf in batches:
@@ -659,17 +668,24 @@ def _assign_cells_arrow(
                 continue
             V = pdf[vcols].to_numpy(dtype=np.float64)
             m = V.shape[0]
-            accd = np.zeros((m, C.shape[0]))
             accn = np.zeros(m)
             for i in range(dim):
-                accd += V[:, i : i + 1] * C[None, :, i]
                 accn += V[:, i] * V[:, i]
-            sim = accd / (np.sqrt(accn)[:, None] * cnorm[None, :])
-            nanos = _half_up_exact(sim * 1e9).astype(np.int64)
-            pk = (nanos + 1_000_000_000) * 2_097_152 + (1_048_576 - cix)[
-                None, :
-            ]
-            cell = 1_048_576 - (pk.max(axis=1) % 2_097_152)
+            vnorm = np.sqrt(accn)[:, None]
+            best = None
+            for s in range(0, C.shape[0], cblock):
+                Cb = C[s : s + cblock]
+                accd = np.zeros((m, Cb.shape[0]))
+                for i in range(dim):
+                    accd += V[:, i : i + 1] * Cb[None, :, i]
+                sim = accd / (vnorm * cnorm[None, s : s + cblock])
+                nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+                pk = (nanos + 1_000_000_000) * 2_097_152 + (
+                    1_048_576 - cix[s : s + cblock]
+                )[None, :]
+                bb = pk.max(axis=1)
+                best = bb if best is None else np.maximum(best, bb)
+            cell = 1_048_576 - (best % 2_097_152)
             yield pdf[["vec_id"]].assign(cell=cell)
 
     return base.mapInPandas(fn, schema="vec_id bigint, cell bigint")

@@ -203,3 +203,28 @@ def test_ivf_assign_arrow_matches_bnlj(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_ivf_assign_arrow_chunking_is_winner_invariant(spark):
+    """Centroid chunking takes a running max over the packed keys —
+    associative, so the winner must not depend on where blocks are
+    cut. A tiny block size forces multiple blocks at test scale
+    (c is far below the production default of 1024)."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        _assign_cells_arrow,
+        ivf_assign,
+        wide_base,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base, cents, _ = ivf_assign(e, None, impl="bnlj")
+    chunked = _assign_cells_arrow(base, cents, 64, cblock=7)
+    whole = _assign_cells_arrow(base, cents, 64)
+    mism = (
+        chunked.join(
+            whole.select("vec_id", whole.cell.alias("cell_w")), "vec_id"
+        )
+        .where("cell != cell_w")
+        .count()
+    )
+    assert mism == 0
