@@ -208,9 +208,16 @@ def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
     topk = cust.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") <= 20)
-    topn = topk.join(
-        F.broadcast(n), topk.c_nationkey == n.n_nationkey
-    ).select(topk["*"], n["n_name"], n["n_regionkey"])
+    # Lazy RDD persist before the self-join: the two pair sides are
+    # rename-divergent copies of topn, so canonical-plan matching finds
+    # no ReusedExchange and the activity aggregate + rank window +
+    # nation join ran twice (the column-pruning lesson). topn is the
+    # CAPPED frame (~orgs·20 rows), so the checkpoint is tiny.
+    topn = (
+        topk.join(F.broadcast(n), topk.c_nationkey == n.n_nationkey)
+        .select(topk["*"], n["n_name"], n["n_regionkey"])
+        .localCheckpoint(eager=False)
+    )
 
     a, b = topn.alias("a"), topn.alias("b")
     ac, bc = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
