@@ -116,8 +116,12 @@ def _guarded_unit_sum(c: Column, u: int) -> Column:
     exactly n for positives AND negatives. The oracle keeps ROUND —
     identical integers either way."""
     thr = (2.0**63) * (1.0 - 2.0**-50) / u
+    # isnan is trapped EXPLICITLY: abs(NaN) >= thr is false, and
+    # (long)Math.floor(NaN) is silently 0 — where the old ROUND path
+    # threw from BigDecimal.valueOf(NaN). NaN violates the dsum
+    # contract (fixed-point-valued column), so it must stay loud.
     row = F.when(
-        F.abs(c) >= F.lit(thr),
+        (F.abs(c) >= F.lit(thr)) | F.isnan(c),
         F.raise_error(F.lit(_OVERFLOW_MSG)).cast("bigint"),
     ).otherwise(F.floor(c * u + F.lit(0.5)))
     s = F.try_sum(row)

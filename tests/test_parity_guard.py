@@ -106,3 +106,17 @@ def test_single_row_cast_saturation_raises_loudly(spark, ansi):
     with _with_ansi(spark, ansi):
         with pytest.raises(Exception, match="long-units overflow"):
             df.agg(dsum("x", "s")).collect()
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_nan_input_raises_loudly(spark, ansi):
+    """NaN violates the dsum contract (fixed-point-valued column) and
+    must stay LOUD: abs(NaN) >= thr is false, and the floor-based
+    units extraction would otherwise turn NaN into a silent 0 where
+    the old ROUND path threw from BigDecimal.valueOf(NaN)."""
+    df = spark.range(2).select(
+        F.when(F.col("id") == 0, float("nan")).otherwise(1.5).alias("x")
+    )
+    with _with_ansi(spark, ansi):
+        with pytest.raises(Exception, match="long-units overflow"):
+            df.agg(dsum("x", "s")).collect()
