@@ -224,7 +224,14 @@ def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spend1g = F.greatest(F.coalesce(ac("total_spend"), F.lit(1.0)), F.lit(1.0))
     spend2g = F.greatest(F.coalesce(bc("total_spend"), F.lit(1.0)), F.lit(1.0))
-    pairs = a.join(b, ac("c_nationkey") < bc("c_nationkey")).select(
+    # Explicit broadcast: the checkpointed frame carries no size
+    # stats, so the planner would otherwise fall back to a
+    # CartesianProduct for this non-equi join (caught by
+    # tools/plan_audit.py). Broadcasting b is free here — it reads
+    # the SAME persisted RDD, so nothing recomputes (the round-3
+    # "broadcast recomputes the probe side" caveat applies only to
+    # un-persisted subplans).
+    pairs = a.join(F.broadcast(b), ac("c_nationkey") < bc("c_nationkey")).select(
         ac("c_custkey").alias("account1_id"),
         bc("c_custkey").alias("account2_id"),
         ac("c_name").alias("account1_name"),
