@@ -14,11 +14,21 @@ been burned by (see the verify skill's lesson list and SCALE.md):
       rounds means a ReusedExchange or checkpoint regression)
 
 Usage:
-    python tools/plan_audit.py [sf_dir] [query ...]
+    python tools/plan_audit.py [--run] [sf_dir] [query ...]
 Prints one line per query (exchanges, scans, flags) and a summary;
 exits non-zero if any A1/A2/A4 flag fires. This is the mechanical
 form of the per-query `.explain("formatted")` review the build
 discipline calls for — cheap enough to run every round.
+
+CAVEAT: by default the audit reads the STATIC plan (fast — nothing
+executes), which under AQE shows `AdaptiveSparkPlan isFinalPlan =
+false`: ReusedExchange nodes only materialize in the FINAL adaptive
+plan, so the `reused` column reads 0 and `exchanges`/`scans` count
+potential (pre-reuse) operators. Pass --run to execute each query to
+a noop sink first and audit the final adaptive plan instead — slower
+(one full catalog pass) but the reuse counts become real. The fatal
+A-classes are visible either way (they are expression/operator
+shapes, not runtime decisions).
 """
 
 from __future__ import annotations
@@ -40,8 +50,15 @@ _HOF = re.compile(r"\b(transform|aggregate|filter|zip_with|exists|forall)\(")
 _ARRAY_DOT = re.compile(r"embedding#\d+\[\d+\] \* embedding#|\] \* embedding#\d+\[")
 
 
-def audit_one(name, fn, spark, sf_dir):
+def audit_one(name, fn, spark, sf_dir, run=False):
     df = fn(spark, sf_dir)
+    if run:
+        # collect() (NOT a noop write — that would execute a separate
+        # QueryExecution and leave this one un-adapted) drives THIS
+        # DataFrame's AdaptiveSparkPlan to its final form, so
+        # ReusedExchange nodes and runtime join strategies are real.
+        # Audit at a small SF: results are driver-collected.
+        df.collect()
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     lines = plan.splitlines()
@@ -76,6 +93,7 @@ def audit_one(name, fn, spark, sf_dir):
 
 
 def main() -> None:
+    run = "--run" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(all_queries())
@@ -89,7 +107,7 @@ def main() -> None:
         if q is None:
             continue
         try:
-            flags, nex, nre, nsc = audit_one(name, q.fn, spark, sf_dir)
+            flags, nex, nre, nsc = audit_one(name, q.fn, spark, sf_dir, run)
         except Exception as e:  # noqa: BLE001 - audit must not abort
             out.append(f"ERR  {name}: {type(e).__name__}: {e}")
             continue
