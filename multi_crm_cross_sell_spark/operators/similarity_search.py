@@ -1160,41 +1160,52 @@ def pq_topk(
     qsub = qparts[0]
     for p in qparts[1:]:
         qsub = qsub.unionByName(p)
-    qdist = qsub.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        "c",
-        F.expr(
-            f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT)"
-        ).alias("dn"),
+    # qdist feeds one broadcast PER SUBSPACE below; the lazy checkpoint
+    # keeps the (query-subvector × codebook) distance computation
+    # single-pass instead of once per consumer.
+    qdist = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "c",
+            F.expr(
+                f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT)"
+            ).alias("dn"),
+        )
+        .localCheckpoint(eager=False)
     )
 
-    # ADC: explode each candidate into its M code fields, look each up
-    # in the broadcast distance table, sum — map-side combined on the
-    # (query_id, vec_id) key.
-    exploded = (
-        cand.join(codes, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.explode(
-                F.array(*[F.lit(m) for m in range(n_sub)])
-            ).alias("m"),
-            "pq_code",
+    # ADC as M CHAINED BROADCAST LOOKUPS, one per subspace: each join
+    # keys on (query_id, extracted code m) against that subspace's
+    # n_q·ks-row slice of the distance table, so the candidate stream
+    # stays O(|cand|) rows end to end and the final distance is a
+    # plain M-term integer sum in a projection — no O(|cand|·M)
+    # explode, no hash aggregate, no shuffle (integer addition is
+    # order-free, so this is value-identical to the grouped sum the
+    # oracle expresses). Every (query, m, code) exists in qdist by
+    # construction, so the inner joins never drop a candidate.
+    scored = cand.join(codes, "vec_id")
+    for m in range(n_sub):
+        qd_m = (
+            qdist.where(F.col("m") == m)
+            .select(
+                "query_id",
+                F.col("c").alias(f"_c{m}"),
+                F.col("dn").alias(f"_dn{m}"),
+            )
         )
-        .select(
-            "query_id",
-            "vec_id",
-            "m",
-            F.expr(
-                "CAST(pmod(shiftright(pq_code, CAST(5 * m AS INT)), 32) AS INT)"
-            ).alias("c"),
-        )
-    )
-    scored = (
-        exploded.join(F.broadcast(qdist), ["query_id", "m", "c"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("dn").alias("adc_nanos"))
+        scored = scored.withColumn(
+            f"_c{m}",
+            F.expr(f"CAST(pmod(shiftright(pq_code, {5 * m}), 32) AS INT)"),
+        ).join(F.broadcast(qd_m), ["query_id", f"_c{m}"])
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        sum(
+            (F.col(f"_dn{m}") for m in range(1, n_sub)),
+            F.col("_dn0"),
+        ).alias("adc_nanos"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("adc_nanos"), F.asc("vec_id")
