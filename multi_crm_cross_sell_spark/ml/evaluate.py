@@ -42,15 +42,21 @@ def ranking_metrics(
         F.row_number().over(w).alias("pos"),
         F.row_number().over(wi).alias("ideal_pos"),
     )
-    frames = []
+    # ONE aggregation pass for every k (the er_threshold_sweep trick:
+    # all prefixes as conditional sums, reshaped with stack) — the
+    # per-k agg-then-union form re-ran the whole window pipeline once
+    # per k (3 ks × 4 scorers = 24 scans of the pair frame in
+    # ranking_eval_metrics' audited plan).
+    aggs = []
     for k in ks:
-        agg = ranked.agg(
-            F.lit(k).alias("k"),
-            (F.sum(F.when(F.col("pos") <= k, F.col("rel"))) / k).alias("precision_at_k"),
+        aggs += [
+            (F.sum(F.when(F.col("pos") <= k, F.col("rel"))) / k).alias(
+                f"_p{k}"
+            ),
             (
                 F.sum(F.when(F.col("pos") <= k, F.col("rel")))
                 / F.greatest(F.sum("rel"), F.lit(1.0))
-            ).alias("recall_at_k"),
+            ).alias(f"_r{k}"),
             (
                 F.sum(
                     F.when(
@@ -67,13 +73,13 @@ def ranking_metrics(
                     ),
                     F.lit(1e-12),
                 )
-            ).alias("ndcg_at_k"),
-        )
-        frames.append(agg)
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+            ).alias(f"_n{k}"),
+        ]
+    items = ", ".join(f"{k}, _p{k}, _r{k}, _n{k}" for k in ks)
+    return ranked.agg(*aggs).selectExpr(
+        f"stack({len(ks)}, {items})"
+        " AS (k, precision_at_k, recall_at_k, ndcg_at_k)"
+    )
 
 
 def coverage(scored: DataFrame, score_col: str = "score", threshold: float = 0.5) -> DataFrame:

@@ -124,45 +124,54 @@ def ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def disc(rel_col: Column, pos_col: Column) -> Column:
         return F.round(rel_col / F.log2(pos_col + 1), 9).cast("decimal(27,12)")
 
-    frames = []
+    # ONE pass for all scorers AND all ks: every scorer's position is
+    # a window over the SAME labels frame (4 global sorts of one
+    # narrow (rel, keys) projection in a single pipeline), every
+    # (scorer, k) metric is a conditional sum in ONE aggregate, and
+    # stack() reshapes the 1×27 row to the 9 output rows. The
+    # agg-per-(scorer,k)-then-union form re-ran the labels join
+    # pipeline 9 times (24 parquet scans in the audited plan — the
+    # er_threshold_sweep lesson applied here).
     wi = Window.orderBy(F.desc("rel"), F.asc("c_custkey"))
-    for scorer, order in orders_by.items():
-        w = Window.orderBy(*order)
-        ranked = labels.select(
-            "rel",
-            F.row_number().over(w).alias("pos"),
-            F.row_number().over(wi).alias("ideal_pos"),
-        )
+    ranked = labels.select(
+        "rel",
+        *[
+            F.row_number().over(Window.orderBy(*order)).alias(f"pos_{s}")
+            for s, order in orders_by.items()
+        ],
+        F.row_number().over(wi).alias("ideal_pos"),
+    )
+    aggs = []
+    items = []
+    for s in orders_by:
+        pos = F.col(f"pos_{s}")
         for k in _KS:
-            frames.append(
-                ranked.agg(
-                    F.lit(scorer).alias("scorer"),
-                    F.lit(k).alias("k"),
-                    (
-                        F.sum(F.when(F.col("pos") <= k, F.col("rel"))).cast("double") / k
-                    ).alias("precision_at_k"),
-                    (
-                        F.sum(F.when(F.col("pos") <= k, F.col("rel"))).cast("double")
-                        / F.greatest(F.sum("rel"), F.lit(1))
-                    ).alias("recall_at_k"),
-                    F.round(
-                        F.sum(
-                            F.when(F.col("pos") <= k, disc(F.col("rel"), F.col("pos")))
-                        ).cast("double")
-                        / F.sum(
-                            F.when(
-                                F.col("ideal_pos") <= k,
-                                disc(F.col("rel"), F.col("ideal_pos")),
-                            )
-                        ).cast("double"),
-                        9,
-                    ).alias("ndcg_at_k"),
-                )
-            )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+            aggs += [
+                (F.sum(F.when(pos <= k, F.col("rel"))).cast("double") / k).alias(
+                    f"_p_{s}_{k}"
+                ),
+                (
+                    F.sum(F.when(pos <= k, F.col("rel"))).cast("double")
+                    / F.greatest(F.sum("rel"), F.lit(1))
+                ).alias(f"_r_{s}_{k}"),
+                F.round(
+                    F.sum(
+                        F.when(pos <= k, disc(F.col("rel"), pos))
+                    ).cast("double")
+                    / F.sum(
+                        F.when(
+                            F.col("ideal_pos") <= k,
+                            disc(F.col("rel"), F.col("ideal_pos")),
+                        )
+                    ).cast("double"),
+                    9,
+                ).alias(f"_n_{s}_{k}"),
+            ]
+            items.append(f"'{s}', {k}, _p_{s}_{k}, _r_{s}_{k}, _n_{s}_{k}")
+    return ranked.agg(*aggs).selectExpr(
+        f"stack({len(items)}, {', '.join(items)})"
+        " AS (scorer, k, precision_at_k, recall_at_k, ndcg_at_k)"
+    )
 
 
 @register(
