@@ -727,7 +727,16 @@ def ivf_assign(
         import math
 
         n_centroids = max(16, math.isqrt(embeddings.count()))
-    base = wide_base(embeddings, id_col, vec_col, dim)
+    # Lazy RDD persist on the scalar-column layout: base fans out to
+    # MANY consumers (the assignment, the centroid slice, and in the
+    # PQ path 8 per-subspace union branches for the codebook, 8 for
+    # the encode stream and 8 for the query subvectors — the audited
+    # ann_pq_topk plan carried 20 separate parquet scans of it). One
+    # materialization serves them all; the payload is the unpacked
+    # vectors themselves, which every consumer needs anyway.
+    base = wide_base(embeddings, id_col, vec_col, dim).localCheckpoint(
+        eager=False
+    )
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
