@@ -3366,10 +3366,14 @@ def dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the budget allocation uses integer floor-division — no float
     boundary anywhere an engine could disagree on."""
     docs = load_table(spark, sf_dir, "documents")
+    # per feeds the corpus total AND the weights projection (whose
+    # normalizer consumes it a third time) — a lazy checkpoint keeps
+    # the corpus-sized groupBy single-pass; the frame is one row per
+    # source.
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per.agg(F.sum("n_docs").alias("nd"))
     wts = per.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -3493,13 +3497,18 @@ def perplexity_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("lang").orderBy("score_micro", "doc_id")
     w_n = Window.partitionBy("lang")
+    # ranked feeds the per-language threshold aggregate AND the final
+    # gate join; without a lazy checkpoint each consumer re-ran the
+    # whole scoring pipeline (column pruning specializes the copies —
+    # the audited plan carried 8 document scans). One narrow row per
+    # doc, so the persist is small.
     ranked = per_doc.select(
         "doc_id",
         "lang",
         "score_micro",
         F.row_number().over(w_rank).alias("rn"),
         F.count("*").over(w_n).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     p = _PPL_GATE_PCT
     thr = ranked.groupBy("lang", "n").agg(
         (
