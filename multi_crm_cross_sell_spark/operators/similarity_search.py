@@ -901,6 +901,79 @@ def ivf_topk(
 
 
 
+def _semdedup_cells_arrow(
+    assigned: DataFrame, threshold: float, dim: int
+) -> DataFrame:
+    """Within-cell SemDeDup pass as per-cell Arrow groups: each cell's
+    vectors arrive as ONE pandas batch (applyInPandas over the int
+    cell key), the m×m cosine block is computed with chunked ordered-
+    accumulation matmuls, and the per-vector aggregates (lower-id
+    neighbor count, max similarity) come out directly — the Σ|cell|²
+    pair stream never exists as rows. Bit-parity discipline as in
+    :func:`_assign_cells_arrow`: i-ascending accumulation for dots
+    and norms, ROUND(x, 9) as exact-HALF_UP on the 1e9-scaled double
+    (= DuckDB's std::round(value·10⁹)/10⁹ bit-for-bit), ids sorted so
+    "lower-id neighbor" is a triangular mask. max_sim is emitted as
+    -inf for no-neighbor rows and nulled in a Spark projection (Arrow
+    would ship NaN as NaN, not SQL NULL).
+
+    Skew note: one GROUP cannot be split across tasks (unlike the
+    equi-join form, where AQE skew-splits a hot cell), so a
+    pathologically dense semantic mode serializes its m² block on one
+    core — m ≈ √n under the adaptive-c codebook (~450 at the 100×
+    decade, a few ms of numpy), and the join form stays available via
+    ``impl="join"`` for corpora that defeat the balance argument."""
+    import numpy as np
+
+    vcols = [f"v_{i}" for i in range(dim)]
+    thr = float(threshold)
+
+    def fn(pdf):
+        pdf = pdf.sort_values("vec_id")
+        V = pdf[vcols].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = V.shape[0]
+        accn = np.zeros(m)
+        for i in range(dim):
+            accn += V[:, i] * V[:, i]
+        norm = np.sqrt(accn)
+        n_dup = np.zeros(m, dtype=np.int64)
+        max_sim = np.full(m, -np.inf)
+        ch = 512
+        colg = np.arange(m)[None, :]
+        for s in range(0, m, ch):
+            Vb = V[s : s + ch]
+            mb = Vb.shape[0]
+            accd = np.zeros((mb, m))
+            for i in range(dim):
+                accd += Vb[:, i : i + 1] * V[None, :, i]
+            sim = accd / (norm[s : s + ch, None] * norm[None, :])
+            sim9 = _half_up_exact(sim * 1e9) / 1e9
+            valid = colg < (s + np.arange(mb))[:, None]
+            hit = (sim9 >= thr) & valid
+            n_dup[s : s + ch] = hit.sum(axis=1)
+            max_sim[s : s + ch] = np.where(hit, sim9, -np.inf).max(
+                axis=1, initial=-np.inf
+            )
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"vec_id": ids, "n_dup_lower": n_dup, "max_sim_lower": max_sim}
+        )
+
+    out = assigned.select("vec_id", "cell", *vcols).groupBy("cell").applyInPandas(
+        fn, schema="vec_id bigint, n_dup_lower bigint, max_sim_lower double"
+    )
+    return out.select(
+        "vec_id",
+        "n_dup_lower",
+        F.when(F.col("n_dup_lower") > 0, F.col("max_sim_lower")).alias(
+            "max_sim_lower"
+        ),
+        (F.col("n_dup_lower") == 0).alias("kept"),
+    )
+
+
 def semantic_dedup_frame(
     embeddings: DataFrame,
     threshold: float = 0.7,
@@ -909,6 +982,7 @@ def semantic_dedup_frame(
     vec_col: str = "embedding",
     centroids: str = "first",
     dim: int = DIM,
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then compare
@@ -933,9 +1007,27 @@ def semantic_dedup_frame(
     (a dense semantic mode) are an AQE skew-join case: the join key
     is a plain int, so runtime skew splitting applies. No stage ever
     shuffles more than the wide base once."""
+    # "auto" picks the pair-stage implementation by corpus size, the
+    # adaptive-parameter discipline the index parameters already
+    # follow (both paths are BIT-IDENTICAL — parity-pinned by test):
+    # - "join" (small n): the equi-join pair stream; cheapest at bench
+    #   scale (measured 1.95s vs 2.52s at n=2k — the grouped form pays
+    #   a cell shuffle + Python worker round-trip) and AQE-skew-
+    #   splittable.
+    # - "arrow" (large n): per-cell Arrow groups aggregate the
+    #   within-cell block locally, so the Σ|cell|² pair stream (89M
+    #   rows × 130 doubles at the 100× decade in the join form) never
+    #   exists as rows — measured 13.4s → 8.4s at 200k vectors.
+    # Crossover measured between 20k (join 2.41 vs arrow 2.60) and
+    # 200k; the threshold sits at 50k. The count is one cheap job
+    # (ivf_assign's adaptive-c path already runs one).
+    if impl == "auto":
+        impl = "arrow" if embeddings.count() >= 50_000 else "join"
     base, cents, assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, centroids, dim
     )
+    if impl == "arrow":
+        return _semdedup_cells_arrow(assigned, threshold, dim)
     # LAZY RDD PERSIST before the self-join: the two join sides are
     # rename-divergent copies of `assigned`, so canonical-plan
     # matching finds no ReusedExchange and the 100x plan ran the

@@ -228,3 +228,30 @@ def test_ivf_assign_arrow_chunking_is_winner_invariant(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_semantic_dedup_arrow_matches_join(spark):
+    """The per-cell Arrow SemDeDup pass must be bit-identical to the
+    within-cell equi-join form: same ordered accumulation for dots and
+    norms, same exact-HALF_UP ROUND(·, 9), same lower-id triangular
+    pairing. impl='auto' switches between them on corpus size, so
+    equality is what makes the switch invisible."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        semantic_dedup_frame,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = (
+        semantic_dedup_frame(e, threshold=0.7, n_centroids=None, impl="arrow")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup_frame(e, threshold=0.7, n_centroids=None, impl="join")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
