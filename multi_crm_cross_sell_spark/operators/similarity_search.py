@@ -1019,10 +1019,16 @@ def semantic_dedup_frame(
     #   rows × 130 doubles at the 100× decade in the join form) never
     #   exists as rows — measured 13.4s → 8.4s at 200k vectors.
     # Crossover measured between 20k (join 2.41 vs arrow 2.60) and
-    # 200k; the threshold sits at 50k. The count is one cheap job
-    # (ivf_assign's adaptive-c path already runs one).
-    if impl == "auto":
-        impl = "arrow" if embeddings.count() >= 50_000 else "join"
+    # 200k; the threshold sits at 50k. The count doubles as the
+    # adaptive-c input so ivf_assign does not recount.
+    if impl == "auto" or n_centroids is None:
+        import math
+
+        n = embeddings.count()
+        if impl == "auto":
+            impl = "arrow" if n >= 50_000 else "join"
+        if n_centroids is None:
+            n_centroids = max(16, math.isqrt(n))
     base, cents, assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, centroids, dim
     )
