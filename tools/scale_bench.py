@@ -92,6 +92,10 @@ QUERIES = [
     # Round 8: repeated-span detection — the gram-frequency pass is
     # the vocab/decon class; islands shuffle narrow (doc, pos) pairs.
     "repeated_span_stats",
+    # Round 8: span REMOVAL — adds the canonical-rank window on the
+    # gram string (one more gram-keyed exchange than stats), the
+    # coverage anti-join and the order-preserving text re-agg.
+    "repeated_span_removal",
     # Round 8: the iterative integer-PageRank showcase — the
     # token-disjoint replicas grow the co-occurrence graph linearly
     # (disjoint components per replica), stressing the per-iteration
