@@ -76,6 +76,7 @@ CURATION = [
     "dedup_keep_best",
     "repeated_span_stats",
     "repeated_span_removal",
+    "decontamination_span_removal",
 ]
 
 

@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (43 parked / 50 in-window / 93 registered):
+# Round-8 rotation (44 parked / 50 in-window / 94 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -64,7 +64,11 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # (repeated_span_removal — exact-substring span REMOVAL, the output
 # half of the Lee et al. pipeline) enters at birth per R1, with
 # event_sessionization parking per R5(a) — its ST5 coverage keeps an
-# in-window sibling (event_tumbling_windows). All parked entries
+# in-window sibling (event_tumbling_windows). A seventh
+# (decontamination_span_removal — surgical decontamination) enters at
+# birth per R1, with token_jaccard_pairs parking per R5(a) — its
+# SO2/SO3/F6 coverage also lives inside er_match_cascade, which stays
+# in-window. All parked entries
 # re-verified exact-equality green this round: the round-8 closing
 # tools/check.py full sweep ran 93 pass / 0 fail / 0 rows-only at
 # sf0.01 (all 50 in-window + all 43 parked), alongside 284 green
@@ -126,6 +130,8 @@ _TAIL = (
     "incremental_watermark_sync",  # S7/ST2; exchange for repeated_span_stats
     "event_sessionization",  # ST5 via event_tumbling_windows; exchange
     #   for repeated_span_removal
+    "token_jaccard_pairs",  # SO2/SO3/F6 via er_match_cascade; exchange
+    #   for decontamination_span_removal
 )
 
 

@@ -4302,6 +4302,25 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("cnt") >= 2) & (F.col("rn") > 1))
         .select("doc_id", "pos")
     )
+    return _span_removal_tail(docs, toks, marks, _SPAN_K)
+
+
+repeated_span_removal.__doc__ = repeated_span_removal.__doc__.format(
+    k=_SPAN_K
+)
+
+
+def _span_removal_tail(
+    docs: DataFrame, toks: DataFrame, marks: DataFrame, k: int
+) -> DataFrame:
+    """Shared removal tail: marked anchor positions → maximal spans
+    (gaps-and-islands) → word coverage (each anchor covers k words;
+    adjacent islands' coverages can overlap, so positions dedup) →
+    anti-joined token stream → order-preserving text re-assembly.
+    ``docs``/``toks`` must cover the SAME document subset the output
+    should report on; every shuffle after the marks is narrow
+    (doc_id, pos) int pairs until the final per-doc re-agg."""
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
     isl = marks.select(
         "doc_id",
         "pos",
@@ -4310,12 +4329,10 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = isl.groupBy("doc_id", "isl").agg(
         F.min("pos").alias("s"), F.max("pos").alias("e")
     )
-    # Adjacent islands' coverages can overlap (coverage extends k-1
-    # words past the last anchor), so positions dedup before counting.
     cover = spans.select(
         "doc_id",
         F.explode(
-            F.sequence(F.col("s"), F.col("e") + F.lit(_SPAN_K - 1))
+            F.sequence(F.col("s"), F.col("e") + F.lit(k - 1))
         ).alias("pos"),
     ).distinct()
     kept = toks.join(cover, ["doc_id", "pos"], "left_anti")
@@ -4344,6 +4361,115 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-repeated_span_removal.__doc__ = repeated_span_removal.__doc__.format(
-    k=_SPAN_K
+@register(
+    "decontamination_span_removal",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    train AS (
+      SELECT doc_id, ws FROM words WHERE doc_id % {_DECON_MOD} != 0
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM train, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ARRAY_TO_STRING(ws[i:i + {_DECON_N} - 1], ' ') AS g
+      FROM train, UNNEST(RANGE(1, LEN(ws) - {_DECON_N} + 2)) AS t(i)
+      WHERE LEN(ws) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT ARRAY_TO_STRING(ws[i:i + {_DECON_N} - 1], ' ') AS g
+      FROM words, UNNEST(RANGE(1, LEN(ws) - {_DECON_N} + 2)) AS t(i)
+      WHERE doc_id % {_DECON_MOD} = 0 AND LEN(ws) >= {_DECON_N}
+    ),
+    marks AS (SELECT doc_id, pos FROM grams JOIN bench USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, isl
+    ),
+    cover AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, UNNEST(RANGE(s, e + {_DECON_N})) AS pos FROM spans
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w FROM toks t
+      ANTI JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             STRING_AGG(w, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept_words
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+           CAST(LEN(STRING_SPLIT(d.text, ' '))
+                - COALESCE(a.n_kept_words, 0) AS BIGINT)
+             AS n_removed_words
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id % {_DECON_MOD} != 0
+    """,
+    tags=("curation", "decontamination", "exact-substring", "beyond-reference"),
+)
+def decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL eval-set decontamination: instead of dropping every
+    document that shares an n-gram with the held-out slice (what
+    benchmark_decontamination's flag implies), cut ONLY the
+    contaminated spans — every training-side position whose
+    {n}-word gram appears in the benchmark gram set marks its covered
+    words, maximal marked runs fold into spans, and the document is
+    reassembled without them. This keeps the ~uncontaminated majority
+    of a flagged document in the corpus, the standard refinement when
+    contamination is boilerplate (a quoted benchmark question inside
+    an otherwise-useful page). No canonical-first exception: a bench
+    gram is contaminated wherever it appears.
+
+    Scale shape: the bench gram set BROADCASTS (exactly the
+    benchmark_decontamination join — at real scale the bloom bitmap
+    pre-filter composes in front of it unchanged); marks and
+    everything after shuffle narrow (doc_id, pos) int pairs; the text
+    re-assembly is the order-preserving per-doc re-agg. Linear in
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    toks = train.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(wnd) for i in range(1, _DECON_N)
+    ]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", _DECON_N - 1).over(wnd).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    bench = (
+        _word_gram_rows(docs, _DECON_N)
+        .where(F.col("doc_id") % _DECON_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    marks = grams.join(F.broadcast(bench), "g").select("doc_id", "pos")
+    return _span_removal_tail(train, toks, marks, _DECON_N)
+
+
+decontamination_span_removal.__doc__ = (
+    decontamination_span_removal.__doc__.format(n=_DECON_N)
 )

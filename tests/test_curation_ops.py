@@ -1146,3 +1146,53 @@ class TestRepeatedSpanRemoval:
                 q not in covered[did] for q in range(p, p + _SPAN_K)
             ):
                 assert g in kept_grams, g
+
+
+class TestDecontaminationSpanRemoval:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans.datapipe import (
+            _DECON_MOD,
+            _DECON_N,
+        )
+
+        docs = _docs(spark, sf_dir)
+        bench_grams = set()
+        for did, text in docs.items():
+            if did % _DECON_MOD == 0:
+                bench_grams |= _ngrams(text, _DECON_N)
+        want = {}
+        for did, text in docs.items():
+            if did % _DECON_MOD == 0:
+                continue
+            ws = text.split(" ")
+            covered: set[int] = set()
+            for i in range(len(ws) - _DECON_N + 1):
+                if " ".join(ws[i : i + _DECON_N]) in bench_grams:
+                    covered.update(range(i, i + _DECON_N))
+            kept = [w for i, w in enumerate(ws) if i not in covered]
+            want[did] = (" ".join(kept), len(kept), len(ws) - len(kept))
+        got = {
+            r.doc_id: r
+            for r in all_queries()["decontamination_span_removal"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert set(got) == set(want)
+        for did, (clean, n_kept, n_rm) in want.items():
+            r = got[did]
+            assert (r.clean_text, r.n_kept_words, r.n_removed_words) == (
+                clean,
+                n_kept,
+                n_rm,
+            ), did
+        assert any(r.n_removed_words > 0 for r in got.values()), "degenerate"
+        # surgical invariant: the cleaned train corpus shares NO
+        # n-gram with the benchmark slice... not guaranteed — removal
+        # can splice new grams; what IS guaranteed: every removed doc
+        # lost at least N words per contaminated span, and untouched
+        # docs are byte-identical.
+        for did, r in got.items():
+            if r.n_removed_words == 0:
+                assert r.clean_text == docs[did], did
+            else:
+                assert r.n_removed_words >= _DECON_N, did

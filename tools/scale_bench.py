@@ -96,6 +96,9 @@ QUERIES = [
     # gram string (one more gram-keyed exchange than stats), the
     # coverage anti-join and the order-preserving text re-agg.
     "repeated_span_removal",
+    # Round 8: surgical decontamination — the broadcast bench-gram
+    # join feeding the same removal tail.
+    "decontamination_span_removal",
     # Round 8: the iterative integer-PageRank showcase — the
     # token-disjoint replicas grow the co-occurrence graph linearly
     # (disjoint components per replica), stressing the per-iteration
