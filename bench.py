@@ -66,7 +66,10 @@ CURATION = [
     "embedding_int8_quantize",
     "bpe_vocab",
     "document_bpe_ids",
-    # Round 8 newcomers (measured from birth):
+    # --- end of the round-7 curation set: entries above this line
+    # are the 16 queries whose sum is r7's curation_total, reported
+    # separately as curation_total_r7_subset for round-over-round
+    # comparability. Round 8 newcomers below (measured from birth):
     "stratified_sample",
     "dataset_temperature_mix",
     "perplexity_filter_by_lang",
@@ -172,6 +175,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "curation_total": round(sum(cur_timings.values()), 3),
+                "curation_total_r7_subset": round(
+                    sum(
+                        cur_timings[n]
+                        for n in CURATION[: CURATION.index("stratified_sample")]
+                        if n in cur_timings
+                    ),
+                    3,
+                ),
                 "curation_queries": cur_timings,
                 "decon_broadcast_payload": payload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

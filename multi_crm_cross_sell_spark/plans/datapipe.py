@@ -4111,11 +4111,13 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: positional grams are EXPLODE-FIRST lead() windows
     (the _word_gram_rows discipline — no Generate-pathology); the
-    gram frequency pass partial-combines map-side before its string
-    shuffle (the vocab/decontamination class); the hits join keys on
-    the gram string; islands + spans shuffle only (doc_id, pos) int
-    pairs. Everything is linear in corpus size — the n² suffix-array
-    sort the paper needs a custom sharded build for never appears."""
+    cross-doc test is min/max-doc_id WINDOW functions over the gram
+    partition, so the gram stream crosses the wire exactly once (the
+    agg + join-back form paid a second g-exchange — round-8 A/B in
+    the window rewrite comment below); islands + spans shuffle only
+    (doc_id, pos) int pairs. Everything is linear in corpus size —
+    the n² suffix-array sort the paper needs a custom sharded build
+    for never appears."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -4134,20 +4136,25 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_last").isNotNull())
         .select("doc_id", "pos", "g")
     )
-    # grams feeds BOTH the dup aggregate and the hits join; column
-    # pruning specializes the two copies (round-7 lesson) so without a
-    # lazy localCheckpoint the posexplode+window pipeline runs twice.
-    # Cross-doc duplication is min(doc_id) != max(doc_id) — exactly
-    # COUNT(DISTINCT doc_id) >= 2 but a plain agg instead of the
-    # two-phase distinct expand (measured 1.39s -> 1.05s at sf0.1).
-    grams = grams.localCheckpoint(eager=False)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+    # Cross-doc duplication is min(doc_id) != max(doc_id) over the
+    # gram partition — COUNT(DISTINCT doc_id) >= 2 without the
+    # two-phase distinct expand. As WINDOW functions (not agg + join
+    # back) the gram stream crosses the wire ONCE: the round-8 A/B
+    # measured agg+join (grams checkpointed, two g-exchanges) at
+    # 1.22s vs 1.01s for the single windowed exchange at sf0.1, and
+    # the single-consumer grams pipeline no longer needs its
+    # localCheckpoint at all.
+    wg = Window.partitionBy("g")
+    hits = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(wg).alias("_mn"),
+            F.max("doc_id").over(wg).alias("_mx"),
+        )
         .where(F.col("_mn") != F.col("_mx"))
-        .select("g")
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "g").select("doc_id", "pos")
     isl = hits.select(
         "doc_id",
         "pos",
@@ -4266,11 +4273,12 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline), ONE exchange on the gram string for the
     rank/multiplicity window (the same cost class as the dedup
     family's gram groupBys — rn and cnt share the exchange and sort),
-    islands/coverage shuffle narrow (doc_id, pos) int pairs, the
-    anti-join prunes the token stream, and the order-preserving
-    re-aggregation rides collect_list(struct(pos, w)) + array_sort —
-    per-doc state only, the document_token_ids shape. Linear in
-    corpus size; no suffix array, no all-pairs stage."""
+    then the _span_removal_tail: islands shuffle narrow (doc_id, pos)
+    int pairs and the cleaned text is re-assembled by a higher-order
+    filter over the document's own words array (per-doc spans array
+    joined back — no token anti-join, no collect_list re-agg; the
+    tail docstring carries the measured rationale). Linear in corpus
+    size; no suffix array, no all-pairs stage."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -4302,7 +4310,7 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("cnt") >= 2) & (F.col("rn") > 1))
         .select("doc_id", "pos")
     )
-    return _span_removal_tail(docs, toks, marks, _SPAN_K)
+    return _span_removal_tail(docs, marks, _SPAN_K)
 
 
 repeated_span_removal.__doc__ = repeated_span_removal.__doc__.format(
@@ -4311,15 +4319,29 @@ repeated_span_removal.__doc__ = repeated_span_removal.__doc__.format(
 
 
 def _span_removal_tail(
-    docs: DataFrame, toks: DataFrame, marks: DataFrame, k: int
+    docs: DataFrame, marks: DataFrame, k: int
 ) -> DataFrame:
     """Shared removal tail: marked anchor positions → maximal spans
-    (gaps-and-islands) → word coverage (each anchor covers k words;
-    adjacent islands' coverages can overlap, so positions dedup) →
-    anti-joined token stream → order-preserving text re-assembly.
-    ``docs``/``toks`` must cover the SAME document subset the output
-    should report on; every shuffle after the marks is narrow
-    (doc_id, pos) int pairs until the final per-doc re-agg."""
+    (gaps-and-islands) → per-doc SPANS ARRAY → higher-order filter
+    over the document's own words array. ``docs`` must cover the SAME
+    document subset the output should report on.
+
+    The round-8 rewrite: the original tail expanded spans to a
+    covered-position set (explode + distinct), anti-joined the token
+    stream and re-assembled text via collect_list(struct(pos, w)) +
+    array_sort — a second evaluation of the scan+explode plus three
+    exchanges of (doc_id, pos) pairs. But a document's words never
+    left its row: joining the (few, short) spans back as an array and
+    dropping covered words with a positional `filter` lambda keeps
+    the re-assembly inside one codegen projection. Exchanges after
+    the marks drop from 3 + a token re-scan to 1 (the docs-side join;
+    isl/spans/span_arr all reuse the doc_id partitioning the island
+    window installs). Measured 1.47s → 1.10s (repeated) and 1.45s →
+    1.04s (decontamination) at sf0.1, exact-parity. Per-word span
+    probing is O(words · spans_per_doc) inside the row — spans per
+    doc is small by construction (maximal islands of a flagged
+    minority), and at 100 TB the narrow span frame joins against the
+    full-width docs scan exactly once."""
     wnd = Window.partitionBy("doc_id").orderBy("pos")
     isl = marks.select(
         "doc_id",
@@ -4327,34 +4349,33 @@ def _span_removal_tail(
         (F.col("pos") - F.row_number().over(wnd)).alias("isl"),
     )
     spans = isl.groupBy("doc_id", "isl").agg(
-        F.min("pos").alias("s"), F.max("pos").alias("e")
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
     )
-    cover = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("s"), F.col("e") + F.lit(k - 1))
-        ).alias("pos"),
-    ).distinct()
-    kept = toks.join(cover, ["doc_id", "pos"], "left_anti")
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "w"))),
-        lambda x: x["w"],
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.concat_ws(" ", ordered).alias("clean_text"),
-        F.count("*").cast("bigint").alias("n_kept_words"),
+    ws = F.split(F.col("text"), " ")
+    kept = F.filter(
+        ws,
+        lambda w, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
     )
-    n_words = F.size(F.split(F.col("text"), " ")).cast("bigint")
     return (
-        docs.select("doc_id", n_words.alias("_n_words"))
-        .join(agg, "doc_id", "left")
+        docs.select("doc_id", "text")
+        .join(span_arr, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept_words", F.lit(0)).cast("bigint").alias(
-                "n_kept_words"
-            ),
-            (F.col("_n_words") - F.coalesce("n_kept_words", F.lit(0)))
+            F.when(F.col("_spans").isNull(), F.col("text"))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+            F.when(F.col("_spans").isNull(), F.size(ws))
+            .otherwise(F.size(kept))
+            .cast("bigint")
+            .alias("n_kept_words"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(ws) - F.size(kept))
             .cast("bigint")
             .alias("n_removed_words"),
         )
@@ -4437,10 +4458,11 @@ def decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bench gram set BROADCASTS (exactly the
     benchmark_decontamination join — at real scale the bloom bitmap
-    pre-filter composes in front of it unchanged); marks and
-    everything after shuffle narrow (doc_id, pos) int pairs; the text
-    re-assembly is the order-preserving per-doc re-agg. Linear in
-    corpus size."""
+    pre-filter composes in front of it unchanged), so the marks keep
+    the gram window's doc_id partitioning and the island window adds
+    NO exchange; the text re-assembly is the _span_removal_tail's
+    higher-order filter over the words array. Linear in corpus
+    size."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
     toks = train.select(
@@ -4467,7 +4489,7 @@ def decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     marks = grams.join(F.broadcast(bench), "g").select("doc_id", "pos")
-    return _span_removal_tail(train, toks, marks, _DECON_N)
+    return _span_removal_tail(train, marks, _DECON_N)
 
 
 decontamination_span_removal.__doc__ = (
