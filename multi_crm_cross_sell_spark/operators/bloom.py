@@ -105,50 +105,6 @@ def build_bloom_words(
     return dense
 
 
-def build_bloom_adaptive(
-    df: DataFrame, col: str, k: int = BLOOM_K
-) -> tuple[list[int], int]:
-    """One-job bloom build with self-sizing: compute the k probe
-    positions at the _MAX_BITMAP_BITS cap, bit_or into ≤ cap/64 words
-    (only FILLED words come back — the collect is bounded by
-    min(k·n, cap/64) rows), then derive the serving size from the
-    measured fill and FOLD down to it on the driver.
-
-    Why the fold is exact: for power-of-two m, pmod(h, m) is the low
-    log2(m) bits of h, so a position in cap-space maps to serving
-    space by masking — the low 6 bits (bit-in-word) never change and
-    the word index folds as w & (m/64 − 1). OR-ing whole words at
-    that stride is therefore bit-identical to having built at m
-    directly. The element-count estimate is popcount/k (collisions
-    only under-count, which can only round m DOWN one power of two
-    near a boundary); m only tunes the false-positive rate — probes
-    are re-derived from the returned m, so build and probe always
-    agree, and the downstream exact join keeps the result
-    m-independent. This replaces the separate pre-sizing pass
-    (count or upper-bound aggregate) the two-step
-    bloom_m_bits + build_bloom_words form needs."""
-    probes = ", ".join(
-        _position_sql(col, i, _MAX_BITMAP_BITS) for i in range(k)
-    )
-    rows = (
-        df.selectExpr(f"explode(array({probes})) AS pos")
-        .selectExpr(
-            "CAST(pos DIV 64 AS BIGINT) AS w",
-            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b",
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()
-    )
-    n_bits = sum(bin(r.bits & ((1 << 64) - 1)).count("1") for r in rows)
-    m_bits = bloom_m_bits(max(1, n_bits // k))
-    n_words = m_bits // 64
-    dense = [0] * n_words
-    for r in rows:
-        dense[r.w & (n_words - 1)] |= r.bits
-    return dense, m_bits
-
-
 def bloom_prune(
     df: DataFrame,
     col_sql: str,

@@ -1757,7 +1757,7 @@ def decontamination_broadcast_payload(
     is a measured payload ratio, not a narrative claim: at 100 TB the
     exact variant broadcasts every distinct benchmark gram STRING,
     the bloom a fixed-size bitmap (m/8 bytes)."""
-    from ..operators.bloom import build_bloom_adaptive
+    from ..operators.bloom import bloom_m_bits
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _word_gram_rows(docs, _DECON_N)
@@ -1767,15 +1767,25 @@ def decontamination_broadcast_payload(
     row = bench.agg(
         F.sum(F.length("g")).alias("b"), F.count("*").alias("n")
     ).collect()[0]
-    # Mirror the query's sizing rule (the fill-derived adaptive build)
-    # so the reported bitmap bytes are the bytes the bloom variant
-    # actually broadcasts.
-    words, _m = build_bloom_adaptive(
-        grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g"), "g"
+    # Mirror the query's sizing rule (upper bound on occurrences, not
+    # the distinct count) so the reported bitmap bytes are the bytes
+    # the bloom variant actually broadcasts.
+    n_upper = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
     )
     return {
         "exact_broadcast_bytes": int(row.b or 0),
-        "bloom_broadcast_bytes": len(words) * 8,
+        "bloom_broadcast_bytes": bloom_m_bits(int(n_upper or 1)) // 8,
     }
 
 
@@ -1901,13 +1911,11 @@ def benchmark_decontamination_bloom(
     :func:`benchmark_decontamination` its docstring names. Instead of
     broadcasting the benchmark gram STRINGS to every train-side task,
     broadcast a fixed-size bloom bitmap over seeded xxhash64 gram
-    hashes (operators/bloom.py: distributed bit_or build, broadcast
-    words frame, codegen element_at probe — no UDF):
+    hashes (operators/bloom.py: distributed bit_or build, plan-literal
+    embed, codegen element_at probe — no UDF):
 
-    1. bench grams → adaptive ONE-JOB build (build_bloom_adaptive:
-       bitmap built at the cap, folded to the fill-derived serving
-       size — one bounded collect of filled words, never
-       corpus-sized, and no separate pre-sizing pass);
+    1. bench grams → distinct → bloom words (one bounded collect of
+       ≤ m/64 bigints — never corpus-sized);
     2. train grams filter through bloom_maybe BEFORE any join: ~99.6%
        of non-shared grams drop at scan speed (k=3, 16 bits/element →
        theoretical FP ≈ 0.4%, measured in tests/test_curation_ops.py);
@@ -1921,38 +1929,61 @@ def benchmark_decontamination_bloom(
     gram strings) and the join fan-in (survivors only); the bound on
     the plan-literal form and the sc.broadcast+pandas-UDF escape
     hatch above it are documented in operators/bloom.py."""
-    from ..operators.bloom import BLOOM_K, bloom_prune, build_bloom_adaptive
+    from ..operators.bloom import (
+        BLOOM_K,
+        bloom_m_bits,
+        bloom_prune,
+        build_bloom_words,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _word_gram_rows(docs, _DECON_N)
     # Lazy RDD persist on the RAW bench gram stream: it feeds both the
-    # bloom build and the verify join, and without it each consumer
-    # re-ran the bench-side scan + gram explode (the column-pruning
-    # lesson). BOTH consumers take the stream UN-deduplicated: bit_or
-    # is idempotent (duplicates re-set the same bits) and the verify
-    # aggregate is count_distinct, which absorbs the duplicated join
-    # rows — so no distinct shuffle runs anywhere in this query (the
-    # round-8 trim; the payload metric below still reports the
-    # DISTINCT gram bytes the exact variant would broadcast at real
-    # scale). localCheckpoint rather than cache(): cache matches by
-    # canonical plan and would serve CROSS-RUN hits inside the bench's
-    # min-of-n loop, understating the real per-run wall.
+    # bloom build and the verify join's distinct, and without it each
+    # consumer re-ran the bench-side scan + gram explode (the
+    # column-pruning lesson). The bloom build takes the stream
+    # UN-deduplicated — bit_or is idempotent, duplicates re-set the
+    # same bits — so the distinct shuffle runs once, on the verify
+    # side only, where it keeps the broadcast payload minimal.
+    # localCheckpoint rather than cache(): cache matches by canonical
+    # plan and would serve CROSS-RUN hits inside the bench's min-of-n
+    # loop, understating the real per-run wall.
     bench_raw = (
         grams.where(F.col("doc_id") % _DECON_MOD == 0)
         .select("g")
         .localCheckpoint(eager=False)
     )
-    # ONE-JOB build + sizing: the bitmap is built at the cap and
-    # folded to the fill-derived serving size (exactness argument in
-    # build_bloom_adaptive) — the separate pre-sizing aggregate the
-    # two-step form needed (upper-bound word-count arithmetic over the
-    # bench docs) is gone, and m only tunes the false-positive rate:
-    # the exact join below keeps the OUTPUT m-independent.
-    words, m_bits = build_bloom_adaptive(bench_raw, "g", BLOOM_K)
+    bench = bench_raw.distinct()
+    # Size the bitmap from an UPPER BOUND on the bench-set cardinality:
+    # total bench gram occurrences, computed as one narrow agg over the
+    # bench DOCS (size(split) arithmetic — no window, no explode, no
+    # distinct shuffle). A distinct count would be exact but must
+    # materialize the whole bench gram pipeline first (measured ~0.3s
+    # of the query at sf0.1); the bound oversizes the bitmap by at most
+    # the gram-multiplicity factor (≤2× in practice), which only
+    # LOWERS the false-positive rate, and the power-of-two rounding in
+    # bloom_m_bits usually lands on the same m anyway. At 100 TB this
+    # is also the right shape: word-count arithmetic partial-combines
+    # map-side, a distinct-gram count shuffles gram strings.
+    n_upper = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
+    m_bits = bloom_m_bits(int(n_upper or 1))
+    words = build_bloom_words(bench_raw, "g", m_bits, BLOOM_K)
     train = grams.where(F.col("doc_id") % _DECON_MOD != 0)
     survivors = bloom_prune(train, "g", words, m_bits, BLOOM_K)
     hits = (
-        survivors.join(bench_raw, "g")
+        survivors.join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared"))
     )

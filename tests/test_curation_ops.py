@@ -471,26 +471,6 @@ class TestBloomDecontamination:
         )
         assert bloom == exact
 
-    def test_adaptive_build_equals_direct_build(self, spark):
-        """build_bloom_adaptive's cap-then-fold bitmap must be
-        BIT-IDENTICAL to build_bloom_words run directly at the m it
-        derives (the fold-exactness argument: power-of-two pmod is a
-        bit mask, so word w in cap space ORs into w & (m/64 − 1)) —
-        and its fill-derived m must match the membership-count
-        sizing at negligible collision rates."""
-        from multi_crm_cross_sell_spark.operators.bloom import (
-            bloom_m_bits,
-            build_bloom_adaptive,
-            build_bloom_words,
-        )
-
-        n = 3_000
-        members = spark.range(n).selectExpr("concat('m', id) AS g")
-        words_a, m_a = build_bloom_adaptive(members, "g")
-        assert m_a == bloom_m_bits(n)
-        words_d = build_bloom_words(members, "g", m_a)
-        assert words_a == words_d
-
     def test_bitmap_bound_raises(self):
         import pytest as _pytest
 
