@@ -1021,6 +1021,7 @@ def semantic_dedup_frame(
     # Crossover measured between 20k (join 2.41 vs arrow 2.60) and
     # 200k; the threshold sits at 50k. The count doubles as the
     # adaptive-c input so ivf_assign does not recount.
+    assign_impl = "arrow"
     if impl == "auto" or n_centroids is None:
         import math
 
@@ -1029,8 +1030,20 @@ def semantic_dedup_frame(
             impl = "arrow" if n >= 50_000 else "join"
         if n_centroids is None:
             n_centroids = max(16, math.isqrt(n))
+        # Third adaptive switch off the same count: the ASSIGNMENT
+        # implementation. Below ~8k vectors the n·isqrt(n) pair
+        # stream is a few hundred-k rows and the JVM packed-long BNLJ
+        # argmax beats the Arrow pass's Python-worker round trip
+        # (same-session A/B: 1.26s vs 1.62s full-query at n=2k);
+        # by n=20k the BNLJ's row-materialization cost dominates
+        # (3.7s vs 1.8s) — the two impls are bit-identical
+        # (test_ivf_assign_arrow_matches_bnlj), so the switch is
+        # wall-only.
+        if n < 8_000:
+            assign_impl = "bnlj"
     base, cents, assigned = ivf_assign(
-        embeddings, n_centroids, id_col, vec_col, centroids, dim
+        embeddings, n_centroids, id_col, vec_col, centroids, dim,
+        impl=assign_impl,
     )
     if impl == "arrow":
         return _semdedup_cells_arrow(assigned, threshold, dim)

@@ -1965,6 +1965,13 @@ def benchmark_decontamination_bloom(
     # bloom_m_bits usually lands on the same m anyway. At 100 TB this
     # is also the right shape: word-count arithmetic partial-combines
     # map-side, a distinct-gram count shuffles gram strings.
+    # NEGATIVE RESULT (round 8, kept so it isn't re-tried): a one-job
+    # "build at the 2^24 cap, fold words down to the fill-derived m"
+    # variant removed this aggregate but regressed at 10× (1.9→2.3s
+    # A/B'd same-session): the build's groupBy/collect then grows
+    # with the CAP-space fill (~k·n_grams words) instead of the
+    # serving size m/64 — the pre-sizing pass is what keeps the
+    # bounded-collect claim true. See commit 39971a0 / its revert.
     n_upper = (
         docs.where(F.col("doc_id") % _DECON_MOD == 0)
         .agg(
