@@ -70,9 +70,10 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # SO2/SO3/F6 coverage also lives inside er_match_cascade, which stays
 # in-window. All parked entries
 # re-verified exact-equality green this round: the round-8 closing
-# tools/check.py full sweep ran 93 pass / 0 fail / 0 rows-only at
-# sf0.01 (all 50 in-window + all 43 parked), alongside 284 green
-# tests — this comment's commit is that record (rule R3).
+# tools/check.py full sweep ran 94 pass / 0 fail / 0 rows-only at
+# sf0.01 (all 50 in-window + all 44 parked), re-run after the
+# late-round span-tail / semantic-dedup plan work, alongside the
+# green test suite — this comment's commit is that record (rule R3).
 _TAIL = (
     # -- parked round 7 (driver-green r6); R2 deadline = r9 --
     # (a) variants with an in-window §2 sibling:

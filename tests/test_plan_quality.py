@@ -255,3 +255,31 @@ def test_semantic_dedup_arrow_matches_join(spark):
     )
     assert list(a.columns) == list(b.columns)
     assert a.equals(b)
+
+
+def test_span_stats_single_gram_exchange_no_checkpoint(spark):
+    """Late-round-8 regression pin for repeated_span_stats: the
+    cross-doc test is min/max-doc_id WINDOW functions over the gram
+    partition, so the gram stream must cross the wire ONCE — the plan
+    carries exactly one parquet scan of documents (no checkpointed
+    second pipeline, no agg + join-back re-exchange of gram strings)
+    and no join before the final per-doc left join."""
+    plan = _plan(spark, "repeated_span_stats")
+    # numbered detail sections re-print each node: count tree nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert "ExistingRDD" not in plan, plan  # no checkpoint in this query
+
+
+def test_span_removal_tail_has_no_token_rejoin(spark):
+    """Late-round-8 regression pin for the _span_removal_tail rewrite:
+    cleaned text reassembles from the document's own words array via a
+    positional higher-order filter — the plan must contain NO
+    left-anti join (the retired token anti-join), NO Generate for a
+    covered-position explode, and NO collect_list re-aggregation of
+    (pos, w) structs. One Generate remains: the token posexplode that
+    feeds gram construction."""
+    for name in ("repeated_span_removal", "decontamination_span_removal"):
+        plan = _plan(spark, name)
+        assert "LeftAnti" not in plan, (name, plan)
+        assert len(re.findall(r"Generate ", plan)) <= 2, (name, plan)
+        assert "collect_list(struct(pos" not in plan, (name, plan)
