@@ -726,7 +726,19 @@ def ivf_assign(
     if n_centroids is None:
         import math
 
-        n_centroids = max(16, math.isqrt(embeddings.count()))
+        n = embeddings.count()
+        n_centroids = max(16, math.isqrt(n))
+        # The adaptive branch also picks the assignment impl (the
+        # semantic_dedup_frame gate, hoisted here so ivf_topk/pq_topk
+        # inherit it): below ~8k vectors the n·isqrt(n) pair stream is
+        # a few hundred-k rows and the JVM BNLJ argmax beats the Arrow
+        # pass's Python-worker round trip; above, the BNLJ's row
+        # materialization dominates (A/B in semantic_dedup_frame's
+        # comment; impls bit-identical, pinned by test). Callers that
+        # size the codebook themselves (n_centroids given) keep their
+        # impl choice — the gate rides the adaptive branch only.
+        if impl == "arrow" and n < 8_000:
+            impl = "bnlj"
     # Lazy RDD persist on the scalar-column layout: base fans out to
     # MANY consumers (the assignment, the centroid slice, and in the
     # PQ path 8 per-subspace union branches for the codebook, 8 for
