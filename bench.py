@@ -80,6 +80,9 @@ CURATION = [
     "repeated_span_stats",
     "repeated_span_removal",
     "decontamination_span_removal",
+    "incremental_neardup_ingest",
+    "leakage_safe_splits",
+    "cluster_balanced_sample",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # MinHash family: mh_k(s) = (A[k] * h(s) + B[k]) mod P over the md5-based
@@ -246,6 +246,135 @@ def near_dup_pairs(
         inter_bound.select("doc1", "doc2", jac.alias("jac_raw"))
         .where(F.col("jac_raw") >= threshold)
         .select("doc1", "doc2", F.round("jac_raw", 9).alias("jaccard"))
+    )
+
+
+def incremental_near_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    batch_mod: int = 10,
+) -> DataFrame:
+    """Incremental near-dup ingestion: probe an INCOMING batch against
+    the already-ingested corpus through the same MinHash band index as
+    :func:`near_dup_pairs`, asymmetrically — batch bands join corpus
+    bands, never corpus-vs-corpus. The batch is played by
+    ``id % batch_mod == 0`` (in production the batch is yesterday's
+    crawl and the corpus bands are a precomputed silver table).
+
+    Scale shape — this is the operator that makes dedup O(batch), not
+    O(corpus), per ingestion cycle: the join probes only (band_idx,
+    key) buckets that the batch actually touches, so corpus rows
+    outside those buckets are filter-pruned at the join. The batch/
+    corpus predicates are single-sided, so Catalyst pushes them below
+    any join — differently-filtered copies of the signature pipeline
+    would then be canonically different subplans and ReusedExchange
+    could never fire (the column-pruning lesson in its filter form);
+    instead the gram arrays (``base``) are materialized ONCE behind a
+    lazy localCheckpoint and every consumer — both band sides (whose
+    signature transforms above it are pure integer math), both verify
+    sides — reads the materialized rows. That is also the production
+    shape: the corpus signature/band tables are precomputed silver
+    tables that an ingestion cycle only PROBES, never rebuilds. Verification Jaccard
+    runs only on bucket collisions, and the final left join keys on
+    the small batch side.
+
+    Output: one row per incoming doc (including <SHINGLE-word docs,
+    which carry no signature and are trivially novel):
+    (doc_id, matched_doc, jaccard, is_novel) where matched_doc is the
+    best corpus match (highest verified Jaccard ≥ threshold, ties to
+    the lowest corpus id) or NULL.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # Same exchange discipline as near_dup_pairs: spread the scan,
+    # bind word hashes in their own projection, materialize gram
+    # arrays under ONE exchange that the band pipeline and both verify
+    # sides all reuse.
+    base = (
+        docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
+        .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
+        .repartition(n_parts, F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
+    banded = sig.select("doc_id", *band_keys())
+    n_bands = N_HASHES // BAND_ROWS
+    # Bands are NOT checkpointed: above the materialized gram arrays
+    # the signature is 16 pure-integer array_min transforms + a concat
+    # — cheap enough that recomputing it per join side beats a second
+    # materialization barrier (A/B'd at sf0.1: 2.50s with a bands
+    # checkpoint vs 1.99s without, same session). The md5 work stays
+    # inside the one base materialization either way.
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") % batch_mod == 0)
+            & (F.col("b.doc_id") % batch_mod != 0),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+            F.size(F.array_intersect("sh1", "sh2")).alias("ni"),
+        )
+    )
+    jac = F.col("ni") / (F.col("n1") + F.col("n2") - F.col("ni")).cast("double")
+    hits = inter.select("doc1", "doc2", jac.alias("jac_raw")).where(
+        F.col("jac_raw") >= threshold
+    )
+    w = Window.partitionBy("doc1").orderBy(F.col("jac_raw").desc(), F.col("doc2"))
+    best = (
+        hits.select("doc1", "doc2", "jac_raw", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc1").alias("doc_id"),
+            F.col("doc2").alias("matched_doc"),
+            F.round("jac_raw", 9).alias("jaccard"),
+        )
+    )
+    incoming = docs.where(F.col(id_col) % batch_mod == 0).select(
+        F.col(id_col).alias("doc_id")
+    )
+    return incoming.join(best, "doc_id", "left").select(
+        "doc_id",
+        "matched_doc",
+        "jaccard",
+        F.col("matched_doc").isNull().alias("is_novel"),
     )
 
 

@@ -94,8 +94,11 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs)
 
 
-_MINHASH_ORACLE = f"""
-WITH toks AS (
+# Shared CTE prefix: tokenize → word hashes → distinct gram hashes →
+# minhash signature → band keys → exploded (doc_id, band_idx, key)
+# rows. Reused by the self-join pair oracle (_MINHASH_ORACLE) and the
+# asymmetric incremental-ingest oracle.
+_MINHASH_CTES = f"""toks AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
 ),
 wh AS (
@@ -118,7 +121,10 @@ banded AS (
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM banded" for b in range(_N_BANDS))}
-),
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM bands a JOIN bands b
@@ -3922,6 +3928,231 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
             (F.row_number().over(w) == 1).alias("kept"),
         )
+    )
+
+
+@register(
+    "incremental_neardup_ingest",
+    oracle=f"""
+WITH {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.key = b.key
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+ver AS (
+  SELECT c.doc1, c.doc2,
+         CAST(LEN(LIST_INTERSECT(s1.s, s2.s)) AS DOUBLE)
+         / (LEN(s1.s) + LEN(s2.s) - LEN(LIST_INTERSECT(s1.s, s2.s))) AS jr
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id
+),
+best AS (
+  SELECT doc1, doc2, jr,
+         ROW_NUMBER() OVER (PARTITION BY doc1 ORDER BY jr DESC, doc2) AS rn
+  FROM ver WHERE jr >= 0.6
+)
+SELECT d.doc_id, b.doc2 AS matched_doc, ROUND(b.jr, 9) AS jaccard,
+       b.doc2 IS NULL AS is_novel
+FROM documents d
+LEFT JOIN best b ON b.doc1 = d.doc_id AND b.rn = 1
+WHERE d.doc_id % 10 = 0
+""",
+    tags=("dedup", "lsh", "incremental", "beyond-reference"),
+)
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion (operators/dedup.py
+    incremental_near_dup): an INCOMING batch (doc_id % 10 == 0 plays
+    yesterday's crawl) probes the already-ingested corpus through the
+    MinHash band index ASYMMETRICALLY — batch bands join corpus bands,
+    never corpus-vs-corpus — so each ingestion cycle costs O(batch
+    collisions), not O(corpus²). Per incoming doc: the best verified
+    corpus match (Jaccard ≥ 0.6, ties to the lowest corpus id) or
+    is_novel. At 100 TB the corpus band rows are a precomputed silver
+    table and only the batch side is hashed fresh; here both derive
+    from one scan whose gram frame is materialized once behind a lazy
+    localCheckpoint (single-sided predicates get pushed below the join
+    and would otherwise fork the md5 pipeline — plan-asserted: no md5
+    survives into the executed plan)."""
+    from ..operators.dedup import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+g AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+         c.cluster_id IS NOT NULL AS in_cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, group_id, in_cluster,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_id, in_cluster,
+         TRY_CAST('0x' || SUBSTRING(md5('leak42_' || CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+  FROM g
+)
+""",
+    tags=("dedup", "splitting", "leakage", "beyond-reference"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the split key is
+    the NEAR-DUP CLUSTER representative (min doc_id of the connected
+    component; docs outside any cluster key on themselves), so
+    near-duplicate documents can never straddle splits — the standard
+    guard against test-set leakage that a per-document hash split
+    (dataset_split_assignments) cannot give. Same 90/5/5 salted-md5
+    bucket family as the per-doc split, salted differently
+    ('leak42_') so the two split families are independent draws.
+
+    Scale shape: the pair generation + label-propagation fixpoint are
+    the near_dup_clusters plan unchanged; the new work is one LEFT
+    join of the tiny cluster table onto documents and a pure md5
+    projection — no extra shuffle beyond the join itself."""
+    from ..operators.dedup import dedup_clusters, near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+    grouped = docs.select("doc_id").join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    )
+    group_id = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("leak42_"), group_id.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return grouped.select(
+        "doc_id",
+        group_id.alias("group_id"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _cluster_balanced_oracle() -> str:
+    """DuckDB mirror of cluster_balanced_sample: the _ivf_oracle /
+    _semantic_dedup_oracle adaptive-codebook assignment CTEs (same
+    ROUND(sim, 9) ordering the packed-long / Arrow argmax reproduces
+    bit-identically), then a per-cell vec_id rank against the integer
+    cap."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+caps AS (SELECT GREATEST(1, (n + 4 * c - 1) // (4 * c)) AS cap FROM nn, cc),
+ranked AS (
+  SELECT vec_id, cell,
+         COUNT(*) OVER (PARTITION BY cell) AS cell_size,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assigned
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(cell_size AS BIGINT) AS cell_size,
+       rn <= cap AS kept
+FROM ranked, caps
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_cluster_balanced_oracle(),
+    tags=("sampling", "embedding", "diversity", "beyond-reference"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) embedding sampling: the
+    corpus is partitioned into the shared adaptive IVF cells
+    (operators/similarity_search.ivf_assign — c = isqrt(n) codebook,
+    bit-identical Arrow/BNLJ argmax) and each cell keeps at most
+    ceil(n / 4c) vectors (lowest vec_id first, deterministic), so the
+    ~25% sample preserves every embedding-space REGION instead of
+    echoing the densest clusters — the cluster-aware pruning step of
+    SemDeDup-style curation pipelines, as a first-class sample
+    operator.
+
+    Scale shape: one metadata COUNT sizes c and the cap; the
+    assignment is the measured ivf_assign kernel (one Arrow pass at
+    scale, JVM BNLJ below 8k vectors); the rank is a window over
+    (cell) — narrow rows, cells are isqrt-sized so no partition is
+    ever more than ~sqrt(n) rows, and the cap bound means skew cannot
+    concentrate output."""
+    import math
+
+    from ..operators.similarity_search import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    c = max(16, math.isqrt(n))
+    cap = max(1, -(-n // (4 * c)))
+    impl = "bnlj" if n < 8_000 else "arrow"
+    _, cents, assigned = ivf_assign(emb, n_centroids=c, impl=impl)
+    lut = cents.select("cent_ix", F.col("cent_id").alias("cell"))
+    cells = assigned.select("vec_id", F.col("cell").alias("cent_ix")).join(
+        F.broadcast(lut), "cent_ix"
+    )
+    w_rn = Window.partitionBy("cell").orderBy("vec_id")
+    w_sz = Window.partitionBy("cell")
+    return cells.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.count("*").over(w_sz).cast("bigint").alias("cell_size"),
+        (F.row_number().over(w_rn) <= cap).alias("kept"),
     )
 
 

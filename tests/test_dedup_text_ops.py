@@ -667,3 +667,149 @@ class TestPq:
         for c, vid in enumerate(ids):
             want = sum(c << (5 * m) for m in range(PQ_M))
             assert codes[vid] == want, vid
+
+
+class TestIncrementalNearDup:
+    """incremental_near_dup: asymmetric batch→corpus MinHash probe."""
+
+    def _out(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            incremental_near_dup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return incremental_near_dup(docs, threshold=0.6, batch_mod=10).collect()
+
+    def test_one_row_per_incoming_doc(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_batch = docs.where(F.col("doc_id") % 10 == 0).count()
+        rows = self._out(spark, sf_dir)
+        assert len(rows) == n_batch
+        assert all(r.doc_id % 10 == 0 for r in rows)
+
+    def test_matches_point_into_corpus_only(self, spark, sf_dir):
+        for r in self._out(spark, sf_dir):
+            if r.matched_doc is not None:
+                assert r.matched_doc % 10 != 0
+                assert r.jaccard >= 0.6
+                assert not r.is_novel
+            else:
+                assert r.jaccard is None
+                assert r.is_novel
+
+    def test_agrees_with_symmetric_pairs(self, spark, sf_dir):
+        """For batch docs, the best match equals the max-Jaccard
+        cross-partition pair from the symmetric near_dup_pairs output
+        (same bands, same verify — the asymmetric join only restricts
+        which collisions are considered)."""
+        from multi_crm_cross_sell_spark.operators.dedup import near_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        best: dict[int, float] = {}
+        for p in near_dup_pairs(docs, threshold=0.6).collect():
+            for new, old in ((p.doc1, p.doc2), (p.doc2, p.doc1)):
+                if new % 10 == 0 and old % 10 != 0:
+                    if p.jaccard > best.get(new, -1.0):
+                        best[new] = p.jaccard
+        got = {
+            r.doc_id: r.jaccard
+            for r in self._out(spark, sf_dir)
+            if r.matched_doc is not None
+        }
+        assert got == best
+
+    def test_signature_pipeline_materialized_once(self, spark, sf_dir):
+        """The single-sided batch/corpus predicates get pushed below
+        any join, so the four consumers (two band sides, two verify
+        sides) would each recompute the md5 signature pipeline; the
+        operator instead materializes the gram frame behind a lazy
+        localCheckpoint (the integer-only signature transforms above
+        it are cheap to repeat). Pin that shape: the executed plan
+        scans ExistingRDDs and contains NO md5 expression — the hash
+        pipeline ran only inside the checkpoint job."""
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            incremental_near_dup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+        assert "md5" not in plan.lower()
+
+
+class TestLeakageSafeSplits:
+    def _rows(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        q = all_queries()["leakage_safe_splits"]
+        return q.fn(spark, sf_dir).collect()
+
+    def test_total_and_split_values(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = self._rows(spark, sf_dir)
+        assert len(rows) == docs.count()
+        assert {r.split for r in rows} <= {"train", "validation", "test"}
+
+    def test_near_dups_never_straddle_splits(self, spark, sf_dir):
+        """THE property of the operator: every verified near-dup pair
+        lands in one split (shared group_id ⇒ shared bucket)."""
+        from multi_crm_cross_sell_spark.operators.dedup import near_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        by_id = {r.doc_id: r for r in self._rows(spark, sf_dir)}
+        pairs = near_dup_pairs(docs, threshold=0.6).collect()
+        assert pairs, "fixture corpus must contain near-dup pairs"
+        for p in pairs:
+            assert by_id[p.doc1].group_id == by_id[p.doc2].group_id
+            assert by_id[p.doc1].split == by_id[p.doc2].split
+
+    def test_unclustered_docs_group_on_themselves(self, spark, sf_dir):
+        for r in self._rows(spark, sf_dir):
+            if not r.in_cluster:
+                assert r.group_id == r.doc_id
+            else:
+                assert r.group_id <= r.doc_id  # min-id representative
+
+
+class TestClusterBalancedSample:
+    def _rows(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        q = all_queries()["cluster_balanced_sample"]
+        return q.fn(spark, sf_dir).collect()
+
+    def test_covers_all_vectors_with_capped_cells(self, spark, sf_dir):
+        import math
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        c = max(16, math.isqrt(n))
+        cap = max(1, -(-n // (4 * c)))
+        rows = self._rows(spark, sf_dir)
+        assert len(rows) == n
+        kept_per_cell: dict[int, int] = {}
+        size_per_cell: dict[int, int] = {}
+        for r in rows:
+            size_per_cell[r.cell] = size_per_cell.get(r.cell, 0) + 1
+            if r.kept:
+                kept_per_cell[r.cell] = kept_per_cell.get(r.cell, 0) + 1
+        for cell, k in kept_per_cell.items():
+            assert k <= cap
+            assert k == min(cap, size_per_cell[cell])
+        # every non-empty cell keeps at least one member — the
+        # diversity guarantee that distinguishes this from global
+        # top-fraction sampling
+        assert set(kept_per_cell) == set(size_per_cell)
+
+    def test_kept_are_lowest_ids_per_cell(self, spark, sf_dir):
+        rows = self._rows(spark, sf_dir)
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, []).append(r)
+        for members in by_cell.values():
+            members.sort(key=lambda r: r.vec_id)
+            n_kept = sum(1 for m in members if m.kept)
+            assert all(m.kept for m in members[:n_kept])
+            assert not any(m.kept for m in members[n_kept:])

@@ -104,6 +104,16 @@ QUERIES = [
     # (disjoint components per replica), stressing the per-iteration
     # rank-vector join + dst aggregate exactly as vocab growth would.
     "textrank_keywords",
+    # Late round 8: the ingestion-cycle trio. Incremental ingest's
+    # batch slice (doc_id % 10 == 0) survives the id shift because
+    # n_docs is a multiple of 10, and token-disjoint replicas keep
+    # its true match count linear; leakage splits inherit the
+    # clusters fixpoint + a projection; cluster-balanced sampling is
+    # the ivf_assign kernel + a per-cell window (n·isqrt(n) assignment
+    # is the scaling term, same class as semantic_dedup's).
+    "incremental_neardup_ingest",
+    "leakage_safe_splits",
+    "cluster_balanced_sample",
 ]
 
 
