@@ -271,12 +271,14 @@ def incremental_near_dup(
     any join — differently-filtered copies of the signature pipeline
     would then be canonically different subplans and ReusedExchange
     could never fire (the column-pruning lesson in its filter form);
-    instead the gram arrays (``base``) are materialized ONCE behind a
-    lazy localCheckpoint and every consumer — both band sides (whose
-    signature transforms above it are pure integer math), both verify
-    sides — reads the materialized rows. That is also the production
-    shape: the corpus signature/band tables are precomputed silver
-    tables that an ingestion cycle only PROBES, never rebuilds. Verification Jaccard
+    instead the NARROW band-key frame (doc_id + 8 short strings) is
+    materialized ONCE behind a lazy localCheckpoint and both join
+    sides explode from it, while the two verify sides keep the
+    flowing gram pipeline (shared via ReusedExchange when they plan
+    as shuffle joins; broadcast per side at small inputs). That is
+    also the production shape: the corpus band/signature tables are
+    precomputed silver tables that an ingestion cycle only PROBES,
+    never rebuilds. Verification Jaccard
     runs only on bucket collisions, and the final left join keys on
     the small batch side.
 
@@ -297,17 +299,24 @@ def incremental_near_dup(
         .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
         .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
         .repartition(n_parts, F.col("doc_id"))
-        .localCheckpoint(eager=False)
     )
     sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
-    banded = sig.select("doc_id", *band_keys())
+    # The checkpoint sits on the NARROW per-doc band-key frame
+    # (doc_id + 8 short strings), not on the gram arrays: serializing
+    # and re-reading the wide gram arrays through RDD storage was the
+    # dominant 100× cost (base-checkpoint variant 57.6s vs 9.5s for
+    # this shape at the 100× decade — materializing 37M-element
+    # arrays cost more than recomputing them, and every band side
+    # re-ran the 16 interpreted array_min transforms over the stored
+    # arrays on top). Here the signature pipeline runs ONCE, inside
+    # this checkpoint's job (plan-pinned: no minhash expression in the
+    # main plan); the two band sides explode cheap strings from the
+    # materialized rows; the verify sides keep the flowing gram
+    # pipeline — shared via ReusedExchange when both plan as shuffle
+    # joins, or run per side when AQE broadcasts them (small inputs) —
+    # and the decade walls in SCALE.md bound that cost.
+    banded = sig.select("doc_id", *band_keys()).localCheckpoint(eager=False)
     n_bands = N_HASHES // BAND_ROWS
-    # Bands are NOT checkpointed: above the materialized gram arrays
-    # the signature is 16 pure-integer array_min transforms + a concat
-    # — cheap enough that recomputing it per join side beats a second
-    # materialization barrier (A/B'd at sf0.1: 2.50s with a bands
-    # checkpoint vs 1.99s without, same session). The md5 work stays
-    # inside the one base materialization either way.
     bands = banded.select(
         "doc_id",
         F.explode(

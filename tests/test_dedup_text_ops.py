@@ -720,23 +720,32 @@ class TestIncrementalNearDup:
 
     def test_signature_pipeline_materialized_once(self, spark, sf_dir):
         """The single-sided batch/corpus predicates get pushed below
-        any join, so the four consumers (two band sides, two verify
-        sides) would each recompute the md5 signature pipeline; the
-        operator instead materializes the gram frame behind a lazy
-        localCheckpoint (the integer-only signature transforms above
-        it are cheap to repeat). Pin that shape: the executed plan
-        scans ExistingRDDs and contains NO md5 expression — the hash
-        pipeline ran only inside the checkpoint job."""
+        any join, so the two band sides would each recompute the
+        signature pipeline; the operator instead materializes the
+        NARROW band-key frame behind a lazy localCheckpoint (the
+        gram-array checkpoint variant was 6× slower at the 100×
+        decade — RDD-storage round-trips of wide arrays cost more
+        than recomputing them). Pin that shape: both band-join sides
+        scan the checkpointed ExistingRDD, so no signature/minhash
+        expression is ever recomputed per side. (At test scale AQE
+        broadcasts the verify joins, so a ReusedExchange node need
+        not exist; the decade walls in SCALE.md carry the verify-side
+        cost claim.)"""
         from multi_crm_cross_sell_spark.operators.dedup import (
             incremental_near_dup,
         )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         df = incremental_near_dup(docs, threshold=0.6, batch_mod=10)
-        df.write.mode("overwrite").format("noop").save()
+        # collect() (NOT a noop write — that would execute a separate
+        # query) so THIS df's adaptive plan is finalized and carries
+        # the runtime ReusedExchange nodes.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
-        assert "md5" not in plan.lower()
+        assert plan.count("Scan ExistingRDD") >= 2  # both band sides
+        # the minhash permutation mins live ONLY inside the checkpoint
+        # job — the main plan never recomputes them
+        assert "array_min" not in plan
 
 
 class TestLeakageSafeSplits:
