@@ -2829,12 +2829,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     wout = edges0.groupBy("src").agg(F.sum("cnt").alias("wout"))
-    edges = edges0.join(wout, "src").localCheckpoint(eager=True)
+    edges = edges0.join(wout, "src").localCheckpoint(eager=False)
     nodes = (
         edges0.select(F.col("src").alias("node"))
         .union(edges0.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Nodes with NO in-edges rank a constant 150M every iteration, so
     # they are split out ONCE (anti-join) and re-attached per
@@ -2851,7 +2851,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .select("node", F.lit(150_000_000).cast("bigint").alias("r"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pr = nodes.select("node", F.lit(1_000_000_000).cast("bigint").alias("r"))
     for it in range(_TEXTRANK_ITERS):
@@ -2872,7 +2872,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionByName(no_in)
         # Checkpoint every FIFTH iteration, EXCEPT the last: lineage
         # stays bounded at five join+agg levels — still a constant-
-        # size guarantee — while the eager materialization barrier
+        # size guarantee — while the materialization barrier
         # (one full job submit/schedule round per checkpoint, the
         # dominant cost of this query on a vocabulary-sized graph:
         # ~0.25s x 10 at sf0.1 when taken every iteration) is paid
@@ -2880,10 +2880,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         # action itself (single consumer, same depth-5 plan bound;
         # a trailing eager checkpoint only added a redundant
         # materialization job — measured 3.0s -> 2.3s at sf0.1).
-        # Integer fixpoint, so results are bit-identical however the
-        # iterations are batched.
+        # Late round 8: every checkpoint in this query went LAZY
+        # (eager=False) — the setup frames and the mid-stream rank
+        # vector materialize inside the main action instead of as
+        # four separate barrier jobs (A/B'd 3.68s -> 3.30s at sf0.1,
+        # equal mins at 100×). Integer fixpoint, so results are
+        # bit-identical however the iterations are batched.
         if it % 5 == 4 and it < _TEXTRANK_ITERS - 1:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.localCheckpoint(eager=False)
     w_rank = Window.orderBy(F.col("r").desc(), F.col("node"))
     return (
         pr.select(
