@@ -83,6 +83,7 @@ CURATION = [
     "incremental_neardup_ingest",
     "leakage_safe_splits",
     "cluster_balanced_sample",
+    "source_overlap_matrix",
 ]
 
 

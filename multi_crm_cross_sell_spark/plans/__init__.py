@@ -35,7 +35,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       the immediately previous round — never two rounds running
 #       (that is R2).
 #
-# Round-8 rotation (47 parked / 50 in-window / 97 registered):
+# Round-8 rotation (48 parked / 50 in-window / 98 registered):
 # The fourteen entries parked since round 6 hit their R2 deadline
 # this round and ALL rejoin the driver window. The nineteen entries
 # parked in round 7 stay parked one more round (their R2 deadline is
@@ -72,18 +72,21 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # (incremental_neardup_ingest — asymmetric batch→corpus MinHash
 # probe; leakage_safe_splits — near-dup-cluster-keyed train/val/test
 # assignment; cluster_balanced_sample — IVF-cell-capped diversity
-# sampling) enter at birth per R1; in exchange three round-7
+# sampling; source_overlap_matrix — cross-source near-dup overlap
+# diagnostic) enter at birth per R1; in exchange four round-7
 # driver-green §2 rows park per R5(c), each one round only (deadline
 # r10): account_features (P2 — the same feature ladder is exercised
 # in-window by the flagship), global_rank_topn (W1/W4/W8 — the
-# window family keeps topk_per_group and pagination in-window) and
-# label_join (J5/A8). All parked entries
+# window family keeps topk_per_group and pagination in-window),
+# label_join (J5/A8) and contract_validation_report (A9-A10/P10).
+# All parked entries
 # re-verified exact-equality green this round: the round-8 closing
-# tools/check.py full sweep ran 97 pass / 0 fail / 0 rows-only at
-# sf0.01 (all 50 in-window + all 47 parked), re-run after the
-# late-round ingestion-cycle trio landed (incremental_neardup_ingest,
-# leakage_safe_splits, cluster_balanced_sample), alongside the green
-# test suite — this comment's commit is that record (rule R3).
+# tools/check.py full sweep ran 98 pass / 0 fail / 0 rows-only at
+# sf0.01 (all 50 in-window + all 48 parked), re-run after the
+# late-round ingestion-cycle quartet landed
+# (incremental_neardup_ingest, leakage_safe_splits,
+# cluster_balanced_sample, source_overlap_matrix), alongside the
+# green test suite — this comment's commit is that record (rule R3).
 _TAIL = (
     # -- parked round 7 (driver-green r6); R2 deadline = r9 --
     # (a) variants with an in-window §2 sibling:
@@ -150,6 +153,8 @@ _TAIL = (
     "account_features",  # P2; feature ladder inside the flagship
     "global_rank_topn",  # W1/W4/W8; topk_per_group + pagination stay
     "label_join",  # J5/A8
+    "contract_validation_report",  # A9-A10/P10; exchange for
+    #   source_overlap_matrix
 )
 
 

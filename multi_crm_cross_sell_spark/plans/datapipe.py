@@ -4069,6 +4069,89 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH pairs AS (
+  {_MINHASH_ORACLE}
+),
+lab AS (
+  SELECT p.jaccard, d1.source AS s1, d2.source AS s2
+  FROM pairs p
+  JOIN documents d1 ON d1.doc_id = p.doc1
+  JOIN documents d2 ON d2.doc_id = p.doc2
+)
+SELECT LEAST(s1, s2) AS src_a, GREATEST(s1, s2) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(jaccard * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_jaccard_nanos,
+       MAX(jaccard) AS max_jaccard
+FROM lab
+GROUP BY LEAST(s1, s2), GREATEST(s1, s2)
+""",
+    tags=("dedup", "diagnostics", "beyond-reference"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: every verified MinHash
+    near-dup pair labeled with its two documents' sources, aggregated
+    per unordered source pair — the standard "which ingestion sources
+    duplicate each other (and themselves)" curation diagnostic that
+    decides source-level dedup order and mix weights before any
+    per-document work. Diagonal rows (src_a = src_b) read as a
+    source's internal duplication rate.
+
+    Parity: per-pair Jaccard is the exact round-9 double both engines
+    already agree on; the cross-row SUM extracts integer nanos first
+    (FLOOR(j·1e9 + 0.5), the _parity.py convention) so the aggregate
+    is an associative integer sum — no float accumulation order in
+    the output. MAX is order-free on identical doubles.
+
+    Scale shape: the pair table is the banded near_dup_pairs output
+    (tiny vs the corpus) and rides a lazy localCheckpoint before the
+    lookups — it is the SMALL side of both source joins, and a
+    broadcast side recomputes its whole subplan per join (the round-3
+    lesson): without the materialization the executed plan carries
+    THREE copies of the signature/verify pipeline (8 documents scans,
+    48 array_min sites); with it, one (plan-pinned: zero array_min in
+    the main plan). The two source lookups are then doc_id-keyed
+    equi-joins of materialized narrow rows against a two-column
+    projection of documents, and the final aggregate groups a handful
+    of source-pair keys — map-side combine collapses it before the
+    shuffle."""
+    from ..operators.dedup import near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.6).localCheckpoint(eager=False)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1")),
+            "doc1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2")),
+            "doc2",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("jaccard") * F.lit(1_000_000_000) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_jaccard_nanos"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def _cluster_balanced_oracle() -> str:
     """DuckDB mirror of cluster_balanced_sample: the _ivf_oracle /
     _semantic_dedup_oracle adaptive-codebook assignment CTEs (same

@@ -822,3 +822,56 @@ class TestClusterBalancedSample:
             n_kept = sum(1 for m in members if m.kept)
             assert all(m.kept for m in members[:n_kept])
             assert not any(m.kept for m in members[n_kept:])
+
+
+class TestSourceOverlapMatrix:
+    def test_matches_python_recomputation(self, spark, sf_dir):
+        """The matrix must equal a driver-side recomputation from the
+        pair table + doc sources — including the integer-nanos sum
+        (the float-free aggregation contract)."""
+        import math
+
+        from multi_crm_cross_sell_spark.operators.dedup import near_dup_pairs
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+        want: dict[tuple, list] = {}
+        for p in near_dup_pairs(docs, threshold=0.6).collect():
+            key = tuple(sorted((src[p.doc1], src[p.doc2])))
+            agg = want.setdefault(key, [0, 0, -1.0])
+            agg[0] += 1
+            agg[1] += math.floor(p.jaccard * 1_000_000_000 + 0.5)
+            agg[2] = max(agg[2], p.jaccard)
+        q = all_queries()["source_overlap_matrix"]
+        got = {
+            (r.src_a, r.src_b): [r.n_pairs, r.sum_jaccard_nanos, r.max_jaccard]
+            for r in q.fn(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert want, "fixture corpus must produce overlap rows"
+
+    def test_diagonal_rows_exist(self, spark, sf_dir):
+        """Within-source duplication (the diagonal) must be reported
+        alongside cross-source overlap."""
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        q = all_queries()["source_overlap_matrix"]
+        rows = q.fn(spark, sf_dir).collect()
+        assert all(r.src_a <= r.src_b for r in rows)
+
+    def test_pair_pipeline_computed_once(self, spark, sf_dir):
+        """The tiny pair table is the SMALL side of both source
+        joins; a broadcast side recomputes its subplan per join, so
+        without the lazy localCheckpoint the executed plan carried
+        THREE copies of the signature/verify pipeline. Pin the
+        materialized shape: no minhash/verify expression in the main
+        plan."""
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        q = all_queries()["source_overlap_matrix"]
+        df = q.fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "array_min" not in plan
+        assert "array_intersect" not in plan

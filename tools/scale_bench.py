@@ -114,6 +114,10 @@ QUERIES = [
     "incremental_neardup_ingest",
     "leakage_safe_splits",
     "cluster_balanced_sample",
+    # Late round 8: cross-source overlap diagnostic — the pair table
+    # scales with the banded near-dup family; the matrix aggregate
+    # itself is a handful of source-pair keys at any corpus size.
+    "source_overlap_matrix",
 ]
 
 
