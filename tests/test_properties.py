@@ -179,3 +179,88 @@ class TestHalfUpExactProperties:
         x = np.nextafter(0.5, -np.inf)
         assert np.floor(abs(x) + 0.5) == 1.0
         assert float(_half_up_exact(np.array([x]))[0]) == 0.0
+
+
+class TestIncrementalIngestBatchProperty:
+    def test_equals_filtered_symmetric_on_random_corpus(self, spark):
+        """On a seeded random corpus with planted batch↔corpus
+        near-duplicates, the asymmetric incremental probe must return
+        exactly the batch→corpus restriction of the symmetric pair
+        table (same bands, same verify — the join direction is the
+        only difference), with the best match selected by
+        (jaccard desc, corpus id asc)."""
+        from multi_crm_cross_sell_spark.operators.dedup import (
+            incremental_near_dup,
+            near_dup_pairs,
+        )
+
+        rng = random.Random(20260815)
+        vocab = ["".join(rng.choices(string.ascii_lowercase, k=5)) for _ in range(80)]
+        rows = []
+        for i in range(120):
+            words = rng.choices(vocab, k=rng.randint(5, 25))
+            rows.append((i, " ".join(words)))
+        # plant near-dups straddling the batch boundary: copy a corpus
+        # doc into a batch slot with a one-word edit
+        for bi, ci in ((10, 7), (40, 33), (90, 81), (60, 13)):
+            words = rows[ci][1].split(" ")
+            words[0] = vocab[0]
+            rows[bi] = (bi, " ".join(words))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        best: dict[int, tuple] = {}
+        for p in near_dup_pairs(docs, threshold=0.5).collect():
+            for new, old in ((p.doc1, p.doc2), (p.doc2, p.doc1)):
+                if new % 10 == 0 and old % 10 != 0:
+                    cand = (-p.jaccard, old)
+                    if new not in best or cand < best[new]:
+                        best[new] = cand
+        got = {
+            r.doc_id: (-r.jaccard, r.matched_doc)
+            for r in incremental_near_dup(
+                docs, threshold=0.5, batch_mod=10
+            ).collect()
+            if r.matched_doc is not None
+        }
+        assert got == best
+        assert best, "planted duplicates must survive banding"
+
+
+class TestClusterBalancedSampleBatchProperty:
+    def test_cap_and_coverage_on_random_vectors(self, spark):
+        """On seeded random vectors, every cell keeps exactly
+        min(cap, |cell|) members and the kept set is the cell's
+        lowest vec_ids — regardless of the (random) cell geometry."""
+        import math
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf_assign,
+        )
+        from pyspark.sql import Window
+
+        rng = random.Random(42)
+        n, dim = 300, 64
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        c = max(16, math.isqrt(n))
+        cap = max(1, -(-n // (4 * c)))
+        _, cents, assigned = ivf_assign(emb, n_centroids=c, impl="bnlj")
+        lut = cents.select("cent_ix", F.col("cent_id").alias("cell"))
+        cells = assigned.select(
+            "vec_id", F.col("cell").alias("cent_ix")
+        ).join(F.broadcast(lut), "cent_ix")
+        w_rn = Window.partitionBy("cell").orderBy("vec_id")
+        out = cells.select(
+            "vec_id", "cell", (F.row_number().over(w_rn) <= cap).alias("kept")
+        ).collect()
+        assert len(out) == n
+        by_cell: dict[int, list] = {}
+        for r in out:
+            by_cell.setdefault(r.cell, []).append(r)
+        for members in by_cell.values():
+            members.sort(key=lambda r: r.vec_id)
+            kept = [m.vec_id for m in members if m.kept]
+            assert len(kept) == min(cap, len(members))
+            assert kept == [m.vec_id for m in members[: len(kept)]]
