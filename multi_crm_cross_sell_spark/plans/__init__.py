@@ -68,7 +68,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # (decontamination_span_removal — surgical decontamination) enters at
 # birth per R1, with token_jaccard_pairs parking per R5(a) — its
 # SO2/SO3/F6 coverage also lives inside er_match_cascade, which stays
-# in-window. Three more late-round-8 newcomers
+# in-window. Four more late-round-8 newcomers
 # (incremental_neardup_ingest — asymmetric batch→corpus MinHash
 # probe; leakage_safe_splits — near-dup-cluster-keyed train/val/test
 # assignment; cluster_balanced_sample — IVF-cell-capped diversity
@@ -79,38 +79,50 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # in-window by the flagship), global_rank_topn (W1/W4/W8 — the
 # window family keeps topk_per_group and pagination in-window),
 # label_join (J5/A8) and contract_validation_report (A9-A10/P10).
-# All parked entries
-# re-verified exact-equality green this round: the round-8 closing
-# tools/check.py full sweep ran 98 pass / 0 fail / 0 rows-only at
-# sf0.01 (all 50 in-window + all 48 parked), re-run after the
-# late-round ingestion-cycle quartet landed
-# (incremental_neardup_ingest, leakage_safe_splits,
-# cluster_balanced_sample, source_overlap_matrix), alongside the
-# green test suite — this comment's commit is that record (rule R3).
+# Round-9 rotation (48 parked / 50 in-window / 98 registered):
+# The NINETEEN entries parked since round 7 hit their R2 deadline
+# this round and ALL rejoin the driver window
+# (blocked_similarity_join, event_sliding_windows,
+# stateful_running_totals, customer_order_deltas,
+# grouped_rank_applyinpandas, cosine_topk_bruteforce, pii_redaction,
+# doc_repetition_stats, doc_text_stats, langid_heuristic,
+# token_counting, rolling_hash_fingerprints,
+# nation_balance_quantiles, jaro_winkler_pairs,
+# normalize_company_names, approx_distinct_stats, event_props_json,
+# er_threshold_sweep, multimodal_features). The twenty-nine round-8
+# parks stay parked one more round (their R2 deadline is round 10).
+# Nineteen round-8-driver-green entries park in exchange, chosen per
+# R5: eight family variants whose base operator (or §2 sibling) is
+# in-window after the rotation, and eleven beyond-reference curation
+# ops. The three queries whose implementations change this round
+# (ann_pq_topk, incremental_neardup_ingest,
+# cross_sell_recommendations) deliberately stay in-window so
+# CORRECTNESS_r09 proves them green post-change. All parked entries
+# re-verified exact-equality green under tools/check.py in the
+# round-9 closing commit (rule R3).
 _TAIL = (
-    # -- parked round 7 (driver-green r6); R2 deadline = r9 --
-    # (a) variants with an in-window §2 sibling:
-    "blocked_similarity_join",  # J2 via er_match_cascade
-    "event_sliding_windows",  # ST5 via event_sessionization
-    "stateful_running_totals",  # ST3 via stateful_streaming_dedup
-    "customer_order_deltas",  # window family via topk/rank/pagination
-    "grouped_rank_applyinpandas",  # W2 variant of topk_per_group
-    "cosine_topk_bruteforce",  # ANN yardstick; lsh+ivf+near_dup stay
-    # (b) beyond-reference curation/OLAP ops (r6 driver-green):
-    "pii_redaction",
-    "doc_repetition_stats",
-    "doc_text_stats",
-    "langid_heuristic",
-    "token_counting",
-    "rolling_hash_fingerprints",
-    "nation_balance_quantiles",
-    # (c) §2 rows green in round 6 (R2 deadline = r9):
-    "jaro_winkler_pairs",  # F5; jw also inside er_match_cascade
-    "normalize_company_names",  # F1-F2; inside er_match_cascade
-    "approx_distinct_stats",  # invariant oracle, r6 green
-    "event_props_json",  # M1/M3, r6 green
-    "er_threshold_sweep",  # ML12, r6 green
-    "multimodal_features",  # invariant oracle, r6 green
+    # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
+    # (a) family variants whose base / §2 sibling is in-window:
+    "ann_lsh_multitable",  # ANN family; ann_lsh_topk stays
+    "bigram_lm_quality",  # LM-quality family; unigram stays
+    "simhash_fingerprints",  # dedup family; minhash + ngram stay
+    "repeated_span_removal",  # span family; repeated_span_stats stays
+    "decontamination_span_removal",  # span family; stats stays
+    "document_bpe_ids",  # BPE family; bpe_vocab stays
+    "stateful_streaming_dedup",  # ST3; stateful_running_totals rejoins
+    "event_tumbling_windows",  # ST5; event_sliding_windows rejoins
+    # (b) beyond-reference curation ops (r8 driver-green):
+    "stratified_sample",
+    "dataset_temperature_mix",
+    "perplexity_filter_by_lang",
+    "length_bucketed_batches",
+    "semantic_dedup",
+    "dsir_importance_weights",
+    "dedup_keep_best",
+    "leakage_safe_splits",
+    "source_overlap_matrix",
+    "cluster_balanced_sample",
+    "textrank_keywords",
     # -- parked round 8 (driver-green r7), per R5; R2 deadline = r10 --
     # (a) family variants whose base stays in-window:
     "ngram_jaccard_dedup_idf",  # idf variant; ngram_jaccard_dedup stays
