@@ -61,6 +61,26 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 DIM = 64
 
+# Adaptive IVF codebook gate — the ONE place the c = max(16, isqrt(n))
+# formula and the BNLJ/Arrow assignment crossover live. ivf_assign's
+# adaptive branch, semantic_dedup_frame, and callers that size the
+# codebook themselves (plans/datapipe.cluster_balanced_sample) all
+# derive from here, so the formula cannot silently drift between the
+# kernel and a call site while the SQL oracles (which state it
+# independently as GREATEST(16, FLOOR(SQRT(n)))) keep checking it.
+MIN_CENTROIDS = 16
+BNLJ_ASSIGN_MAX_N = 8_000  # below: JVM packed-long BNLJ argmax wins;
+#   above: the BNLJ's row materialization dominates and the Arrow
+#   pass wins (A/B measurements in ivf_assign / semantic_dedup_frame)
+
+
+def adaptive_codebook(n: int) -> tuple[int, str]:
+    """(n_centroids, assign_impl) for a corpus of ``n`` vectors."""
+    import math
+
+    c = max(MIN_CENTROIDS, math.isqrt(n))
+    return c, ("bnlj" if n < BNLJ_ASSIGN_MAX_N else "arrow")
+
 
 def _unit(seed: str) -> float:
     """Deterministic uniform in [-1, 1) from md5, rounded to 6 dp so
@@ -724,21 +744,20 @@ def ivf_assign(
     from pyspark.sql import Window
 
     if n_centroids is None:
-        import math
-
         n = embeddings.count()
-        n_centroids = max(16, math.isqrt(n))
         # The adaptive branch also picks the assignment impl (the
-        # semantic_dedup_frame gate, hoisted here so ivf_topk/pq_topk
-        # inherit it): below ~8k vectors the n·isqrt(n) pair stream is
-        # a few hundred-k rows and the JVM BNLJ argmax beats the Arrow
-        # pass's Python-worker round trip; above, the BNLJ's row
-        # materialization dominates (A/B in semantic_dedup_frame's
-        # comment; impls bit-identical, pinned by test). Callers that
-        # size the codebook themselves (n_centroids given) keep their
-        # impl choice — the gate rides the adaptive branch only.
-        if impl == "arrow" and n < 8_000:
-            impl = "bnlj"
+        # semantic_dedup_frame gate, shared via adaptive_codebook so
+        # ivf_topk/pq_topk inherit it): below BNLJ_ASSIGN_MAX_N the
+        # n·isqrt(n) pair stream is a few hundred-k rows and the JVM
+        # BNLJ argmax beats the Arrow pass's Python-worker round
+        # trip; above, the BNLJ's row materialization dominates (A/B
+        # in semantic_dedup_frame's comment; impls bit-identical,
+        # pinned by test). Callers that size the codebook themselves
+        # (n_centroids given) keep their impl choice — the gate rides
+        # the adaptive branch only.
+        n_centroids, auto_impl = adaptive_codebook(n)
+        if impl == "arrow":
+            impl = auto_impl
     # Lazy RDD persist on the scalar-column layout: base fans out to
     # MANY consumers (the assignment, the centroid slice, and in the
     # PQ path 8 per-subspace union branches for the codebook, 8 for
@@ -1035,24 +1054,23 @@ def semantic_dedup_frame(
     # adaptive-c input so ivf_assign does not recount.
     assign_impl = "arrow"
     if impl == "auto" or n_centroids is None:
-        import math
-
         n = embeddings.count()
         if impl == "auto":
             impl = "arrow" if n >= 50_000 else "join"
-        if n_centroids is None:
-            n_centroids = max(16, math.isqrt(n))
         # Third adaptive switch off the same count: the ASSIGNMENT
-        # implementation. Below ~8k vectors the n·isqrt(n) pair
-        # stream is a few hundred-k rows and the JVM packed-long BNLJ
-        # argmax beats the Arrow pass's Python-worker round trip
+        # implementation (adaptive_codebook, shared with ivf_assign's
+        # own adaptive branch). Below BNLJ_ASSIGN_MAX_N the n·isqrt(n)
+        # pair stream is a few hundred-k rows and the JVM packed-long
+        # BNLJ argmax beats the Arrow pass's Python-worker round trip
         # (same-session A/B: 1.26s vs 1.62s full-query at n=2k);
         # by n=20k the BNLJ's row-materialization cost dominates
         # (3.7s vs 1.8s) — the two impls are bit-identical
         # (test_ivf_assign_arrow_matches_bnlj), so the switch is
         # wall-only.
-        if n < 8_000:
-            assign_impl = "bnlj"
+        auto_c, auto_impl = adaptive_codebook(n)
+        if n_centroids is None:
+            n_centroids = auto_c
+        assign_impl = auto_impl
     base, cents, assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, centroids, dim,
         impl=assign_impl,

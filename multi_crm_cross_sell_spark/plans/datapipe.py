@@ -2680,13 +2680,22 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure projection — zero shuffles, linear scan, the
     shape that matters when quantizing 10^11 vectors."""
     e = load_table(spark, sf_dir, "embeddings")
-    with_max = e.select(
-        "vec_id",
-        "embedding",
-        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias(
-            "maxabs"
-        ),
-    ).where(F.col("maxabs") > 0)
+    # The maxabs > 0 guard, expressed on the INPUT side as "any
+    # nonzero element" via non-lambda collection expressions: a
+    # where() on the maxabs alias would be pushed below the projection
+    # with the whole transform tree inlined into the Filter node,
+    # re-evaluating the lambda interpreted per row (plan_audit W1).
+    # array_remove/size stay codegen'd and pushdown-safe.
+    with_max = (
+        e.where(F.size(F.array_remove("embedding", F.lit(0.0))) > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias(
+                "maxabs"
+            ),
+        )
+    )
     enc = with_max.select(
         "vec_id",
         "embedding",
@@ -4222,15 +4231,16 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell) — narrow rows, cells are isqrt-sized so no partition is
     ever more than ~sqrt(n) rows, and the cap bound means skew cannot
     concentrate output."""
-    import math
-
-    from ..operators.similarity_search import ivf_assign
+    from ..operators.similarity_search import adaptive_codebook, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    c = max(16, math.isqrt(n))
+    # Codebook size and assignment impl from the ONE shared gate
+    # (adaptive_codebook) so this caller cannot drift from ivf_assign's
+    # own adaptive branch; the oracle states the c formula
+    # independently in SQL, which keeps checking both.
+    c, impl = adaptive_codebook(n)
     cap = max(1, -(-n // (4 * c)))
-    impl = "bnlj" if n < 8_000 else "arrow"
     _, cents, assigned = ivf_assign(emb, n_centroids=c, impl=impl)
     lut = cents.select("cent_ix", F.col("cent_id").alias("cell"))
     cells = assigned.select("vec_id", F.col("cell").alias("cent_ix")).join(
