@@ -249,12 +249,25 @@ def near_dup_pairs(
     )
 
 
+
+# Below this corpus size the lazy-checkpoint job that materializes the
+# narrow band-key frame costs more than simply running the signature
+# pipeline once per band side (the per-job scheduling floor dominates
+# sub-second pipelines); above it, recomputing the minhash transforms
+# per side dominates and the single materialization wins (57.6→11.5s
+# at the 100× decade). Same adaptive-impl discipline as
+# similarity_search.adaptive_codebook — bit-identical either way,
+# wall-clock only.
+CHECKPOINT_MIN_CORPUS = 50_000
+
+
 def incremental_near_dup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
     batch_mod: int = 10,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup ingestion: probe an INCOMING batch against
     the already-ingested corpus through the same MinHash band index as
@@ -289,33 +302,47 @@ def incremental_near_dup(
     the lowest corpus id) or NULL.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if n_docs is None:
+        n_docs = docs.count()
     # Same exchange discipline as near_dup_pairs: spread the scan,
     # bind word hashes in their own projection, materialize gram
-    # arrays under ONE exchange that the band pipeline and both verify
-    # sides all reuse.
+    # arrays once for every consumer.
     base = (
         docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
         .repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
         .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
-        .repartition(n_parts, F.col("doc_id"))
     )
-    sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
-    # The checkpoint sits on the NARROW per-doc band-key frame
-    # (doc_id + 8 short strings), not on the gram arrays: serializing
-    # and re-reading the wide gram arrays through RDD storage was the
-    # dominant 100× cost (base-checkpoint variant 57.6s vs 9.5s for
-    # this shape at the 100× decade — materializing 37M-element
-    # arrays cost more than recomputing them, and every band side
-    # re-ran the 16 interpreted array_min transforms over the stored
-    # arrays on top). Here the signature pipeline runs ONCE, inside
-    # this checkpoint's job (plan-pinned: no minhash expression in the
-    # main plan); the two band sides explode cheap strings from the
-    # materialized rows; the verify sides keep the flowing gram
-    # pipeline — shared via ReusedExchange when both plan as shuffle
-    # joins, or run per side when AQE broadcasts them (small inputs) —
-    # and the decade walls in SCALE.md bound that cost.
-    banded = sig.select("doc_id", *band_keys()).localCheckpoint(eager=False)
+    # WHERE the one materialization sits is scale-adaptive, because
+    # the four consumers (two band-join sides, two verify sides) carry
+    # canonically DIFFERENT pushed filters, so without a barrier each
+    # re-plans the scan+hash pipeline from the parquet file:
+    # - LARGE corpus: checkpoint the NARROW per-doc band-key frame
+    #   (doc_id + 8 short strings), never the gram arrays —
+    #   serializing and re-reading the wide arrays through RDD storage
+    #   was the dominant 100× cost (base-checkpoint variant 57.6s vs
+    #   9.5s at the 100× decade: materializing 37M-element arrays cost
+    #   more than recomputing them, and every band side re-ran the 16
+    #   interpreted array_min transforms over the stored arrays on
+    #   top). The signature pipeline runs ONCE, inside the checkpoint
+    #   job (plan-pinned: no minhash expression in the main plan); the
+    #   band sides explode cheap strings; the verify sides keep the
+    #   flowing gram pipeline, bounded by the SCALE.md decade walls.
+    # - SMALL corpus (< CHECKPOINT_MIN_CORPUS): the gram arrays are a
+    #   few MB total, so checkpoint the gram-array frame itself — one
+    #   scan+hash job serves ALL FOUR consumers (the 16 signature
+    #   transforms run per band side over its pushed-filter subset,
+    #   which sums to one corpus pass), and the scheduling floor of a
+    #   second materialization job is saved (measured 2.1s → 1.7s at
+    #   sf0.1). Bit-identical either way — wall-clock only.
+    if n_docs < CHECKPOINT_MIN_CORPUS:
+        base = base.localCheckpoint(eager=False)
+        sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
+        banded = sig.select("doc_id", *band_keys())
+    else:
+        base = base.repartition(n_parts, F.col("doc_id"))
+        sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
+        banded = sig.select("doc_id", *band_keys()).localCheckpoint(eager=False)
     n_bands = N_HASHES // BAND_ROWS
     bands = banded.select(
         "doc_id",

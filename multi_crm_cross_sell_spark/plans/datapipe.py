@@ -3985,17 +3985,27 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus match (Jaccard ≥ 0.6, ties to the lowest corpus id) or
     is_novel. At 100 TB the corpus band rows are a precomputed silver
     table and only the batch side is hashed fresh; here both derive
-    from one scan whose narrow band-key frame is materialized once
-    behind a lazy localCheckpoint (single-sided predicates get pushed
-    below the join and would otherwise fork the signature pipeline —
-    plan-asserted: both band sides scan the checkpointed rows and no
-    minhash expression survives into the main plan). 100× decade:
-    9.5s (the gram-array-checkpoint variant measured 57.6s — RDD
-    round-trips of wide arrays cost more than recomputing them)."""
+    from one scan materialized once behind a scale-adaptive lazy
+    localCheckpoint (single-sided predicates get pushed below the
+    join and would otherwise fork the signature pipeline — both
+    shapes plan-asserted: at scale the NARROW band-key frame is
+    checkpointed and no minhash expression survives into the main
+    plan; below CHECKPOINT_MIN_CORPUS the gram-array frame is, saving
+    a scheduling-floor job). 100× decade: 9.5s (the gram-array
+    checkpoint at THAT scale measured 57.6s — RDD round-trips of wide
+    arrays cost more than recomputing them). The corpus size feeding
+    the gate is read from the parquet footer on the driver (zero
+    Spark jobs — a count() job cost 0.4s of pure scheduling floor at
+    sf0.1)."""
+    import pyarrow.parquet as pq
+
     from ..operators.dedup import incremental_near_dup
 
     docs = load_table(spark, sf_dir, "documents")
-    return incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return incremental_near_dup(
+        docs, threshold=0.6, batch_mod=10, n_docs=n_docs
+    )
 
 
 @register(

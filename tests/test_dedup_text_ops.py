@@ -720,14 +720,10 @@ class TestIncrementalNearDup:
 
     def test_signature_pipeline_materialized_once(self, spark, sf_dir):
         """The single-sided batch/corpus predicates get pushed below
-        any join, so the two band sides would each recompute the
-        signature pipeline; the operator instead materializes the
-        NARROW band-key frame behind a lazy localCheckpoint (the
-        gram-array checkpoint variant was 6× slower at the 100×
-        decade — RDD-storage round-trips of wide arrays cost more
-        than recomputing them). Pin that shape: both band-join sides
-        scan the checkpointed ExistingRDD, so no signature/minhash
-        expression is ever recomputed per side. (At test scale AQE
+        any join, so the four consumers (two band sides, two verify
+        sides) would each recompute the scan+hash pipeline; the
+        operator materializes it ONCE behind a lazy localCheckpoint,
+        at a scale-adaptive spot. Pin both shapes. (At test scale AQE
         broadcasts the verify joins, so a ReusedExchange node need
         not exist; the decade walls in SCALE.md carry the verify-side
         cost claim.)"""
@@ -736,16 +732,31 @@ class TestIncrementalNearDup:
         )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        df = incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+        # LARGE-corpus shape (forced via n_docs): the NARROW band-key
+        # frame is checkpointed (the gram-array checkpoint variant was
+        # 6× slower at the 100× decade — RDD-storage round-trips of
+        # wide arrays cost more than recomputing them); the minhash
+        # permutation mins live ONLY inside the checkpoint job.
+        df = incremental_near_dup(
+            docs, threshold=0.6, batch_mod=10, n_docs=10**6
+        )
         # collect() (NOT a noop write — that would execute a separate
         # query) so THIS df's adaptive plan is finalized and carries
         # the runtime ReusedExchange nodes.
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan ExistingRDD") >= 2  # both band sides
-        # the minhash permutation mins live ONLY inside the checkpoint
-        # job — the main plan never recomputes them
         assert "array_min" not in plan
+        # SMALL-corpus shape (adaptive default at test scale): the
+        # gram-array frame itself is checkpointed — the md5 word-hash
+        # pipeline never appears in the main plan (all four consumers
+        # ride the ExistingRDD); the cheap signature mins run above it
+        # per band side, summing to one corpus pass.
+        df2 = incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+        df2.collect()
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Scan ExistingRDD") >= 2
+        assert "md5" not in plan2
 
 
 class TestLeakageSafeSplits:
