@@ -86,6 +86,17 @@ CURATION = [
     "source_overlap_matrix",
 ]
 
+# Third section (round 9): the ANN INDEX family. ann_lsh_topk has
+# always been in HEADLINE, but the ivf/pq/multitable index builds were
+# previously unbenched — the catalog's heaviest per-query fixed costs
+# were invisible in the recorded JSON (round-8 verdict item). Own
+# total, same min-of-N discipline.
+ANN_INDEX = [
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_lsh_multitable",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,7 +124,7 @@ def main() -> None:
     # expression/codegen paths so the timed pass measures steady-state
     # throughput, not first-call compilation.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + CURATION:
+    for name in HEADLINE + CURATION + ANN_INDEX:
         q = qs.get(name)
         if q is None:
             continue
@@ -136,9 +147,16 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     cur_timings: dict[str, float] = {}
+    ann_timings: dict[str, float] = {}
     for _ in range(n_runs):
-        for name in HEADLINE + CURATION:
-            book = cur_timings if name in CURATION else timings
+        for name in HEADLINE + CURATION + ANN_INDEX:
+            book = (
+                ann_timings
+                if name in ANN_INDEX
+                else cur_timings
+                if name in CURATION
+                else timings
+            )
             q = qs.get(name)
             if q is None:
                 continue
@@ -188,6 +206,8 @@ def main() -> None:
                     3,
                 ),
                 "curation_queries": cur_timings,
+                "ann_index_total": round(sum(ann_timings.values()), 3),
+                "ann_index_queries": ann_timings,
                 "decon_broadcast_payload": payload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

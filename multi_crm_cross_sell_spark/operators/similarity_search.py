@@ -218,6 +218,7 @@ def wide_base(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, v_0..v_{dim-1}) — the shared scalar-column frame every
     embedding operator starts from. Unpacks BELOW an explicit
@@ -228,8 +229,19 @@ def wide_base(
     ``norm_cols`` — see its docstring for why a norm COLUMN here
     would OOM the planner. The same rule governs every operator in
     this module: never alias a wide expression and rename columns
-    after it — rename FIRST, then compute."""
+    after it — rename FIRST, then compute.
+
+    ``n_rows`` (when the caller knows the corpus size): sizes the
+    partition count as ceil(n_rows / 2000), floor 8, cap 2×cores —
+    REPARTITION_BY_NUM is exempt from AQE coalescing (deliberately,
+    so the unpack parallelizes), which means an index pipeline whose
+    every downstream job re-reads this frame's checkpoint otherwise
+    pays 64 tasks per job REGARDLESS of size (measured: 12 jobs × 64
+    tasks of scheduling floor ≈ 2s of ann_pq_topk's sf0.1 wall for
+    5k rows)."""
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    if n_rows is not None:
+        n_parts = min(n_parts, max(8, -(-n_rows // 2000)))
     return embeddings.selectExpr(
         f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
     ).repartition(n_parts, F.col("vec_id"))
@@ -719,13 +731,18 @@ def ivf_assign(
     centroids: str = "first",
     dim: int = DIM,
     impl: str = "arrow",
+    with_vectors: bool = True,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF index-build: nearest-centroid cell assignment for
     every vector. Returns ``(base, cents, assigned)`` where ``base``
     is the scalar-column layout of the input, ``cents`` carries the
     codebook (``cent_id``, ``c_0..c_{dim-1}``, dense ``cent_ix``) and
     ``assigned`` is ``base`` plus the ``cell`` (= winning cent_ix)
-    column. Used by :func:`ivf_topk` (ANN probes) and
+    column — or just ``(vec_id, cell)`` when ``with_vectors=False``
+    (pq_topk scores candidates against CODES, never raw vectors, so
+    the join re-attaching 64 scalar columns would be pure waste).
+    Used by :func:`ivf_topk` (ANN probes) and
     :func:`semantic_dedup_frame` (SemDeDup within-cell dedup) — the
     argmax-as-packed-long-max trick and its measured rationale live
     here once.
@@ -758,16 +775,18 @@ def ivf_assign(
         n_centroids, auto_impl = adaptive_codebook(n)
         if impl == "arrow":
             impl = auto_impl
+        n_rows = n
     # Lazy RDD persist on the scalar-column layout: base fans out to
-    # MANY consumers (the assignment, the centroid slice, and in the
-    # PQ path 8 per-subspace union branches for the codebook, 8 for
-    # the encode stream and 8 for the query subvectors — the audited
-    # ann_pq_topk plan carried 20 separate parquet scans of it). One
-    # materialization serves them all; the payload is the unpacked
-    # vectors themselves, which every consumer needs anyway.
-    base = wide_base(embeddings, id_col, vec_col, dim).localCheckpoint(
-        eager=False
-    )
+    # MANY consumers (the assignment, the centroid slice, the PQ
+    # encode stream and the PQ query table). One materialization
+    # serves them all; the payload is the unpacked vectors
+    # themselves, which every consumer needs anyway. n_rows (from the
+    # adaptive count or the caller) right-sizes the checkpoint's
+    # partition count so every consumer job's task count tracks the
+    # corpus, not the core count (see wide_base).
+    base = wide_base(
+        embeddings, id_col, vec_col, dim, n_rows=n_rows
+    ).localCheckpoint(eager=False)
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -858,7 +877,7 @@ def ivf_assign(
                 ).alias("cell"),
             )
         )
-    assigned = base.join(cells, "vec_id")
+    assigned = base.join(cells, "vec_id") if with_vectors else cells
     return base, cents, assigned
 
 
@@ -872,6 +891,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: str = "first",
     dim: int = DIM,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     centroid cell (:func:`ivf_assign`); a query searches its
@@ -880,11 +900,18 @@ def ivf_topk(
     Voronoi edge), at a linear cost multiplier on the candidate set —
     the standard IVF recall knob. The per-pair search space shrinks
     from O(N) to O(nprobe·N/n_centroids) and the cell join shuffles
-    on an int key; centroid-mode trade-offs in :func:`ivf_assign`."""
+    on an int key; centroid-mode trade-offs in :func:`ivf_assign`.
+    ``n_vectors``: corpus size known to the caller (e.g. parquet
+    footer) — skips ivf_assign's count job for the adaptive
+    codebook."""
     from pyspark.sql import Window
 
+    impl = "arrow"
+    if n_centroids is None and n_vectors is not None:
+        n_centroids, impl = adaptive_codebook(n_vectors)
     base, cents, assigned = ivf_assign(
-        embeddings, n_centroids, id_col, vec_col, centroids, dim
+        embeddings, n_centroids, id_col, vec_col, centroids, dim, impl=impl,
+        n_rows=n_vectors,
     )
     # queries probe their nprobe nearest cells; data vectors live in
     # exactly one cell, so (query, candidate) pairs stay unique without
@@ -1053,6 +1080,7 @@ def semantic_dedup_frame(
     # 200k; the threshold sits at 50k. The count doubles as the
     # adaptive-c input so ivf_assign does not recount.
     assign_impl = "arrow"
+    n = None
     if impl == "auto" or n_centroids is None:
         n = embeddings.count()
         if impl == "auto":
@@ -1073,7 +1101,7 @@ def semantic_dedup_frame(
         assign_impl = auto_impl
     base, cents, assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, centroids, dim,
-        impl=assign_impl,
+        impl=assign_impl, n_rows=n,
     )
     if impl == "arrow":
         return _semdedup_cells_arrow(assigned, threshold, dim)
@@ -1173,17 +1201,70 @@ def pq_codebook(
     return cb.withColumn("c", F.row_number().over(cw) - 1).drop("vec_id")
 
 
-def _sub_dist_cols(ds: int) -> str:
-    """Positional squared-L2 over scalar subvector columns — same
-    IEEE ops in the same order as the generated oracle string."""
-    return "(" + " + ".join(
-        f"(s_{j} - pc_{j}) * (s_{j} - pc_{j})" for j in range(ds)
-    ) + ")"
+def pq_literals(
+    cb: DataFrame, n_sub: int = PQ_M, ks: int = PQ_KS
+) -> dict[tuple[int, int], list[float]]:
+    """Collect the PQ codebook to driver-side literals — M·ks rows
+    (128 at the defaults), bounded by construction like the bloom
+    bitmap / BPE type-table collects. Python floats ARE IEEE doubles,
+    so the collected values are bit-identical to the frame's."""
+    ds = len([c for c in cb.columns if c.startswith("pc_")])
+    assert ds > 0
+    return {
+        (r["m"], r["c"]): [r[f"pc_{j}"] for j in range(ds)]
+        for r in cb.collect()
+    }
+
+
+def pq_literals_from_base(
+    base: DataFrame, dim: int = DIM, n_sub: int = PQ_M, ks: int = PQ_KS
+) -> dict[tuple[int, int], list[float]]:
+    """Same literals as ``pq_literals(pq_codebook(base))`` — the m-th
+    subspace's centroid c is the m-th subvector of the (c+1)-lowest-id
+    vector — via ONE TakeOrdered job over ks rows instead of the
+    codebook frame's 8-branch union + window (equality pinned by
+    test_pq_literals_paths_agree)."""
+    rows = base.orderBy("vec_id").limit(ks).collect()
+    ds = dim // n_sub
+    return {
+        (m, c): [rows[c][f"v_{m * ds + j}"] for j in range(ds)]
+        for m in range(n_sub)
+        for c in range(ks)
+    }
+
+
+def _pq_cb_matrix(
+    cb: dict[tuple[int, int], list[float]], n_sub: int, ks: int
+):
+    """Codebook literals as a (n_sub, ks, ds) float64 matrix."""
+    import numpy as np
+
+    ds = len(cb[(0, 0)])
+    return np.array(
+        [[cb[(m, c)] for c in range(ks)] for m in range(n_sub)],
+        dtype=np.float64,
+    )
+
+
+def _pq_dn_block(V, Cm, ds: int):
+    """Integer-nano squared L2 of every row of ``V`` (n, ds) against
+    every centroid of ``Cm`` (ks, ds): terms accumulated j-ascending
+    (0 + t0 == t0 exactly, then left-associated adds — the identical
+    IEEE sequence the SQL oracle's ``(s_0-p_0)*(s_0-p_0) + ...``
+    states), then HALF_UP nano rounding via _half_up_exact (= Java
+    BigDecimal / DuckDB ROUND bit-for-bit). Returns (n, ks) int64."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], Cm.shape[0]))
+    for j in range(ds):
+        d = V[:, j : j + 1] - Cm[None, :, j]
+        acc += d * d
+    return _half_up_exact(acc * 1e9).astype(np.int64)
 
 
 def pq_encode(
     base: DataFrame,
-    cb: DataFrame,
+    cb: "DataFrame | dict[tuple[int, int], list[float]]",
     dim: int = DIM,
     n_sub: int = PQ_M,
     ks: int = PQ_KS,
@@ -1192,40 +1273,45 @@ def pq_encode(
     code fields (4 bits used at ks=16): per subspace, the nearest
     centroid by squared L2, ties to the lowest centroid index.
 
-    Plan shape: union the narrow (vec_id, m, s_0..s_{ds-1}) subvector
-    stream (n·M rows), broadcast-join the M·ks-row codebook on m, and
-    take the argmin as a PACKED-LONG MIN (dn·32 + c — the ivf_assign
-    argmax trick, map-side combined), then one more map-side-combined
-    sum packs the M codes into a single bigint. Each distance is an
-    8-term scalar-column expression (~80 bytecode bytes — far under
-    the 8 KB JIT cliff that a fused 64-dim form would graze). Bound:
-    dn = round(d²·1e9) < 2^45 for |x| ≤ 100 components, ·32 + c ≪
-    2^63."""
+    Plan shape: ONE Arrow-batched numpy pass over the scalar-column
+    base (the _assign_cells_arrow discipline — the codebook is M·ks
+    driver literals riding the task closure, 4 KB): per subspace the
+    (batch × ks) nano-distance block accumulates j-ascending, the
+    argmin is a packed-long min (dn·32 + c, ties to the lowest c) and
+    the 5-bit fields pack into one int64 — zero joins, zero shuffles.
+    Two rejected JVM forms, both measured at sf0.1: (a) union the
+    n·M subvector stream + broadcast-join the codebook + two hash
+    aggregates — an 8-branch union (512-task stage) and ~3s of stage
+    floor; (b) the fused all-literals projection (LEAST over ks packed
+    dists × M subspaces inline) — ~10k-node expression whose generated
+    method blows past the JIT/Janino method ceilings and silently
+    falls back to interpreted row-at-a-time eval, ~1.3 ms/row (6.4 s
+    for 5k rows single-task; the round-7 8 KB-cliff pathology in
+    expression form). Bound: dn = round(d²·1e9) < 2^45 for |x| ≤ 100
+    components, ·32 + c ≪ 2^63."""
+    import numpy as np
+
+    if isinstance(cb, DataFrame):
+        cb = pq_literals(cb, n_sub, ks)
     ds = dim // n_sub
-    parts = [
-        base.selectExpr(
-            "vec_id",
-            f"CAST({m} AS INT) AS m",
-            *[f"v_{m * ds + j} AS s_{j}" for j in range(ds)],
-        )
-        for m in range(n_sub)
-    ]
-    sub = parts[0]
-    for p in parts[1:]:
-        sub = sub.unionByName(p)
-    pk = F.expr(
-        f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT) * 32 + c"
-    )
-    codes = (
-        sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", pk.alias("pk"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("pk").alias("pk"))
-        .select("vec_id", "m", F.pmod(F.col("pk"), F.lit(32)).alias("code"))
-    )
-    return codes.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(code, CAST(5 * m AS INT))")).alias("pq_code")
-    )
+    C = _pq_cb_matrix(cb, n_sub, ks)
+    vcols = [f"v_{i}" for i in range(dim)]
+    shifts = np.arange(n_sub, dtype=np.int64) * 5
+    cidx = np.arange(ks, dtype=np.int64)[None, :]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = pdf[vcols].to_numpy(dtype=np.float64)
+            code = np.zeros(V.shape[0], dtype=np.int64)
+            for m in range(n_sub):
+                dn = _pq_dn_block(V[:, m * ds : (m + 1) * ds], C[m], ds)
+                cm = (dn * 32 + cidx).min(axis=1) % 32
+                code += cm << shifts[m]
+            yield pdf[["vec_id"]].assign(pq_code=code)
+
+    return base.mapInPandas(fn, schema="vec_id bigint, pq_code bigint")
 
 
 def pq_topk(
@@ -1239,6 +1325,7 @@ def pq_topk(
     dim: int = DIM,
     n_sub: int = PQ_M,
     ks: int = PQ_KS,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ composition): IVF cells prune the
     candidate set to O(nprobe·n/c) per query, then candidates are
@@ -1258,15 +1345,23 @@ def pq_topk(
     Output: (query_id, vec_id, adc_nanos, rk) — the top-k candidates
     per query by approximate distance ASC. ADC is an approximation by
     construction (codes quantize the data side); recall vs exact
-    brute force is measured in tools/recall_bench.py, not assumed."""
+    brute force is measured in tools/recall_bench.py, not assumed.
+
+    ``n_vectors``: corpus size known to the caller (e.g. from the
+    parquet footer) — skips ivf_assign's count job when sizing the
+    adaptive codebook."""
     from pyspark.sql import Window
 
+    impl = "arrow"
+    if n_centroids is None and n_vectors is not None:
+        n_centroids, impl = adaptive_codebook(n_vectors)
     base, cents, assigned = ivf_assign(
-        embeddings, n_centroids, id_col, vec_col, "first", dim
+        embeddings, n_centroids, id_col, vec_col, "first", dim, impl=impl,
+        with_vectors=False, n_rows=n_vectors,
     )
     ds = dim // n_sub
-    cb = pq_codebook(base, dim, n_sub, ks)
-    codes = pq_encode(base, cb, dim, n_sub, ks)
+    pcs = pq_literals_from_base(base, dim, n_sub, ks)
+    codes = pq_encode(base, pcs, dim, n_sub, ks)
 
     # Query probes: nearest nprobe cells, narrow output (the ivf_topk
     # probe block minus the wide payload — ADC needs only the qdist
@@ -1292,70 +1387,57 @@ def pq_topk(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qcell")
     )
-    cand = probes.join(
+    cand = F.broadcast(probes).join(
         assigned.select("vec_id", "cell"),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "vec_id")
 
-    # Per-query distance tables: exact query subvectors vs every PQ
-    # centroid — n_q · M · ks rows of (query_id, m, c, dn), broadcast.
-    qparts = [
-        base.where(query_pred).selectExpr(
-            "vec_id AS query_id",
-            f"CAST({m} AS INT) AS m",
-            *[f"v_{m * ds + j} AS s_{j}" for j in range(ds)],
-        )
-        for m in range(n_sub)
-    ]
-    qsub = qparts[0]
-    for p in qparts[1:]:
-        qsub = qsub.unionByName(p)
-    # qdist feeds one broadcast PER SUBSPACE below; the lazy checkpoint
-    # keeps the (query-subvector × codebook) distance computation
-    # single-pass instead of once per consumer.
-    qdist = (
-        qsub.join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            "c",
-            F.expr(
-                f"CAST(ROUND({_sub_dist_cols(ds)} * 1000000000) AS BIGINT)"
-            ).alias("dn"),
-        )
-        .localCheckpoint(eager=False)
+    # Per-query distance table: exact query subvectors vs every PQ
+    # centroid, as ONE array<bigint> of M·ks integer-nano entries per
+    # query (index m·ks + c) — the same Arrow dn kernel pq_encode
+    # uses (one implementation ⇒ the data-side and query-side nanos
+    # cannot drift), emitting the flat array instead of the argmin.
+    # n_q · M·ks · 8 bytes broadcasts.
+    import numpy as np
+
+    C = _pq_cb_matrix(pcs, n_sub, ks)
+    vcols = [f"v_{i}" for i in range(dim)]
+
+    def qfn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = pdf[vcols].to_numpy(dtype=np.float64)
+            blocks = [
+                _pq_dn_block(V[:, m * ds : (m + 1) * ds], C[m], ds)
+                for m in range(n_sub)
+            ]
+            qdn = np.concatenate(blocks, axis=1)  # (n, M·ks), m-major
+            yield pdf[["vec_id"]].rename(
+                columns={"vec_id": "query_id"}
+            ).assign(qdn=list(qdn))
+
+    qtab = base.where(query_pred).mapInPandas(
+        qfn, schema="query_id bigint, qdn array<bigint>"
     )
 
-    # ADC as M CHAINED BROADCAST LOOKUPS, one per subspace: each join
-    # keys on (query_id, extracted code m) against that subspace's
-    # n_q·ks-row slice of the distance table, so the candidate stream
-    # stays O(|cand|) rows end to end and the final distance is a
-    # plain M-term integer sum in a projection — no O(|cand|·M)
-    # explode, no hash aggregate, no shuffle (integer addition is
-    # order-free, so this is value-identical to the grouped sum the
-    # oracle expresses). Every (query, m, code) exists in qdist by
-    # construction, so the inner joins never drop a candidate.
-    scored = cand.join(codes, "vec_id")
-    for m in range(n_sub):
-        qd_m = (
-            qdist.where(F.col("m") == m)
-            .select(
-                "query_id",
-                F.col("c").alias(f"_c{m}"),
-                F.col("dn").alias(f"_dn{m}"),
-            )
-        )
-        scored = scored.withColumn(
-            f"_c{m}",
-            F.expr(f"CAST(pmod(shiftright(pq_code, {5 * m}), 32) AS INT)"),
-        ).join(F.broadcast(qd_m), ["query_id", f"_c{m}"])
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        sum(
-            (F.col(f"_dn{m}") for m in range(1, n_sub)),
-            F.col("_dn0"),
-        ).alias("adc_nanos"),
+    # ADC as ONE BROADCAST LOOKUP JOIN: each candidate row extracts
+    # its M 5-bit codes and indexes the query's broadcast distance
+    # array M times in a plain projection — the earlier form chained
+    # M broadcast joins (one per subspace), paying M broadcast-job
+    # scheduling floors per run; this is the same integer sum
+    # (order-free, value-identical to the grouped sum the oracle
+    # expresses) with ONE join. Every index exists by construction,
+    # so element_at never returns null.
+    adc = " + ".join(
+        f"element_at(qdn, CAST({m * ks + 1}"
+        f" + pmod(shiftright(pq_code, {5 * m}), 32) AS INT))"
+        for m in range(n_sub)
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), "query_id")
+        .selectExpr("query_id", "vec_id", f"({adc}) AS adc_nanos")
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("adc_nanos"), F.asc("vec_id")

@@ -1455,10 +1455,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q·nprobe·n/c probe cost. The oracle mirrors c from COUNT(*)
     (FLOOR(SQRT(n)) — IEEE-exact below 2^52)."""
     from ..operators.similarity_search import ivf_topk
+    from ..sources.bronze import table_num_rows
 
     e = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
     return ivf_topk(
-        e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2
+        e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2,
+        n_vectors=n,
     )
 
 
@@ -3997,12 +4000,11 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate is read from the parquet footer on the driver (zero
     Spark jobs — a count() job cost 0.4s of pure scheduling floor at
     sf0.1)."""
-    import pyarrow.parquet as pq
-
     from ..operators.dedup import incremental_near_dup
+    from ..sources.bronze import table_num_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = table_num_rows(sf_dir, "documents")
     return incremental_near_dup(
         docs, threshold=0.6, batch_mod=10, n_docs=n_docs
     )
@@ -4251,7 +4253,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independently in SQL, which keeps checking both.
     c, impl = adaptive_codebook(n)
     cap = max(1, -(-n // (4 * c)))
-    _, cents, assigned = ivf_assign(emb, n_centroids=c, impl=impl)
+    _, cents, assigned = ivf_assign(emb, n_centroids=c, impl=impl, n_rows=n)
     lut = cents.select("cent_ix", F.col("cent_id").alias("cell"))
     cells = assigned.select("vec_id", F.col("cell").alias("cent_ix")).join(
         F.broadcast(lut), "cent_ix"
@@ -4391,9 +4393,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force is MEASURED in tools/recall_bench.py (IVFPQ rows), not
     assumed."""
     from ..operators.similarity_search import pq_topk
+    from ..sources.bronze import table_num_rows
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2)
+    n = table_num_rows(sf_dir, "embeddings")
+    return pq_topk(
+        e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2,
+        n_vectors=n,
+    )
 
 
 _SPAN_K = 5  # anchor-gram width (words) for repeated-span detection

@@ -79,6 +79,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata, driver-side — zero
+    Spark jobs (a count() job costs ~0.4s of pure scheduling floor on
+    this box). Handles both the single-file testdata layout and
+    directory datasets (e.g. the tools/scale_bench.py corpora)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def with_lineage(df: DataFrame, org_id: str, org_name: str) -> DataFrame:
     """Lineage metadata columns, mirroring the reference connector
     contract (``src/connectors/base.py:151-156``): `_org_id`,

@@ -626,6 +626,24 @@ class TestPq:
         }
         assert got == want
 
+    def test_pq_literals_paths_agree(self, spark, sf_dir):
+        """The TakeOrdered fast path (pq_literals_from_base, the one
+        pq_topk uses) yields the exact floats of the codebook-frame
+        path — any drift would silently de-sync the encode from the
+        oracle's firstks CTE."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            pq_codebook,
+            pq_literals,
+            pq_literals_from_base,
+            wide_base,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = wide_base(e, "vec_id", "embedding", 64)
+        assert pq_literals_from_base(base) == pq_literals(
+            pq_codebook(base)
+        )
+
     def test_topk_ranked_by_adc_and_excludes_self(self, spark, sf_dir):
         from pyspark.sql import functions as F
 
