@@ -95,6 +95,8 @@ ANN_INDEX = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_lsh_multitable",
+    # round 9 newcomer, measured from birth:
+    "ann_rerank_crossencoder",
 ]
 
 

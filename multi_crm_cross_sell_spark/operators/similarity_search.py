@@ -143,6 +143,23 @@ def sql_dot(a: str, b: str, dim: int = DIM) -> str:
     ) + ")"
 
 
+def sql_l1(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB positional L1 distance, i-ascending left-associated
+    adds — the IEEE sequence the rerank Arrow kernel replicates."""
+    return "(" + " + ".join(
+        f"ABS({a}[{i}] - {b}[{i}])" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def sql_sign_agree(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB positional sign-agreement count (#i where a_i·b_i > 0)
+    — exact integer arithmetic, no float-order concerns."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {a}[{i}] * {b}[{i}] > 0 THEN 1 ELSE 0 END)"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
 # --- wide scalar-column layout (the 8 KB JIT cliff fix, see module
 # --- docstring): vectors as dim individual double columns.
 
@@ -1441,6 +1458,109 @@ def pq_topk(
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("adc_nanos"), F.asc("vec_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(wq)).where(
+        F.col("rk") <= k
+    )
+
+
+def rerank_crossencoder(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k_retrieve: int = 20,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Retrieve-then-rerank — the serving-side sibling of the ann_*
+    index family: the IVF index retrieves ``k_retrieve`` candidates
+    per query by cheap cosine, the candidate PAIRS are joined back to
+    their raw vectors (the production shape: the rerank tier fetches
+    payloads for the candidate set only, never the corpus), and an
+    Arrow-batched pairwise scorer re-ranks them to the final ``k``.
+    The scorer here is a deterministic joint-feature kernel — exact
+    retrieval cosine blended with an L1-proximity term and a
+    sign-agreement count, features only computable from BOTH vectors
+    at once, which is precisely the cross-encoder contract (vs the
+    bi-encoder retrieval stage, which scores against precomputed
+    per-vector state). A real deployment swaps the kernel body for a
+    batched model forward pass (ONNX/torch inference over the Arrow
+    batch); every Spark-side piece — candidate generation, the
+    pair-payload joins, the batch shape, the final top-k windows —
+    is exactly what that deployment runs.
+
+    Scale shape: candidates are O(q·k_retrieve) rows, so the rerank
+    joins broadcast the candidate list against the vector store and
+    the kernel sees only that stream — rerank cost is per-candidate,
+    independent of corpus size. Bit-parity discipline as everywhere
+    in this module: i-ascending accumulation for L1, exact integer
+    sign agreement, HALF_UP nano rounding, ties to the lowest vec_id.
+
+    Output: (query_id, vec_id, retrieval_cosine, rerank_score, rk),
+    rk ≤ k per query by rerank_score DESC."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    retrieved = ivf_topk(
+        embeddings,
+        query_pred,
+        k=k_retrieve,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_vectors=n_vectors,
+    ).select("query_id", "vec_id", F.col("cosine").alias("retrieval_cosine"))
+    q = embeddings.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    # Candidate list is tiny — broadcast it through both payload
+    # joins so the vector store streams and nothing shuffles wide.
+    pairs = (
+        F.broadcast(retrieved).join(F.broadcast(q), "query_id").join(v, "vec_id")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            n = Q.shape[0]
+            l1 = np.zeros(n)
+            agree = np.zeros(n, dtype=np.int64)
+            for i in range(dim):
+                l1 += np.abs(Q[:, i] - V[:, i])
+                agree += (Q[:, i] * V[:, i] > 0).astype(np.int64)
+            cos9 = pdf["retrieval_cosine"].to_numpy(dtype=np.float64)
+            score = (
+                0.6 * cos9
+                + 0.25 * (1.0 / (1.0 + l1 / 64.0))
+                + 0.15 * (agree / 64.0)
+            )
+            score9 = _half_up_exact(score * 1e9) / 1e9
+            yield pdf[["query_id", "vec_id", "retrieval_cosine"]].assign(
+                rerank_score=score9
+            )
+
+    scored = pairs.mapInPandas(
+        fn,
+        schema=(
+            "query_id bigint, vec_id bigint,"
+            " retrieval_cosine double, rerank_score double"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("vec_id")
     )
     return scored.withColumn("rk", F.row_number().over(wq)).where(
         F.col("rk") <= k

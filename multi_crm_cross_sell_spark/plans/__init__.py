@@ -97,12 +97,20 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # ops. The three queries whose implementations change this round
 # (ann_pq_topk, incremental_neardup_ingest,
 # cross_sell_recommendations) deliberately stay in-window so
-# CORRECTNESS_r09 proves them green post-change. All parked entries
-# re-verified exact-equality green under tools/check.py in the
-# round-9 closing commit (rule R3).
+# CORRECTNESS_r09 proves them green post-change. One round-9 newcomer
+# (ann_rerank_crossencoder — IVF retrieve → Arrow cross-encoder-shape
+# rerank, the serving-side sibling of the ann_* index family) enters
+# in its birth round per R1; in exchange near_dup_clusters parks per
+# R5(a) — the dedup family keeps minhash_near_dup,
+# exact_dedup_documents and ngram_jaccard_dedup in-window, and the
+# clusters fixpoint stays exercised there through dedup_keep_best /
+# leakage_safe_splits's local checks. All parked entries re-verified
+# exact-equality green under tools/check.py in the round-9 closing
+# commit (rule R3).
 _TAIL = (
     # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
     # (a) family variants whose base / §2 sibling is in-window:
+    "near_dup_clusters",  # dedup family; minhash/exact/ngram stay
     "ann_lsh_multitable",  # ANN family; ann_lsh_topk stays
     "bigram_lm_quality",  # LM-quality family; unigram stays
     "simhash_fingerprints",  # dedup family; minhash + ngram stay

@@ -44,7 +44,9 @@ from ..operators.similarity_search import (
     norm_cols,
     rename_exprs,
     sql_dot,
+    sql_l1,
     sql_plane_dot,
+    sql_sign_agree,
     wide_base,
 )
 from ..sources.bronze import load_table
@@ -4399,6 +4401,109 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_num_rows(sf_dir, "embeddings")
     return pq_topk(
         e, F.col("vec_id") % 100 == 0, k=5, n_centroids=None, nprobe=2,
+        n_vectors=n,
+    )
+
+
+def _rerank_oracle(k_retrieve: int = 20, k: int = 5) -> str:
+    """DuckDB mirror of ann_rerank_crossencoder: the _ivf_oracle
+    retrieval CTEs capped at k_retrieve, then the joint-feature
+    rerank stated positionally (i-ascending L1, integer sign
+    agreement — the exact IEEE/integer sequences the Arrow kernel
+    replicates)."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, v, norm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS qcell
+  FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, p.qnorm, a.v, a.norm
+  FROM probes p JOIN assigned a ON a.cell = p.qcell AND a.vec_id <> p.query_id
+),
+retrieved AS (
+  SELECT query_id, vec_id, qv, v, cosine FROM (
+    SELECT query_id, vec_id, qv, v,
+           ROUND({dd('qv', 'v')} / (qnorm * norm), 9) AS cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY
+             ROUND({dd('qv', 'v')} / (qnorm * norm), 9) DESC, vec_id
+           ) AS rrk
+    FROM cand
+  ) WHERE rrk <= {k_retrieve}
+),
+rer AS (
+  SELECT query_id, vec_id, cosine AS retrieval_cosine,
+         ROUND(
+           0.6 * cosine
+           + 0.25 * (1.0 / (1.0 + {sql_l1('qv', 'v')} / 64.0))
+           + 0.15 * ({sql_sign_agree('qv', 'v')} / 64.0),
+         9) AS rerank_score
+  FROM retrieved
+)
+SELECT query_id, vec_id, retrieval_cosine, rerank_score, rk FROM (
+  SELECT query_id, vec_id, retrieval_cosine, rerank_score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rerank_score DESC, vec_id
+         ) AS INTEGER) AS rk
+  FROM rer
+) WHERE rk <= {k}
+"""
+
+
+@register(
+    "ann_rerank_crossencoder",
+    oracle=_rerank_oracle(),
+    tags=("similarity", "ann", "rerank", "beyond-reference"),
+)
+def ann_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank, the serving-side sibling of the ann_*
+    index family (operators/similarity_search.rerank_crossencoder):
+    the IVF index retrieves 20 candidates per query (bi-encoder tier
+    — per-vector state only), the candidate pairs join back to their
+    raw vectors and an Arrow-batched pairwise kernel re-scores them
+    with joint features (exact cosine + L1 proximity + sign
+    agreement — computable only from BOTH vectors at once, the
+    cross-encoder contract) to a final top-5. A production deployment
+    swaps the kernel body for a batched model forward pass; the
+    candidate generation, pair-payload joins, Arrow batch shape and
+    top-k windows are exactly what it runs. Rerank cost is
+    O(queries·k_retrieve) — independent of corpus size."""
+    from ..operators.similarity_search import rerank_crossencoder
+    from ..sources.bronze import table_num_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    return rerank_crossencoder(
+        e, F.col("vec_id") % 100 == 0, k_retrieve=20, k=5, nprobe=2,
         n_vectors=n,
     )
 

@@ -687,6 +687,81 @@ class TestPq:
             assert codes[vid] == want, vid
 
 
+class TestRerankCrossencoder:
+    """rerank_crossencoder: IVF retrieve → Arrow joint-feature rerank."""
+
+    def _out(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            rerank_crossencoder,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return rerank_crossencoder(
+            e, F.col("vec_id") % 50 == 0, k_retrieve=10, k=3, nprobe=2
+        ).collect()
+
+    def test_topk_shape_and_order(self, spark, sf_dir):
+        rows = self._out(spark, sf_dir)
+        by_q: dict[int, list] = {}
+        for r in rows:
+            assert r.query_id % 50 == 0
+            assert r.vec_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert len(rs) <= 3
+            rs.sort(key=lambda r: r.rk)
+            assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+            # rk follows rerank_score DESC, vec_id ASC
+            keys = [(-r.rerank_score, r.vec_id) for r in rs]
+            assert keys == sorted(keys)
+
+    def test_rerank_subset_of_retrieval(self, spark, sf_dir):
+        """Every reranked pair must come from the IVF retrieval tier
+        with the same parameters — the reranker reorders candidates,
+        it never invents them."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf_topk,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        retrieved = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                e, F.col("vec_id") % 50 == 0, k=10, n_centroids=None, nprobe=2
+            ).collect()
+        }
+        got = {(r.query_id, r.vec_id) for r in self._out(spark, sf_dir)}
+        assert got <= retrieved
+
+    def test_joint_features_match_python(self, spark, sf_dir):
+        """The kernel's rerank_score replicated in pure Python from
+        the raw vectors (same i-ascending L1 accumulation, exact sign
+        agreement, HALF_UP nano rounding)."""
+        rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+        def score(qid, vid, cos9):
+            q, v = vecs[qid], vecs[vid]
+            l1 = 0.0
+            agree = 0
+            for i in range(64):
+                l1 += abs(q[i] - v[i])
+                agree += 1 if q[i] * v[i] > 0 else 0
+            s = 0.6 * cos9 + 0.25 * (1.0 / (1.0 + l1 / 64.0)) + 0.15 * (
+                agree / 64.0
+            )
+            x = s * 1e9
+            import math
+
+            fl = math.floor(x)
+            return (fl + (1 if x - fl >= 0.5 else 0)) / 1e9
+
+        for r in self._out(spark, sf_dir):
+            assert r.rerank_score == score(
+                r.query_id, r.vec_id, r.retrieval_cosine
+            ), (r.query_id, r.vec_id)
+
+
 class TestIncrementalNearDup:
     """incremental_near_dup: asymmetric batch→corpus MinHash probe."""
 
