@@ -413,6 +413,7 @@ def ann_topk(
     n_tables: int = 1,
     hamming_probes: int = 0,
     dim: int = DIM,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Per-query top-k by exact cosine among same-bucket candidates.
 
@@ -441,7 +442,9 @@ def ann_topk(
     from pyspark.sql import Window
 
     if n_planes is None:
-        n_planes = adaptive_n_planes(embeddings.count())
+        n_planes = adaptive_n_planes(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
 
     if n_tables == 1 and hamming_probes == 0 and n_planes * dim <= 600:
         # SHALLOW single-table path (the round-6 plan shape, on the
@@ -530,9 +533,9 @@ def ann_topk(
     # (the round-7 ngram lesson) — without the checkpoint the scan +
     # 64-column unpack + repartition re-ran up to 3x (measured: 3
     # parquet scans in the executed plan at sf0.1; 1 after).
-    base = wide_base(embeddings, id_col, vec_col, dim).localCheckpoint(
-        eager=False
-    )
+    base = wide_base(
+        embeddings, id_col, vec_col, dim, n_rows=n_vectors
+    ).localCheckpoint(eager=False)
     buck = bucket_frame(base, n_planes, n_tables, dim).localCheckpoint(
         eager=False
     )
@@ -605,6 +608,7 @@ def embedding_near_dup_pairs(
     n_planes: int | None = N_PLANES,
     n_tables: int = 1,
     dim: int = DIM,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
     (vectors on the same side of all K hyperplanes), then exact cosine
@@ -622,8 +626,10 @@ def embedding_near_dup_pairs(
     that pairs with the adaptive K, measured in SCALE.md §ANN recall.
     The defaults pin K=8, L=1 for the oracle-checked query."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(embeddings.count())
-    base = wide_base(embeddings, id_col, vec_col, dim)
+        n_planes = adaptive_n_planes(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
+    base = wide_base(embeddings, id_col, vec_col, dim, n_rows=n_vectors)
     # Narrow (vec_id, t, bucket) index frame for any L, explode-first
     # over the wide frame (bucket_frame: the per-table K·dim-term
     # bucket expression blows the 64 KB Janino limit, and two-array

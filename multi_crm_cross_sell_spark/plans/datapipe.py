@@ -580,7 +580,9 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Q·N pair stage's 64-term dot must be scalar-column math or
     # HotSpot never JIT-compiles the fused method and the whole stage
     # runs in the bytecode interpreter (~130x, measured).
-    base = wide_base(e)
+    from ..sources.bronze import table_num_rows
+
+    base = wide_base(e, n_rows=table_num_rows(sf_dir, "embeddings"))
     q = base.where(F.col("vec_id") % 100 == 0).selectExpr(
         "vec_id AS query_id", *rename_exprs("v", "q")
     )
@@ -716,6 +718,8 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     and query-side probes buy back the recall the tighter buckets
     give away (measured curves: SCALE.md §ANN recall). Deterministic
     seeded hyperplanes keep the whole lever stack oracle-checkable."""
+    from ..sources.bronze import table_num_rows
+
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk(
         e,
@@ -724,6 +728,7 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_MT_PLANES,
         n_tables=_MT_TABLES,
         hamming_probes=1,
+        n_vectors=table_num_rows(sf_dir, "embeddings"),
     )
 
 
@@ -1219,8 +1224,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     defect class — while the adaptive form held ~11x. The oracle
     computes all MAX_PLANES bit terms gated on k < K, the
     banded-simhash runtime-width technique."""
+    from ..sources.bronze import table_num_rows
+
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4, n_planes=None)
+    return embedding_near_dup_pairs(
+        e, threshold=0.4, n_planes=None,
+        n_vectors=table_num_rows(sf_dir, "embeddings"),
+    )
 
 
 _ROLL_R = 1_000_003
