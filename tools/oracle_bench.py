@@ -1,7 +1,7 @@
 """Time the DuckDB oracle SQL for registered queries at a given SF.
 
 Usage: python tools/oracle_bench.py [sf_dir] [q1 q2 ...]
-Defaults: /root/testdata/sf0.1, all bench HEADLINE+CURATION queries.
+Defaults: /root/testdata/sf0.1, all bench HEADLINE+CURATION+ANN_INDEX queries.
 Prints `name seconds` (min over $SPARK_GRAFT_BENCH_RUNS, default 3) so
 bench.py walls can be compared against the same-box oracle, matching
 the judge's methodology (VERDICT r7 re-measured the oracle per-box).
@@ -28,7 +28,7 @@ def main() -> None:
     if not names:
         import bench
 
-        names = bench.HEADLINE + bench.CURATION
+        names = bench.HEADLINE + bench.CURATION + bench.ANN_INDEX
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = all_queries()
     con = duck_connect(sf_dir)
