@@ -118,6 +118,11 @@ QUERIES = [
     # scales with the banded near-dup family; the matrix aggregate
     # itself is a handful of source-pair keys at any corpus size.
     "source_overlap_matrix",
+    # Round 9: retrieve-then-rerank — candidate count is q·k_retrieve
+    # (queries grow ∝ n here since query_pred is id % 100), so the
+    # rerank tier stresses the pair-payload joins linearly while the
+    # retrieval tier inherits ann_ivf_topk's scaling.
+    "ann_rerank_crossencoder",
 ]
 
 
