@@ -629,7 +629,17 @@ def embedding_near_dup_pairs(
         n_planes = adaptive_n_planes(
             embeddings.count() if n_vectors is None else n_vectors
         )
-    base = wide_base(embeddings, id_col, vec_col, dim, n_rows=n_vectors)
+    # Lazy checkpoint: four consumers (two bucket-join sides, two
+    # verify sides) otherwise re-plan the scan + 64-column unpack from
+    # the parquet file — the executed plan carried FOUR parquet scans
+    # (plan-audited round 9; the ann_topk deep path had the same
+    # finding in round 7). Measured 1.11 → 0.95s at sf0.1; the wide
+    # frame is the right one to store here (the narrow-checkpoint rule
+    # applies to derived-array frames, not the shared unpack every
+    # consumer needs verbatim).
+    base = wide_base(
+        embeddings, id_col, vec_col, dim, n_rows=n_vectors
+    ).localCheckpoint(eager=False)
     # Narrow (vec_id, t, bucket) index frame for any L, explode-first
     # over the wide frame (bucket_frame: the per-table K·dim-term
     # bucket expression blows the 64 KB Janino limit, and two-array
