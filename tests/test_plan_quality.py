@@ -283,3 +283,43 @@ def test_span_removal_tail_has_no_token_rejoin(spark):
         assert "LeftAnti" not in plan, (name, plan)
         assert len(re.findall(r"Generate ", plan)) <= 2, (name, plan)
         assert "collect_list(struct(pos" not in plan, (name, plan)
+
+
+def test_table_num_rows_matches_spark_count(spark, sf_dir):
+    """The footer-based row count (zero Spark jobs) must agree with a
+    real count for both layouts: the single-file testdata parquet and
+    a Spark-written DIRECTORY dataset (the tools/scale_bench corpora
+    broke the single-file assumption in round 9)."""
+    import os
+    import tempfile
+
+    from multi_crm_cross_sell_spark.sources.bronze import table_num_rows
+
+    want = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert table_num_rows(sf_dir, "documents") == want
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.range(0, 1234, 1, 7).write.mode("overwrite").parquet(
+            os.path.join(tmp, "things.parquet")
+        )
+        assert table_num_rows(tmp, "things") == 1234
+
+
+def test_wide_base_partitions_track_corpus_size(spark, sf_dir):
+    """wide_base(n_rows=...) sizes the frame's partition count as
+    ceil(n/2000) within [8, 2x cores] — the round-9 fix for every
+    index-pipeline job paying 64 tasks regardless of corpus size —
+    and leaves the legacy 2x-cores spread when the caller knows
+    nothing."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        wide_base,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cap = spark.sparkContext.defaultParallelism * 2
+    assert wide_base(e, n_rows=500).rdd.getNumPartitions() == 8
+    assert wide_base(e, n_rows=40_000).rdd.getNumPartitions() == min(
+        cap, 20
+    )
+    assert wide_base(e, n_rows=10**9).rdd.getNumPartitions() == cap
+    assert wide_base(e).rdd.getNumPartitions() == cap
