@@ -851,6 +851,10 @@ def ivf_assign(
     # the query probes key on cent_ix.
     cw = Window.orderBy("cent_id")
     cents = cents.withColumn("cent_ix", F.row_number().over(cw) - 1)
+    # (Round 9 measured and REJECTED localizing cents to a
+    # LocalTableScan via driver collect: the synchronous collect +
+    # per-call re-pickle cost more than the TakeOrdered subplans the
+    # broadcasts re-plan — 1.6 → 1.9s same-session A/B at sf0.1.)
     # ARGMAX AS A PACKED-LONG MAX. Three formulations were measured at
     # the 100x decade (200k vectors x 447 centroids = 89M rows):
     # - row_number window over the wide pair stream: 403s (full
