@@ -227,6 +227,27 @@ def main() -> None:
                     e, pred, k=K_EVAL, n_centroids=None, nprobe=nprobe
                 ),
             )
+        # Retrieve-then-rerank (round 9): candidate recall is the IVF
+        # retrieval tier's; the row measures what the joint-feature
+        # rerank DOES to the final top-k vs pure cosine order — the
+        # serving-quality ledger for the cross-encoder shape.
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            rerank_crossencoder,
+        )
+
+        rr_probes = (2,) if label != "sf1x100" else (4,)
+        for nprobe in rr_probes:
+            run(
+                f"rerank_ivf_k40_p{nprobe}",
+                lambda nprobe=nprobe: rerank_crossencoder(
+                    e,
+                    pred,
+                    k_retrieve=4 * K_EVAL,
+                    k=K_EVAL,
+                    nprobe=nprobe,
+                    n_vectors=n,
+                ),
+            )
     spark.stop()
 
 
