@@ -264,3 +264,60 @@ class TestClusterBalancedSampleBatchProperty:
             kept = [m.vec_id for m in members if m.kept]
             assert len(kept) == min(cap, len(members))
             assert kept == [m.vec_id for m in members[: len(kept)]]
+
+
+class TestPqDnBlockProperties:
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=24,
+            max_size=24,
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_scalar_python_reference(self, vflat, cflat):
+        """The vectorized Arrow dn kernel (one (batch × ks) block per
+        subspace, j-ascending accumulation, exact HALF_UP) must equal
+        the scalar left-to-right Python evaluation — the same IEEE
+        sequence the SQL oracle states positionally. Random float32
+        inputs probe the .5-nano rounding boundaries the real corpus
+        rarely hits."""
+        import math
+
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            _pq_dn_block,
+        )
+
+        ds = 8
+        V = np.array(vflat, dtype=np.float64).reshape(2, ds)
+        C = np.array(cflat, dtype=np.float64).reshape(3, ds)
+        got = _pq_dn_block(V, C, ds)
+        for r in range(2):
+            for c in range(3):
+                d = 0.0
+                for j in range(ds):
+                    t = (V[r, j] - C[c, j]) * (V[r, j] - C[c, j])
+                    d = d + t
+                x = d * 1e9
+                fl = math.floor(x)
+                want = int(fl + (1 if x - fl >= 0.5 else 0))
+                assert got[r, c] == want, (r, c, d)
