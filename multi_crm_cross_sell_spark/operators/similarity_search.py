@@ -963,21 +963,29 @@ def ivf_topk(
         f"ROUND({dot_cols('q', 'c', dim)}"
         f" / ({norm_cols('q', dim)} * {norm_cols('c', dim)}), 9)"
     )
-    q = (
-        base.where(query_pred)
-        .selectExpr("vec_id AS query_id", *rename_exprs("v", "q", dim))
-        .join(F.broadcast(cents), how="cross")
+    qvecs = base.where(query_pred).selectExpr(
+        "vec_id AS query_id", *rename_exprs("v", "q", dim)
+    )
+    # The probe rank runs on the NARROW (query_id, cent_id, cent_sim)
+    # frame and the query vectors re-join AFTER the nprobe cut
+    # (round 9): carrying q_0..q_63 through the window shuffled
+    # queries·c rows of 64 doubles through the sort — ~1.8 GB at the
+    # 100× decade (5k queries × 707 cells) vs ~84 MB narrow. Both
+    # sides of the re-join are the same tiny filtered slice of the
+    # checkpointed base, so the extra join broadcasts.
+    probes = (
+        qvecs.join(F.broadcast(cents), how="cross")
         .select(
             "query_id",
-            *[F.col(f"q_{i}") for i in range(dim)],
             "cent_id",
             F.col("cent_ix").alias("qcell"),
             sim.alias("cent_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", *[f"q_{i}" for i in range(dim)], "qcell")
+        .select("query_id", "qcell")
     )
+    q = probes.join(F.broadcast(qvecs), "query_id")
     cand = F.broadcast(q).join(
         assigned,
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
