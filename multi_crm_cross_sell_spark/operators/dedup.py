@@ -302,8 +302,13 @@ def incremental_near_dup(
     the lowest corpus id) or NULL.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # No implicit count: a caller that does not know the corpus size
+    # gets the LARGE-corpus shape (the proven production default) —
+    # a count() job here would cost the very scheduling floor the
+    # small-corpus branch exists to save. The registered wrapper
+    # threads the parquet-footer count (zero jobs).
     if n_docs is None:
-        n_docs = docs.count()
+        n_docs = CHECKPOINT_MIN_CORPUS
     # Same exchange discipline as near_dup_pairs: spread the scan,
     # bind word hashes in their own projection, materialize gram
     # arrays once for every consumer.

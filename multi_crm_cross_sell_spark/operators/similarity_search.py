@@ -1271,10 +1271,14 @@ def pq_literals_from_base(
     test_pq_literals_paths_agree)."""
     rows = base.orderBy("vec_id").limit(ks).collect()
     ds = dim // n_sub
+    # Corpora smaller than ks degrade to fewer centroids — the same
+    # graceful behavior the codebook-frame path has (its window just
+    # produces fewer rows).
+    ks_eff = min(ks, len(rows))
     return {
         (m, c): [rows[c][f"v_{m * ds + j}"] for j in range(ds)]
         for m in range(n_sub)
-        for c in range(ks)
+        for c in range(ks_eff)
     }
 
 
@@ -1339,6 +1343,7 @@ def pq_encode(
     if isinstance(cb, DataFrame):
         cb = pq_literals(cb, n_sub, ks)
     ds = dim // n_sub
+    ks = 1 + max(c for (_, c) in cb)  # corpora < ks carry fewer centroids
     C = _pq_cb_matrix(cb, n_sub, ks)
     vcols = [f"v_{i}" for i in range(dim)]
     shifts = np.arange(n_sub, dtype=np.int64) * 5
@@ -1406,6 +1411,7 @@ def pq_topk(
     )
     ds = dim // n_sub
     pcs = pq_literals_from_base(base, dim, n_sub, ks)
+    ks = 1 + max(c for (_, c) in pcs)  # graceful under tiny corpora
     codes = pq_encode(base, pcs, dim, n_sub, ks)
 
     # Query probes: nearest nprobe cells, narrow output (the ivf_topk
@@ -1551,10 +1557,13 @@ def rerank_crossencoder(
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
-    # Candidate list is tiny — broadcast it through both payload
-    # joins so the vector store streams and nothing shuffles wide.
-    pairs = (
-        F.broadcast(retrieved).join(F.broadcast(q), "query_id").join(v, "vec_id")
+    # Candidate list is tiny — broadcast the JOINED candidate side
+    # into the store join (hinting only the first join would leave
+    # the second unhinted: Spark shuffles the whole corpus frame v
+    # before AQE can flip it to broadcast), so the vector store
+    # streams and nothing shuffles wide.
+    pairs = F.broadcast(retrieved.join(F.broadcast(q), "query_id")).join(
+        v, "vec_id"
     )
 
     def fn(batches):

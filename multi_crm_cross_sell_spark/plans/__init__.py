@@ -79,7 +79,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # in-window by the flagship), global_rank_topn (W1/W4/W8 — the
 # window family keeps topk_per_group and pagination in-window),
 # label_join (J5/A8) and contract_validation_report (A9-A10/P10).
-# Round-9 rotation (48 parked / 50 in-window / 98 registered):
+# Round-9 rotation (49 parked / 50 in-window / 99 registered):
 # The NINETEEN entries parked since round 7 hit their R2 deadline
 # this round and ALL rejoin the driver window
 # (blocked_similarity_join, event_sliding_windows,
@@ -89,29 +89,32 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # token_counting, rolling_hash_fingerprints,
 # nation_balance_quantiles, jaro_winkler_pairs,
 # normalize_company_names, approx_distinct_stats, event_props_json,
-# er_threshold_sweep, multimodal_features). The twenty-nine round-8
-# parks stay parked one more round (their R2 deadline is round 10).
-# Nineteen round-8-driver-green entries park in exchange, chosen per
-# R5: eight family variants whose base operator (or §2 sibling) is
-# in-window after the rotation, and eleven beyond-reference curation
-# ops. The three queries whose implementations change this round
-# (ann_pq_topk, incremental_neardup_ingest,
-# cross_sell_recommendations) deliberately stay in-window so
-# CORRECTNESS_r09 proves them green post-change. One round-9 newcomer
+# er_threshold_sweep, multimodal_features). The round-8 parks stay
+# parked one more round (R2 deadline round 10) EXCEPT ann_ivf_topk
+# and embedding_near_dup, which rejoin EARLY because their
+# implementations changed this round — every query whose executed
+# plan changed in round 9 sits in-window so CORRECTNESS_r09 proves it
+# green post-change (ann_pq_topk, ann_ivf_topk, ann_lsh_multitable,
+# embedding_near_dup, cosine_topk_bruteforce,
+# incremental_neardup_ingest, cross_sell_recommendations,
+# embedding_int8_quantize stays parked as the ONE exception: its
+# guard rewrite is covered by the local exact-equality sweep and its
+# R2 deadline rejoins it in round 10 anyway). One round-9 newcomer
 # (ann_rerank_crossencoder — IVF retrieve → Arrow cross-encoder-shape
 # rerank, the serving-side sibling of the ann_* index family) enters
-# in its birth round per R1; in exchange near_dup_clusters parks per
-# R5(a) — the dedup family keeps minhash_near_dup,
-# exact_dedup_documents and ngram_jaccard_dedup in-window, and the
-# clusters fixpoint stays exercised there through dedup_keep_best /
-# leakage_safe_splits's local checks. All parked entries re-verified
-# exact-equality green under tools/check.py in the round-9 closing
-# commit (rule R3).
+# in its birth round per R1. In exchange, TWENTY-TWO
+# round-8-driver-green entries park, chosen per R5: eight family
+# variants whose base operator (or §2 sibling) is in-window after
+# the rotation, eleven beyond-reference curation ops, and three §2
+# function rows green in r8 (deterministic_pred_id F20,
+# ab_bucket_allocation F21/ML15, domain_extraction F3 — parked one
+# round to make room for the early rejoins, deadline r11). All
+# parked entries re-verified exact-equality green under
+# tools/check.py in the round-9 closing commit (rule R3).
 _TAIL = (
     # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
     # (a) family variants whose base / §2 sibling is in-window:
     "near_dup_clusters",  # dedup family; minhash/exact/ngram stay
-    "ann_lsh_multitable",  # ANN family; ann_lsh_topk stays
     "bigram_lm_quality",  # LM-quality family; unigram stays
     "simhash_fingerprints",  # dedup family; minhash + ngram stay
     "repeated_span_removal",  # span family; repeated_span_stats stays
@@ -131,11 +134,15 @@ _TAIL = (
     "source_overlap_matrix",
     "cluster_balanced_sample",
     "textrank_keywords",
+    # (c) §2 function rows green in r8 (room for the early rejoins):
+    "deterministic_pred_id",  # F20
+    "ab_bucket_allocation",  # F21/ML15
+    "domain_extraction",  # F3
     # -- parked round 8 (driver-green r7), per R5; R2 deadline = r10 --
     # (a) family variants whose base stays in-window:
     "ngram_jaccard_dedup_idf",  # idf variant; ngram_jaccard_dedup stays
-    "ann_ivf_topk",  # ANN family; ann_lsh_topk + multitable in window
-    "embedding_near_dup",  # dedup family; minhash + ngram stay
+    # (ann_ivf_topk and embedding_near_dup rejoined EARLY in round 9 —
+    #  their implementations changed; see the rotation note above)
     # (b) beyond-reference curation/OLAP ops (r7 driver-green):
     "dataset_mix_downsample",
     "dataset_split_assignments",

@@ -2696,13 +2696,20 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that matters when quantizing 10^11 vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     # The maxabs > 0 guard, expressed on the INPUT side as "any
-    # nonzero element" via non-lambda collection expressions: a
-    # where() on the maxabs alias would be pushed below the projection
-    # with the whole transform tree inlined into the Filter node,
-    # re-evaluating the lambda interpreted per row (plan_audit W1).
-    # array_remove/size stay codegen'd and pushdown-safe.
+    # nonzero NON-NULL element" via non-lambda collection expressions:
+    # a where() on the maxabs alias would be pushed below the
+    # projection with the whole transform tree inlined into the Filter
+    # node, re-evaluating the lambda interpreted per row (plan_audit
+    # W1). array_compact drops NULL elements (array_remove keeps
+    # them), so a row like [0.0, NULL] is excluded exactly as the
+    # oracle's WHERE maxabs > 0 excludes it (array_max/LIST_MAX skip
+    # NULLs, so its maxabs is 0.0). All three stay codegen'd and
+    # pushdown-safe.
     with_max = (
-        e.where(F.size(F.array_remove("embedding", F.lit(0.0))) > 0)
+        e.where(
+            F.size(F.array_compact(F.array_remove("embedding", F.lit(0.0))))
+            > 0
+        )
         .select(
             "vec_id",
             "embedding",

@@ -753,8 +753,16 @@ class TestRerankCrossencoder:
             x = s * 1e9
             import math
 
-            fl = math.floor(x)
-            return (fl + (1 if x - fl >= 0.5 else 0)) / 1e9
+            # HALF AWAY FROM ZERO on both signs (the kernel's
+            # _half_up_exact / DuckDB ROUND semantics) — a floor-based
+            # reference would round negative .5 ties the wrong way,
+            # and rerank_score CAN be negative (cosine dominates for
+            # anti-correlated vectors).
+            if x >= 0.0:
+                fl = math.floor(x)
+                return (fl + (1 if x - fl >= 0.5 else 0)) / 1e9
+            ce = math.ceil(x)
+            return (ce - (1 if ce - x >= 0.5 else 0)) / 1e9
 
         for r in self._out(spark, sf_dir):
             assert r.rerank_score == score(
@@ -840,12 +848,15 @@ class TestIncrementalNearDup:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan ExistingRDD") >= 2  # both band sides
         assert "array_min" not in plan
-        # SMALL-corpus shape (adaptive default at test scale): the
-        # gram-array frame itself is checkpointed — the md5 word-hash
-        # pipeline never appears in the main plan (all four consumers
-        # ride the ExistingRDD); the cheap signature mins run above it
-        # per band side, summing to one corpus pass.
-        df2 = incremental_near_dup(docs, threshold=0.6, batch_mod=10)
+        # SMALL-corpus shape (explicit n_docs — without it the
+        # operator takes the large shape rather than paying a count
+        # job): the gram-array frame itself is checkpointed — the md5
+        # word-hash pipeline never appears in the main plan (all four
+        # consumers ride the ExistingRDD); the cheap signature mins
+        # run above it per band side, summing to one corpus pass.
+        df2 = incremental_near_dup(
+            docs, threshold=0.6, batch_mod=10, n_docs=docs.count()
+        )
         df2.collect()
         plan2 = df2._jdf.queryExecution().executedPlan().toString()
         assert plan2.count("Scan ExistingRDD") >= 2
