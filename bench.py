@@ -84,6 +84,8 @@ CURATION = [
     "leakage_safe_splits",
     "cluster_balanced_sample",
     "source_overlap_matrix",
+    # Round 9 newcomer, measured from birth:
+    "prototypicality_pruning",
 ]
 
 # Third section (round 9): the ANN INDEX family. ann_lsh_topk has

@@ -102,7 +102,12 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # R2 deadline rejoins it in round 10 anyway). One round-9 newcomer
 # (ann_rerank_crossencoder — IVF retrieve → Arrow cross-encoder-shape
 # rerank, the serving-side sibling of the ann_* index family) enters
-# in its birth round per R1. In exchange, TWENTY-TWO
+# in its birth round per R1; a second (prototypicality_pruning —
+# Sorscher et al. 2022 cluster-prototype data pruning on the shared
+# IVF cells) likewise, with ngram_jaccard_dedup parking per R5(a) —
+# the dedup family keeps exact_dedup_documents, minhash_near_dup,
+# embedding_near_dup AND incremental_neardup_ingest in-window.
+# In exchange for the rest, TWENTY-TWO
 # round-8-driver-green entries park, chosen per R5: eight family
 # variants whose base operator (or §2 sibling) is in-window after
 # the rotation, eleven beyond-reference curation ops, and three §2
@@ -114,7 +119,8 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 _TAIL = (
     # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
     # (a) family variants whose base / §2 sibling is in-window:
-    "near_dup_clusters",  # dedup family; minhash/exact/ngram stay
+    "near_dup_clusters",  # dedup family; minhash/exact stay
+    "ngram_jaccard_dedup",  # dedup family; 4 in-window siblings
     "bigram_lm_quality",  # LM-quality family; unigram stays
     "simhash_fingerprints",  # dedup family; minhash + ngram stay
     "repeated_span_removal",  # span family; repeated_span_stats stays

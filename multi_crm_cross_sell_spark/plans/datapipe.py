@@ -4287,6 +4287,126 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prototypicality_oracle() -> str:
+    """DuckDB mirror of prototypicality_pruning: the shared adaptive
+    IVF assignment CTEs, the winner's cent_sim carried through, then a
+    per-cell prototypicality rank against the floor(|cell|/4) prune
+    count."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell, proto_sim FROM (
+    SELECT vec_id, cent_id AS cell, cent_sim AS proto_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell, proto_sim,
+         COUNT(*) OVER (PARTITION BY cell) AS cell_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY proto_sim DESC, vec_id
+         ) AS rnk
+  FROM assigned
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, proto_sim,
+       CAST(rnk AS BIGINT) AS cell_rank,
+       rnk > cell_size // 4 AS kept
+FROM ranked
+"""
+
+
+@register(
+    "prototypicality_pruning",
+    oracle=_prototypicality_oracle(),
+    tags=("pruning", "embedding", "curation", "beyond-reference"),
+)
+def prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws"): cluster the
+    embedding space (the shared adaptive IVF cells —
+    operators/similarity_search.ivf_assign, c = isqrt(n) deterministic
+    codebook), score every example by its cosine to the ASSIGNED
+    centroid (the self-supervised prototypicality metric), and prune
+    the floor(|cell|/4) MOST prototypical examples per cell — easy,
+    redundant examples near cluster centers teach large models least,
+    so keeping the hard quartile-complement beats random pruning at
+    scale (the paper's abundant-data regime). The complement of
+    cluster_balanced_sample's diversity cap: that keeps a bounded
+    sample per REGION; this ranks by INFORMATIVENESS within a region.
+
+    Scale shape: the assignment is the measured ivf_assign kernel
+    (one Arrow pass ≥8k vectors); the winner's similarity is ONE
+    positional scalar-column dot against the broadcast codebook; the
+    rank is a window over (cell) — narrow rows, isqrt-sized
+    partitions, same class as cluster_balanced_sample."""
+    from ..operators.similarity_search import (
+        adaptive_codebook,
+        dot_cols,
+        ivf_assign,
+        norm_cols,
+    )
+    from ..sources.bronze import table_num_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    c, impl = adaptive_codebook(n)
+    base, cents, assigned = ivf_assign(
+        emb, n_centroids=c, impl=impl, n_rows=n
+    )
+    # Winner similarity: re-join the assigned centroid (broadcast,
+    # c rows) and take one positional dot over scalar columns — the
+    # argmax kernel discards the sim, and recomputing ONE dot per row
+    # is cheaper than carrying it through the packed-long max.
+    sim = F.expr(
+        f"ROUND({dot_cols('v', 'c', 64)}"
+        f" / ({norm_cols('v', 64)} * {norm_cols('c', 64)}), 9)"
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(cents), assigned.cell == cents.cent_ix
+        )
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            sim.alias("proto_sim"),
+        )
+    )
+    w_rk = Window.partitionBy("cell").orderBy(
+        F.desc("proto_sim"), F.asc("vec_id")
+    )
+    w_sz = Window.partitionBy("cell")
+    return scored.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "proto_sim",
+        F.row_number().over(w_rk).cast("bigint").alias("cell_rank"),
+        (
+            F.row_number().over(w_rk)
+            > F.expr("count(*) OVER (PARTITION BY cell) DIV 4")
+        ).alias("kept"),
+    )
+
+
 def _pq_oracle(n_sub: int = 8, ks: int = 16, k: int = 5) -> str:
     """DuckDB mirror of ann_pq_topk: the _ivf_oracle assignment CTEs
     for candidate pruning, plus the PQ codebook / encode / ADC stages

@@ -990,3 +990,49 @@ class TestSourceOverlapMatrix:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "array_min" not in plan
         assert "array_intersect" not in plan
+
+
+class TestPrototypicalityPruning:
+    def _rows(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        return all_queries()["prototypicality_pruning"].fn(
+            spark, sf_dir
+        ).collect()
+
+    def test_prunes_exact_quartile_per_cell(self, spark, sf_dir):
+        from collections import defaultdict
+
+        by_cell = defaultdict(list)
+        for r in self._rows(spark, sf_dir):
+            by_cell[r.cell].append(r)
+        assert by_cell
+        for cell, rs in by_cell.items():
+            pruned = [r for r in rs if not r.kept]
+            assert len(pruned) == len(rs) // 4, cell
+            # ranks are a contiguous 1..n permutation and the pruned
+            # set is exactly the top-ranked (most prototypical) slice
+            ranks = sorted(r.cell_rank for r in rs)
+            assert ranks == list(range(1, len(rs) + 1)), cell
+            assert sorted(r.cell_rank for r in pruned) == list(
+                range(1, len(pruned) + 1)
+            ), cell
+            # rank order follows (proto_sim DESC, vec_id ASC)
+            rs.sort(key=lambda r: r.cell_rank)
+            keys = [(-r.proto_sim, r.vec_id) for r in rs]
+            assert keys == sorted(keys), cell
+
+    def test_cells_match_cluster_balanced_sample(self, spark, sf_dir):
+        """Both operators ride the SAME ivf_assign codebook, so their
+        per-vector cell assignments must be identical — a drift here
+        would mean the shared adaptive gate forked."""
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        cbs = {
+            r.vec_id: r.cell
+            for r in all_queries()["cluster_balanced_sample"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        got = {r.vec_id: r.cell for r in self._rows(spark, sf_dir)}
+        assert got == cbs

@@ -118,6 +118,10 @@ QUERIES = [
     # scales with the banded near-dup family; the matrix aggregate
     # itself is a handful of source-pair keys at any corpus size.
     "source_overlap_matrix",
+    # Round 9: cluster-prototype pruning — the ivf_assign kernel plus
+    # one broadcast-dot and a per-cell window; cluster_balanced_sample
+    # scaling class.
+    "prototypicality_pruning",
     # Round 9: retrieve-then-rerank — candidate count is q·k_retrieve
     # (queries grow ∝ n here since query_pred is id % 100), so the
     # rerank tier stresses the pair-payload joins linearly while the
