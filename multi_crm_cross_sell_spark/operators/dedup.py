@@ -300,6 +300,13 @@ def incremental_near_dup(
     (doc_id, matched_doc, jaccard, is_novel) where matched_doc is the
     best corpus match (highest verified Jaccard ≥ threshold, ties to
     the lowest corpus id) or NULL.
+
+    ``n_docs``: corpus size known to the caller (e.g. from the
+    parquet footer — sources.bronze.table_num_rows). Selects WHERE
+    the one pipeline materialization sits (see the branch comment
+    below); omitted ⇒ the large-corpus shape, NOT a count() job —
+    output is bit-identical either way, but small-corpus callers
+    that omit it forgo a measured ~0.4s of scheduling floor.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
     # No implicit count: a caller that does not know the corpus size

@@ -1342,8 +1342,13 @@ def pq_encode(
 
     if isinstance(cb, DataFrame):
         cb = pq_literals(cb, n_sub, ks)
+    if not cb:
+        raise ValueError("pq_encode: empty codebook (no vectors?)")
     ds = dim // n_sub
-    ks = 1 + max(c for (_, c) in cb)  # corpora < ks carry fewer centroids
+    # Clamp (never override) the caller's ks: corpora smaller than ks
+    # carry fewer centroids, while an explicit smaller ks keeps
+    # meaning "encode against the first ks centroids".
+    ks = min(ks, 1 + max(c for (_, c) in cb))
     C = _pq_cb_matrix(cb, n_sub, ks)
     vcols = [f"v_{i}" for i in range(dim)]
     shifts = np.arange(n_sub, dtype=np.int64) * 5
@@ -1411,7 +1416,9 @@ def pq_topk(
     )
     ds = dim // n_sub
     pcs = pq_literals_from_base(base, dim, n_sub, ks)
-    ks = 1 + max(c for (_, c) in pcs)  # graceful under tiny corpora
+    if not pcs:
+        raise ValueError("pq_topk: empty corpus")
+    ks = min(ks, 1 + max(c for (_, c) in pcs))  # graceful tiny corpora
     codes = pq_encode(base, pcs, dim, n_sub, ks)
 
     # Query probes: nearest nprobe cells, narrow output (the ivf_topk

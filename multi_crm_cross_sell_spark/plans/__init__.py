@@ -79,7 +79,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # in-window by the flagship), global_rank_topn (W1/W4/W8 — the
 # window family keeps topk_per_group and pagination in-window),
 # label_join (J5/A8) and contract_validation_report (A9-A10/P10).
-# Round-9 rotation (49 parked / 50 in-window / 99 registered):
+# Round-9 rotation (50 parked / 50 in-window / 100 registered):
 # The NINETEEN entries parked since round 7 hit their R2 deadline
 # this round and ALL rejoin the driver window
 # (blocked_similarity_join, event_sliding_windows,
@@ -107,7 +107,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # IVF cells) likewise, with ngram_jaccard_dedup parking per R5(a) —
 # the dedup family keeps exact_dedup_documents, minhash_near_dup,
 # embedding_near_dup AND incremental_neardup_ingest in-window.
-# In exchange for the rest, TWENTY-TWO
+# In exchange for the rest, TWENTY-THREE
 # round-8-driver-green entries park, chosen per R5: eight family
 # variants whose base operator (or §2 sibling) is in-window after
 # the rotation, eleven beyond-reference curation ops, and three §2
@@ -122,7 +122,7 @@ _TAIL = (
     "near_dup_clusters",  # dedup family; minhash/exact stay
     "ngram_jaccard_dedup",  # dedup family; 4 in-window siblings
     "bigram_lm_quality",  # LM-quality family; unigram stays
-    "simhash_fingerprints",  # dedup family; minhash + ngram stay
+    "simhash_fingerprints",  # dedup family; minhash stays
     "repeated_span_removal",  # span family; repeated_span_stats stays
     "decontamination_span_removal",  # span family; stats stays
     "document_bpe_ids",  # BPE family; bpe_vocab stays
@@ -146,7 +146,8 @@ _TAIL = (
     "domain_extraction",  # F3
     # -- parked round 8 (driver-green r7), per R5; R2 deadline = r10 --
     # (a) family variants whose base stays in-window:
-    "ngram_jaccard_dedup_idf",  # idf variant; ngram_jaccard_dedup stays
+    "ngram_jaccard_dedup_idf",  # idf variant (NOTE: the base also
+    #   parked in r9 — BOTH n-gram Jaccard rows must rejoin in r10)
     # (ann_ivf_topk and embedding_near_dup rejoined EARLY in round 9 —
     #  their implementations changed; see the rotation note above)
     # (b) beyond-reference curation/OLAP ops (r7 driver-green):

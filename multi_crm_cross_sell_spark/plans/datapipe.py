@@ -4395,15 +4395,19 @@ def prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("proto_sim"), F.asc("vec_id")
     )
     w_sz = Window.partitionBy("cell")
-    return scored.select(
+    ranked = scored.select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
         "proto_sim",
         F.row_number().over(w_rk).cast("bigint").alias("cell_rank"),
-        (
-            F.row_number().over(w_rk)
-            > F.expr("count(*) OVER (PARTITION BY cell) DIV 4")
-        ).alias("kept"),
+        F.count("*").over(w_sz).alias("cell_size"),
+    )
+    return ranked.select(
+        "vec_id",
+        "cell",
+        "proto_sim",
+        "cell_rank",
+        (F.col("cell_rank") > F.expr("cell_size DIV 4")).alias("kept"),
     )
 
 
