@@ -84,8 +84,9 @@ CURATION = [
     "leakage_safe_splits",
     "cluster_balanced_sample",
     "source_overlap_matrix",
-    # Round 9 newcomer, measured from birth:
+    # Round 9 newcomers, measured from birth:
     "prototypicality_pruning",
+    "d4_selection",
 ]
 
 # Third section (round 9): the ANN INDEX family. ann_lsh_topk has

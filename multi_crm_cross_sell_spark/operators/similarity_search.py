@@ -1086,6 +1086,8 @@ def semantic_dedup_frame(
     centroids: str = "first",
     dim: int = DIM,
     impl: str = "auto",
+    preassigned: "tuple[DataFrame, DataFrame, DataFrame] | None" = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then compare
@@ -1125,9 +1127,10 @@ def semantic_dedup_frame(
     # 200k; the threshold sits at 50k. The count doubles as the
     # adaptive-c input so ivf_assign does not recount.
     assign_impl = "arrow"
-    n = None
+    n = n_rows
     if impl == "auto" or n_centroids is None:
-        n = embeddings.count()
+        if n is None:
+            n = embeddings.count()
         if impl == "auto":
             impl = "arrow" if n >= 50_000 else "join"
         # Third adaptive switch off the same count: the ASSIGNMENT
@@ -1144,10 +1147,18 @@ def semantic_dedup_frame(
         if n_centroids is None:
             n_centroids = auto_c
         assign_impl = auto_impl
-    base, cents, assigned = ivf_assign(
-        embeddings, n_centroids, id_col, vec_col, centroids, dim,
-        impl=assign_impl, n_rows=n,
-    )
+    # ``preassigned``: a (base, cents, assigned) trio from a caller
+    # that already ran ivf_assign on the SAME corpus/codebook (the D4
+    # composition shares one assignment between its SemDeDup and
+    # prototype stages) — values are identical either way, this only
+    # avoids a second assignment pass.
+    if preassigned is not None:
+        base, cents, assigned = preassigned
+    else:
+        base, cents, assigned = ivf_assign(
+            embeddings, n_centroids, id_col, vec_col, centroids, dim,
+            impl=assign_impl, n_rows=n,
+        )
     if impl == "arrow":
         return _semdedup_cells_arrow(assigned, threshold, dim)
     # LAZY RDD PERSIST before the self-join: the two join sides are

@@ -79,7 +79,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # in-window by the flagship), global_rank_topn (W1/W4/W8 — the
 # window family keeps topk_per_group and pagination in-window),
 # label_join (J5/A8) and contract_validation_report (A9-A10/P10).
-# Round-9 rotation (50 parked / 50 in-window / 100 registered):
+# Round-9 rotation (51 parked / 50 in-window / 101 registered):
 # The NINETEEN entries parked since round 7 hit their R2 deadline
 # this round and ALL rejoin the driver window
 # (blocked_similarity_join, event_sliding_windows,
@@ -106,8 +106,11 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # Sorscher et al. 2022 cluster-prototype data pruning on the shared
 # IVF cells) likewise, with ngram_jaccard_dedup parking per R5(a) —
 # the dedup family keeps exact_dedup_documents, minhash_near_dup,
-# embedding_near_dup AND incremental_neardup_ingest in-window.
-# In exchange for the rest, TWENTY-THREE
+# embedding_near_dup AND incremental_neardup_ingest in-window; a
+# third (d4_selection — Tirumala et al. 2023 SemDeDup→prototype
+# composition over one shared assignment) likewise, with
+# document_token_ids parking per R5(a) — bpe_vocab keeps the
+# tokenizer row in-window. In exchange for the rest, TWENTY-FOUR
 # round-8-driver-green entries park, chosen per R5: eight family
 # variants whose base operator (or §2 sibling) is in-window after
 # the rotation, eleven beyond-reference curation ops, and three §2
@@ -121,6 +124,7 @@ _TAIL = (
     # (a) family variants whose base / §2 sibling is in-window:
     "near_dup_clusters",  # dedup family; minhash/exact stay
     "ngram_jaccard_dedup",  # dedup family; 4 in-window siblings
+    "document_token_ids",  # tokenizer family; bpe_vocab stays
     "bigram_lm_quality",  # LM-quality family; unigram stays
     "simhash_fingerprints",  # dedup family; minhash stays
     "repeated_span_removal",  # span family; repeated_span_stats stays

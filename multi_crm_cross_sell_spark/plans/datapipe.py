@@ -4411,6 +4411,149 @@ def prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d4_oracle(tau: float = _SEMDEDUP_TAU) -> str:
+    """DuckDB mirror of d4_selection: the shared IVF assignment CTEs
+    carrying the winner's cent_sim, the SemDeDup lower-id-neighbor
+    drop at the SAME tau as semantic_dedup, then the prototype rank
+    over the SURVIVORS of each cell against floor(survivors/4)."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, norm, cell, proto_sim FROM (
+    SELECT vec_id, v, norm, cent_id AS cell, cent_sim AS proto_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE ROUND({dd('a.v', 'b.v')} / (a.norm * b.norm), 9) >= {tau}
+),
+survivors AS (
+  SELECT s.vec_id, s.cell, s.proto_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.cell ORDER BY s.proto_sim DESC, s.vec_id
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY s.cell) AS n_surv
+  FROM assigned s ANTI JOIN dropped d ON s.vec_id = d.vec_id
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.proto_sim,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'semdedup_duplicate'
+            WHEN s.rnk <= s.n_surv // 4 THEN 'prototype_pruned'
+            ELSE 'kept' END AS decision,
+       d.vec_id IS NULL AND s.rnk > s.n_surv // 4 AS kept
+FROM assigned a
+LEFT JOIN dropped d ON a.vec_id = d.vec_id
+LEFT JOIN survivors s ON a.vec_id = s.vec_id
+"""
+
+
+@register(
+    "d4_selection",
+    oracle=_d4_oracle(),
+    tags=("pruning", "dedup", "embedding", "curation", "beyond-reference"),
+)
+def d4_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 data selection (Tirumala et al. 2023, arXiv:2308.12284
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): SemDeDup first (drop every vector with a
+    lower-id in-cell neighbor at cosine ≥ τ — Abbas et al. 2023),
+    then SSL-prototype pruning over the SURVIVORS (drop the
+    floor(survivors/4) most prototypical examples per cell —
+    Sorscher et al. 2022), both stages over ONE shared adaptive IVF
+    assignment. The paper's finding is that the two prunes COMPOSE:
+    dedup removes redundancy, prototype pruning removes easiness,
+    and the selection beats either alone at LLM pretraining scale.
+    Per-vector decision: semdedup_duplicate / prototype_pruned /
+    kept.
+
+    Scale shape: ivf_assign runs ONCE (semantic_dedup_frame's
+    ``preassigned`` hook); stage 1 is the measured SemDeDup pass
+    (per-cell Arrow blocks ≥50k vectors, cell self-join below);
+    stage 2 adds one broadcast-dot and a per-cell window over
+    survivor rows — the prototypicality_pruning shape on a filtered
+    frame."""
+    from ..operators.similarity_search import (
+        adaptive_codebook,
+        dot_cols,
+        ivf_assign,
+        norm_cols,
+        semantic_dedup_frame,
+    )
+    from ..sources.bronze import table_num_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    c, assign_impl = adaptive_codebook(n)
+    trio = ivf_assign(emb, n_centroids=c, impl=assign_impl, n_rows=n)
+    base, cents, assigned = trio
+    sem = semantic_dedup_frame(
+        emb,
+        threshold=_SEMDEDUP_TAU,
+        n_centroids=c,
+        impl=("arrow" if n >= 50_000 else "join"),
+        preassigned=trio,
+        n_rows=n,
+    ).select("vec_id", "kept")
+    sim = F.expr(
+        f"ROUND({dot_cols('v', 'c', 64)}"
+        f" / ({norm_cols('v', 64)} * {norm_cols('c', 64)}), 9)"
+    )
+    scored = (
+        assigned.join(F.broadcast(cents), assigned.cell == cents.cent_ix)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            sim.alias("proto_sim"),
+        )
+        .join(sem, "vec_id")
+    )
+    w_rk = Window.partitionBy("cell").orderBy(
+        F.desc("proto_sim"), F.asc("vec_id")
+    )
+    w_sz = Window.partitionBy("cell")
+    surv = scored.where(F.col("kept")).select(
+        "vec_id",
+        F.row_number().over(w_rk).cast("bigint").alias("rnk"),
+        F.count("*").over(w_sz).alias("n_surv"),
+    )
+    return (
+        scored.join(surv, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "proto_sim",
+            F.when(~F.col("kept"), "semdedup_duplicate")
+            .when(F.col("rnk") <= F.expr("n_surv DIV 4"), "prototype_pruned")
+            .otherwise("kept")
+            .alias("decision"),
+            (F.col("kept") & (F.col("rnk") > F.expr("n_surv DIV 4"))).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 def _pq_oracle(n_sub: int = 8, ks: int = 16, k: int = 5) -> str:
     """DuckDB mirror of ann_pq_topk: the _ivf_oracle assignment CTEs
     for candidate pruning, plus the PQ codebook / encode / ADC stages

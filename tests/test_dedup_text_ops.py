@@ -1036,3 +1036,52 @@ class TestPrototypicalityPruning:
         }
         got = {r.vec_id: r.cell for r in self._rows(spark, sf_dir)}
         assert got == cbs
+
+
+class TestD4Selection:
+    def _rows(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        return all_queries()["d4_selection"].fn(spark, sf_dir).collect()
+
+    def test_composes_its_two_parents(self, spark, sf_dir):
+        """Stage 1 must equal semantic_dedup's verdicts exactly, and
+        within survivors the per-cell prune count must be
+        floor(survivors/4) — the D4 contract of composing SemDeDup
+        with prototype pruning over one assignment."""
+        from collections import defaultdict
+
+        from multi_crm_cross_sell_spark.plans import all_queries
+
+        sem = {
+            r.vec_id: r.kept
+            for r in all_queries()["semantic_dedup"].fn(spark, sf_dir).collect()
+        }
+        rows = self._rows(spark, sf_dir)
+        by_cell = defaultdict(list)
+        for r in rows:
+            assert (r.decision == "semdedup_duplicate") == (not sem[r.vec_id])
+            if r.decision != "semdedup_duplicate":
+                by_cell[r.cell].append(r)
+        for cell, rs in by_cell.items():
+            pruned = [r for r in rs if r.decision == "prototype_pruned"]
+            kept = [r for r in rs if r.decision == "kept"]
+            assert len(pruned) == len(rs) // 4, cell
+            assert all(r.kept for r in kept) and not any(
+                r.kept for r in pruned
+            )
+            # pruned are the MOST prototypical survivors of the cell
+            if pruned and kept:
+                worst_pruned = min((r.proto_sim, -r.vec_id) for r in pruned)
+                best_kept = max((r.proto_sim, -r.vec_id) for r in kept)
+                assert worst_pruned >= best_kept, cell
+
+    def test_decisions_partition_the_corpus(self, spark, sf_dir):
+        rows = self._rows(spark, sf_dir)
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert len(rows) == n
+        assert {r.decision for r in rows} <= {
+            "semdedup_duplicate",
+            "prototype_pruned",
+            "kept",
+        }

@@ -122,6 +122,10 @@ QUERIES = [
     # one broadcast-dot and a per-cell window; cluster_balanced_sample
     # scaling class.
     "prototypicality_pruning",
+    # Round 9: the D4 composition — one shared assignment feeding the
+    # SemDeDup pass and the survivor prototype rank; scaling is the
+    # max of its two parents.
+    "d4_selection",
     # Round 9: retrieve-then-rerank — candidate count is q·k_retrieve
     # (queries grow ∝ n here since query_pred is id % 100), so the
     # rerank tier stresses the pair-payload joins linearly while the
