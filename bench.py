@@ -194,14 +194,65 @@ def main() -> None:
     except Exception:
         payload = {}
 
+    # SAME-SESSION DuckDB oracle pass (round-9 verdict item): this
+    # box's speed drifts between sessions (steal time hits the JVM far
+    # harder than DuckDB's scan loop), so a spark-vs-oracle ratio is
+    # only meaningful when both sides are measured in the SAME session
+    # minutes apart. min-of-3 per query, matching the judge's
+    # tools/oracle_bench.py methodology.
+    oracle_timings: dict[str, float] = {}
+    try:
+        from tools.check import duck_connect
+
+        con = duck_connect(sf_dir)
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for name in HEADLINE + CURATION + ANN_INDEX:
+            q = qs.get(name)
+            if q is None or not q.oracle:
+                continue
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(q.oracle).fetchall()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None or dt < best else best
+            oracle_timings[name] = best
+    except Exception:
+        pass
+
+    def _sec_totals(names: list[str], book: dict[str, float]) -> tuple[float, float]:
+        spark_t = sum(book.values())
+        # ratio over the queries present on BOTH sides only, so a
+        # missing oracle cannot skew the comparison
+        both = [n for n in names if n in book and n in oracle_timings]
+        return (
+            round(sum(oracle_timings[n] for n in both), 3),
+            round(spark_t / max(1e-9, sum(oracle_timings[n] for n in both)), 3),
+        )
+
+    head_oracle, head_ratio = _sec_totals(HEADLINE, timings)
+    cur_oracle, cur_ratio = _sec_totals(CURATION, cur_timings)
+    ann_oracle, ann_ratio = _sec_totals(ANN_INDEX, ann_timings)
+
+    # Totals FIRST in the one JSON line: the driver's capture has
+    # truncated the (long) line mid-stream before (BENCH_r09 recorded
+    # "parsed": null) — leading with the scalars keeps the headline
+    # numbers human-recoverable from a truncated prefix, and the big
+    # per-query dicts ride at the tail.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "oracle_total": head_oracle,
+                "ratio_vs_oracle": head_ratio,
                 "curation_total": round(sum(cur_timings.values()), 3),
+                "curation_oracle_total": cur_oracle,
+                "curation_ratio": cur_ratio,
+                "ann_index_total": round(sum(ann_timings.values()), 3),
+                "ann_index_oracle_total": ann_oracle,
+                "ann_index_ratio": ann_ratio,
                 "curation_total_r7_subset": round(
                     sum(
                         cur_timings[n]
@@ -210,11 +261,12 @@ def main() -> None:
                     ),
                     3,
                 ),
-                "curation_queries": cur_timings,
-                "ann_index_total": round(sum(ann_timings.values()), 3),
-                "ann_index_queries": ann_timings,
-                "decon_broadcast_payload": payload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+                "curation_queries": cur_timings,
+                "ann_index_queries": ann_timings,
+                "oracle_queries": oracle_timings,
+                "decon_broadcast_payload": payload,
             }
         )
     )

@@ -467,21 +467,26 @@ def ann_topk(
             f"{id_col} AS vec_id", f"{vec_col} AS _vec"
         )
         # Repartition ONLY when the corpus is big enough for the
-        # probe stage to need multi-core parallelism: the decision
-        # reads the optimizer's size estimate (planning-time, no
-        # job). Below the threshold the probe fuses straight onto
-        # the scan — one less exchange and one less AQE round
-        # (measured 0.97s -> 0.79s at sf0.1); above it (the 100x
-        # decade: ~51 MB of vectors in one parquet split) the
-        # explicit hash repartition restores the 32-way CPU spread
-        # the byte-based file splitter would not provide.
-        try:
-            nbytes = int(
-                raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            nbytes = 1 << 60
-        if nbytes > 32 * 1024 * 1024:
+        # probe stage to need multi-core parallelism. The decision
+        # prefers the caller-known footer row count (zero py4j /
+        # optimizer work); the optimizer's planning-time size
+        # estimate is the fallback. Below the threshold the probe
+        # fuses straight onto the scan — one less exchange and one
+        # less AQE round (measured 0.97s -> 0.79s at sf0.1); above
+        # it (the 100x decade: ~51 MB of vectors in one parquet
+        # split) the explicit hash repartition restores the 32-way
+        # CPU spread the byte-based file splitter would not provide.
+        if n_vectors is not None:
+            nbytes = n_vectors * (dim * 8 + 16)
+        else:
+            try:
+                nbytes = int(
+                    raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                nbytes = 1 << 60
+        small = nbytes <= 32 * 1024 * 1024
+        if not small:
             raw = raw.repartition(n_parts, F.col("vec_id"))
         bb = raw.selectExpr(
             "vec_id", *unpack_exprs("_vec", "v", dim)
@@ -490,16 +495,19 @@ def ann_topk(
             *vcols,
             f"COALESCE({bucket_cols('v', n_planes, 0, dim)}, -1) AS bucket",
         )
+        # q side: ONE projection renames v_i -> q_i AND computes the
+        # bucket from the v_i inputs (aliases cannot be referenced by
+        # siblings, inputs can) — the former separate rename layer
+        # was a pure parse/analysis tax at plan-build time.
         q = (
             embeddings.selectExpr(
                 f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
             )
             .where(query_pred)
-            .selectExpr("vec_id AS query_id", *rename_exprs("v", "q", dim))
             .selectExpr(
-                "query_id",
-                *[f"q_{i}" for i in range(dim)],
-                f"COALESCE({bucket_cols('q', n_planes, 0, dim)}, -1)"
+                "vec_id AS query_id",
+                *[f"v_{i} AS q_{i}" for i in range(dim)],
+                f"COALESCE({bucket_cols('v', n_planes, 0, dim)}, -1)"
                 " AS qbucket",
             )
         )
@@ -516,6 +524,15 @@ def ann_topk(
             )
             .select("query_id", "vec_id", cosine.alias("cosine"))
         )
+        if small:
+            # Small corpus: narrow the scored stream to ONE partition
+            # so the top-k window's ClusteredDistribution(query_id) is
+            # satisfied by SinglePartition — no exchange, no second
+            # AQE round; the whole scan → join → window → filter chain
+            # is one fused job after the broadcast build (4 jobs -> 2
+            # at sf0.1). The big-corpus branch keeps the hash exchange:
+            # there the window's sort volume needs the 32-way spread.
+            scored = scored.coalesce(1)
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
@@ -690,7 +707,11 @@ def _half_up_exact(x):
 
 
 def _assign_cells_arrow(
-    base: DataFrame, cents: DataFrame, dim: int, cblock: int = 1024
+    base: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    cblock: int = 1024,
+    with_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy pass —
     bit-identical to the packed-long BNLJ argmax (same left-to-right
@@ -700,7 +721,13 @@ def _assign_cells_arrow(
     and is memory-bandwidth-bound, while this path streams each
     vector batch ONCE and does the n·c·dim flops in vectorized C.
     The centroid matrix rides the task closure (c·dim doubles — the
-    same payload the BNLJ broadcasts). Returns (vec_id, cell)."""
+    same payload the BNLJ broadcasts). Returns (vec_id, cell), plus
+    the winner's cosine as ``proto_sim`` when ``with_sim`` — the
+    packed key already carries round(sim·1e9), so emitting it is one
+    integer unpack + divide, not a recompute; nanos/1e9 is the
+    correctly-rounded double of the exact rational n/10^9, i.e. the
+    same value ROUND(sim, 9) yields (parity pinned by the d4 /
+    prototypicality oracles)."""
     import numpy as np
 
     crows = sorted(cents.collect(), key=lambda r: r["cent_ix"])
@@ -751,9 +778,16 @@ def _assign_cells_arrow(
                 bb = pk.max(axis=1)
                 best = bb if best is None else np.maximum(best, bb)
             cell = 1_048_576 - (best % 2_097_152)
-            yield pdf[["vec_id"]].assign(cell=cell)
+            out = pdf[["vec_id"]].assign(cell=cell)
+            if with_sim:
+                nanos = best // 2_097_152 - 1_000_000_000
+                out = out.assign(proto_sim=nanos.astype(np.float64) / 1e9)
+            yield out
 
-    return base.mapInPandas(fn, schema="vec_id bigint, cell bigint")
+    schema = "vec_id bigint, cell bigint"
+    if with_sim:
+        schema += ", proto_sim double"
+    return base.mapInPandas(fn, schema=schema)
 
 
 def ivf_assign(
@@ -766,6 +800,7 @@ def ivf_assign(
     impl: str = "arrow",
     with_vectors: bool = True,
     n_rows: int | None = None,
+    with_sim: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF index-build: nearest-centroid cell assignment for
     every vector. Returns ``(base, cents, assigned)`` where ``base``
@@ -890,7 +925,7 @@ def ivf_assign(
     #   A/B and for environments where the Python worker path is
     #   unavailable.
     if impl == "arrow":
-        cells = _assign_cells_arrow(base, cents, dim)
+        cells = _assign_cells_arrow(base, cents, dim, with_sim=with_sim)
     else:
         raw = (
             f"{dot_cols('v', 'c', dim)}"
@@ -903,6 +938,16 @@ def ivf_assign(
         pairs = base.join(F.broadcast(cents), how="cross").select(
             "vec_id", packed.alias("pk")
         )
+        # ``with_sim``: the packed max already carries the winner's
+        # round(sim·1e9) in its high bits — unpack instead of re-joining
+        # centroids to recompute the dot (same rationale as the arrow
+        # impl; nanos/1e9 is the correctly-rounded double of n/10^9,
+        # identical to ROUND(sim, 9)).
+        sim_cols = (
+            [F.expr("CAST(pk DIV 2097152 - 1000000000 AS DOUBLE)").alias("_nanos")]
+            if with_sim
+            else []
+        )
         cells = (
             pairs.groupBy("vec_id")
             .agg(F.max("pk").alias("pk"))
@@ -912,8 +957,15 @@ def ivf_assign(
                     F.lit(1048576).cast("bigint")
                     - F.pmod(F.col("pk"), F.lit(2097152))
                 ).alias("cell"),
+                *sim_cols,
             )
         )
+        if with_sim:
+            cells = cells.select(
+                "vec_id",
+                "cell",
+                (F.col("_nanos") / F.lit(1e9)).alias("proto_sim"),
+            )
     assigned = base.join(cells, "vec_id") if with_vectors else cells
     return base, cents, assigned
 
@@ -1280,7 +1332,13 @@ def pq_literals_from_base(
     vector — via ONE TakeOrdered job over ks rows instead of the
     codebook frame's 8-branch union + window (equality pinned by
     test_pq_literals_paths_agree)."""
-    rows = base.orderBy("vec_id").limit(ks).collect()
+    # Driver-side re-sort of the ks collected rows: TakeOrderedAndProject
+    # does return them sorted today (pinned by test_pq_literals_paths_
+    # agree), but the codebook must not depend on a plan-shape ordering
+    # guarantee (round-9 advisor finding) — ks rows, negligible cost.
+    rows = sorted(
+        base.orderBy("vec_id").limit(ks).collect(), key=lambda r: r["vec_id"]
+    )
     ds = dim // n_sub
     # Corpora smaller than ks degrade to fewer centroids — the same
     # graceful behavior the codebook-frame path has (its window just
@@ -1348,7 +1406,17 @@ def pq_encode(
     falls back to interpreted row-at-a-time eval, ~1.3 ms/row (6.4 s
     for 5k rows single-task; the round-7 8 KB-cliff pathology in
     expression form). Bound: dn = round(d²·1e9) < 2^45 for |x| ≤ 100
-    components, ·32 + c ≪ 2^63."""
+    components, ·32 + c ≪ 2^63.
+
+    BEHAVIOR CHANGE (round 9, kept deliberately): when the supplied
+    codebook carries MORE than ``ks`` centroids per subspace, this
+    Arrow form encodes against the FIRST ``ks`` only — an explicit
+    smaller ks means "encode against the first ks centroids". The
+    pre-round-9 join-based form ignored ``ks`` entirely and encoded
+    against every codebook row; callers relying on that must pass
+    ``ks`` >= the codebook's actual width (repo callers all derive ks
+    and codebook from the same adaptive_codebook gate, so they are
+    consistent by construction)."""
     import numpy as np
 
     if isinstance(cb, DataFrame):

@@ -650,8 +650,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(Q·bucket) scale path next to the O(Q·N) brute force — at
     100 TB the bucket join shuffles on an int key instead of
     broadcasting every vector everywhere."""
+    from ..sources.bronze import table_num_rows
+
     e = load_table(spark, sf_dir, "embeddings")
-    return ann_topk(e, F.col("vec_id") % 100 == 0, k=5)
+    return ann_topk(
+        e,
+        F.col("vec_id") % 100 == 0,
+        k=5,
+        n_vectors=table_num_rows(sf_dir, "embeddings"),
+    )
 
 
 _MT_PLANES = 10

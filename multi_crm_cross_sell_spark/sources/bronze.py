@@ -35,6 +35,35 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Pinned-schema cache: `spark.read.parquet(path)` infers the schema
+# EAGERLY at DataFrame creation (footer read + merge planning JVM-side,
+# ~100ms per call on this box) — measurable pure plan-time tax on every
+# registered query. The first read of a path infers and pins; repeat
+# reads pass the pinned StructType so creation is O(py4j round-trip).
+# Keyed by (path, mtime, size, nanosAsLong) so a rewritten file or a
+# session with different nanos decoding re-infers instead of reading
+# with a stale schema.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (
+            os.path.abspath(path),
+            st.st_mtime,
+            st.st_size,
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        )
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
@@ -53,7 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(path)
+        df = _read_pinned(spark, path)
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type == "long":
             df = df.withColumn(
@@ -72,7 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "TIMESTAMP(MICROS) [timestamp] or timestamp_ntz"
             )
         return df
-    return spark.read.parquet(path)
+    return _read_pinned(spark, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -82,15 +111,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def table_num_rows(sf_dir: str, name: str) -> int:
     """Row count from parquet FOOTER metadata, driver-side — zero
     Spark jobs (a count() job costs ~0.4s of pure scheduling floor on
-    this box). Handles both the single-file testdata layout and
-    directory datasets (e.g. the tools/scale_bench.py corpora)."""
+    this box). Handles the single-file testdata layout, flat directory
+    datasets (e.g. the tools/scale_bench.py corpora), AND partitionBy
+    layouts: the walk is RECURSIVE because this count feeds
+    adaptive_codebook / adaptive_n_planes — a silent undercount on a
+    nested layout would change n_centroids and thus actual results,
+    not just wall-clock (round-9 advisor finding)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
         return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in sorted(files)
             if f.endswith(".parquet")
         )
     return pq.ParquetFile(path).metadata.num_rows

@@ -1,0 +1,66 @@
+"""Per-query job/stage profile: run a registered query once (after a
+small-SF warmup) and print every Spark job it triggered with stage task
+counts and wall time — the scheduling-floor diagnostic for queries whose
+sf0.1 cost is stage count, not data volume.
+
+Usage: python tools/job_profile.py q1 [q2 ...]   (SF via $SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multi_crm_cross_sell_spark.plans import all_queries  # noqa: E402
+from multi_crm_cross_sell_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("job_profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    sc = spark.sparkContext
+    lines = []
+    for name in names:
+        q = qs[name]
+        # warmup (codegen + broadcast paths) at the smallest SF
+        q.fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        sc.setJobGroup(name, name)
+        sc._jvm.System.gc()
+        time.sleep(0.3)
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        sc.setJobGroup("idle", "idle")
+        tracker = sc.statusTracker()
+        jobs = sorted(tracker.getJobIdsForGroup(name))
+        lines.append(f"== {name}: {wall:.3f}s, {len(jobs)} jobs")
+        for j in jobs:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                lines.append(f"  job {j}: <expired>")
+                continue
+            stages = []
+            for s in sorted(ji.stageIds):
+                si = tracker.getStageInfo(s)
+                if si is None:
+                    continue
+                # skipped stages report 0 active/complete tasks
+                stages.append(f"s{s}:{si.numTasks}t")
+            lines.append(f"  job {j}: {' '.join(stages)}")
+    spark.stop()
+    out = "\n".join(lines) + "\n"
+    sys.stdout.write("\n" + out)
+    with open("/tmp/job_profile.out", "w") as f:
+        f.write(out)
+
+
+if __name__ == "__main__":
+    main()
