@@ -316,6 +316,13 @@ def incremental_near_dup(
     # threads the parquet-footer count (zero jobs).
     if n_docs is None:
         n_docs = CHECKPOINT_MIN_CORPUS
+    small = n_docs < CHECKPOINT_MIN_CORPUS
+    if small:
+        # Right-size the partition count to the corpus (the wide_base
+        # discipline): 64 fixed partitions at a few thousand docs make
+        # every downstream exchange a 64-task stage of pure launch
+        # overhead.
+        n_parts = min(n_parts, max(8, -(-n_docs // 2000)))
     # Same exchange discipline as near_dup_pairs: spread the scan,
     # bind word hashes in their own projection, materialize gram
     # arrays once for every consumer.
@@ -347,7 +354,7 @@ def incremental_near_dup(
     #   which sums to one corpus pass), and the scheduling floor of a
     #   second materialization job is saved (measured 2.1s → 1.7s at
     #   sf0.1). Bit-identical either way — wall-clock only.
-    if n_docs < CHECKPOINT_MIN_CORPUS:
+    if small:
         base = base.localCheckpoint(eager=False)
         sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
         banded = sig.select("doc_id", *band_keys())
@@ -373,33 +380,58 @@ def incremental_near_dup(
         F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.key").alias("key"),
     )
-    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
+    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    if small:
+        # SMALL corpus: the batch side is O(corpus/batch_mod) rows by
+        # construction, so BROADCAST it into the corpus band probe —
+        # the probe then fuses onto the checkpoint read (no band
+        # exchanges, no shuffle_hash pair), and the dropDuplicates
+        # exchange is skipped entirely: duplicate (doc1, doc2)
+        # collisions produce identical verified Jaccards, and the
+        # row_number winner below is invariant to duplicates — the
+        # dedup pass only exists to save verify WORK, which at this
+        # scale is cheaper than its exchange. The batch-gram join is
+        # a broadcast for the same reason, so probe → verify →
+        # window is one short chain of fused stages (measured: 11
+        # jobs with four 64-task exchange stages → ~7 jobs of
+        # right-sized stages at sf0.1).
+        ab = F.broadcast(bands.where(F.col("doc_id") % batch_mod == 0)).alias("a")
+        bb = bands.where(F.col("doc_id") % batch_mod != 0).alias("b")
+        cand = ab.join(
+            bb,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") % batch_mod == 0)
-            & (F.col("b.doc_id") % batch_mod != 0),
-        )
-        .select(
+            & (F.col("a.key") == F.col("b.key")),
+        ).select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
         )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
-    inter = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size("sh1").alias("n1"),
-            F.size("sh2").alias("n2"),
-            F.size(F.array_intersect("sh1", "sh2")).alias("ni"),
+        inter = F.broadcast(cand.join(F.broadcast(s1), "doc1")).join(
+            s2, "doc2"
         )
+    else:
+        a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") % batch_mod == 0)
+                & (F.col("b.doc_id") % batch_mod != 0),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .dropDuplicates(["doc1", "doc2"])
+        )
+        inter = cand.join(s1, "doc1").join(s2, "doc2")
+    inter = inter.select(
+        "doc1",
+        "doc2",
+        F.size("sh1").alias("n1"),
+        F.size("sh2").alias("n2"),
+        F.size(F.array_intersect("sh1", "sh2")).alias("ni"),
     )
     jac = F.col("ni") / (F.col("n1") + F.col("n2") - F.col("ni")).cast("double")
     hits = inter.select("doc1", "doc2", jac.alias("jac_raw")).where(
