@@ -100,6 +100,8 @@ ANN_INDEX = [
     "ann_lsh_multitable",
     # round 9 newcomer, measured from birth:
     "ann_rerank_crossencoder",
+    # round 10 newcomer (hierarchical two-level IVF), from birth:
+    "ann_ivf2_topk",
 ]
 
 

@@ -82,6 +82,19 @@ def adaptive_codebook(n: int) -> tuple[int, str]:
     return c, ("bnlj" if n < BNLJ_ASSIGN_MAX_N else "arrow")
 
 
+MIN_COARSE = 4
+
+
+def adaptive_coarse(c: int) -> int:
+    """Coarse-level cell count for a two-level IVF over ``c`` fine
+    cells: c1 = max(4, isqrt(c)) — the same square-root balance one
+    level up (SCALE.md §centroid-closure ceiling). Lives here, next to
+    adaptive_codebook, for the same no-drift reason."""
+    import math
+
+    return max(MIN_COARSE, math.isqrt(c))
+
+
 def _unit(seed: str) -> float:
     """Deterministic uniform in [-1, 1) from md5, rounded to 6 dp so
     the literal round-trips exactly through SQL text."""
@@ -1054,6 +1067,186 @@ def ivf_topk(
     )
 
 
+def ivf2_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    p1: int = 2,
+    p2: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """HIERARCHICAL two-level IVF ANN — the documented escape hatch
+    past the flat index's centroid-closure ceiling (SCALE.md: flat
+    c = isqrt(n) stops scaling near c ≈ 10⁵–10⁶, i.e. n ≈ 10¹⁰–10¹²,
+    because every assignment task must hold the full c×dim centroid
+    matrix). Structure:
+
+    - c  = max(16, isqrt(n)) FINE cells (adaptive_codebook — same
+      formula as the flat index);
+    - c1 = max(4, isqrt(c)) COARSE cells (adaptive_coarse); each fine
+      centroid is labeled with its nearest coarse centroid;
+    - a vector assigns to its nearest coarse cell first, then to the
+      nearest FINE centroid within that coarse cell;
+    - a query probes its ``p1`` nearest coarse cells, then the ``p2``
+      best fine cells among them, then exact-cosine re-ranks the
+      vectors of those fine cells.
+
+    Scale shape: stage 1 is the measured ivf_assign kernel against
+    only c1 centroids (per-task state c1·dim·8 B = √c of the flat
+    matrix); stage 2 streams n·(c/c1) ≈ n·√c (vector, fine-centroid)
+    pairs through a broadcast join + packed-long argmax with map-side
+    combine — vs the flat index's n·c pair stream, a √c reduction in
+    BOTH closure bytes and assignment pairs (at n = 10¹⁰: 10⁵ fine
+    cells, 316 coarse; stage 1 + stage 2 ≈ 2·n·√c = 6×10¹² pair-terms
+    vs the flat 10¹⁵). The probe tail is the ivf_topk shape on the
+    fine-cell int key. Recall sits below the flat index at equal
+    (p1·p2) because a near neighbor can hide across a coarse boundary
+    — the standard two-level trade, measured next to the flat curve
+    in SCALE.md.
+
+    Determinism: lowest-id centroids at both levels, all similarity
+    ranks ordered (ROUND(sim, 9) DESC, centroid id ASC) — the whole
+    index is oracle-reproducible in SQL."""
+    from pyspark.sql import Window
+
+    n = embeddings.count() if n_vectors is None else n_vectors
+    c, impl = adaptive_codebook(n)
+    c1 = adaptive_coarse(c)
+
+    # Stage 1 (vector -> coarse cell): the shared ivf_assign kernel
+    # with the c1-sized codebook; base is its checkpointed wide frame,
+    # reused by every stage below.
+    base, coarse, vco = ivf_assign(
+        embeddings, n_centroids=c1, id_col=id_col, vec_col=vec_col,
+        dim=dim, impl=impl, n_rows=n, with_vectors=False,
+    )
+    # Coarse centroids in o_-prefixed layout for joins against frames
+    # that already carry c_-named fine centroids or v_-named vectors.
+    co = coarse.selectExpr(
+        "cent_id AS co_id",
+        "cent_ix AS co_ix",
+        *[f"c_{i} AS o_{i}" for i in range(dim)],
+    )
+    # Fine codebook: first c lowest-id vectors, dense cent_ix (same
+    # construction as ivf_assign's).
+    cw = Window.orderBy("cent_id")
+    fine = (
+        base.orderBy("vec_id")
+        .limit(c)
+        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+        .withColumn("cent_ix", F.row_number().over(cw) - 1)
+    )
+    # Fine -> coarse labels: c×c1 pairs, packed-long argmax (sim desc,
+    # co_id asc via the dense monotone co_ix) — a few hundred rows at
+    # any measured decade, broadcast everywhere below.
+    lab_raw = (
+        f"{dot_cols('c', 'o', dim)}"
+        f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
+    )
+    lab_packed = F.expr(
+        f"(CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+        f" * 2097152L + (1048576L - co_ix)"
+    )
+    labels = (
+        fine.join(F.broadcast(co), how="cross")
+        .select("cent_ix", lab_packed.alias("pk"))
+        .groupBy("cent_ix")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "cent_ix",
+            (
+                F.lit(1048576).cast("bigint")
+                - F.pmod(F.col("pk"), F.lit(2097152))
+            ).alias("co_ix"),
+        )
+    )
+    # Lazy RDD persist: fine_lab fans out to THREE broadcast builds
+    # (stage-2 assignment, query fine probes) whose column-pruned
+    # copies are canonically different — without it each build re-runs
+    # the TakeOrdered + label argmax chain (the column-pruning lesson).
+    fine_lab = fine.join(F.broadcast(labels), "cent_ix").localCheckpoint(
+        eager=False
+    )
+    # Stage 2 (vector -> fine cell WITHIN its coarse cell): broadcast
+    # the labeled fine codebook, join on the coarse label, packed
+    # argmax with map-side combine — the n·(c/c1) pair stream.
+    s2_raw = (
+        f"{dot_cols('v', 'c', dim)}"
+        f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
+    )
+    s2_packed = F.expr(
+        f"(CAST(ROUND(({s2_raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+        f" * 2097152L + (1048576L - cent_ix)"
+    )
+    vlab = vco.selectExpr("vec_id", "cell AS vco")
+    cells2 = (
+        base.join(vlab, "vec_id")
+        .join(F.broadcast(fine_lab), F.col("co_ix") == F.col("vco"))
+        .select("vec_id", s2_packed.alias("pk"))
+        .groupBy("vec_id")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "vec_id",
+            (
+                F.lit(1048576).cast("bigint")
+                - F.pmod(F.col("pk"), F.lit(2097152))
+            ).alias("cell"),
+        )
+    )
+    assigned = base.join(cells2, "vec_id")
+
+    # Query probes: top-p1 coarse cells, then top-p2 fine cells among
+    # the fine centroids of those coarse cells. The query set is small
+    # by construction, so q vectors ride the probe frames (broadcast).
+    qvecs = base.where(query_pred).selectExpr(
+        "vec_id AS query_id", *rename_exprs("v", "q", dim)
+    )
+    co_sim = F.expr(
+        f"ROUND({dot_cols('q', 'o', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('o', dim)}), 9)"
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("co_sim"), F.asc("co_id"))
+    qco = (
+        qvecs.join(F.broadcast(co), how="cross")
+        .select("query_id", *[f"q_{i}" for i in range(dim)], "co_id", "co_ix",
+                co_sim.alias("co_sim"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= p1)
+        .drop("rn", "co_sim", "co_id")
+    )
+    f_sim = F.expr(
+        f"ROUND({dot_cols('q', 'c', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('c', dim)}), 9)"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("f_sim"), F.asc("cent_id"))
+    qf = (
+        qco.join(F.broadcast(fine_lab), "co_ix")
+        .select("query_id", "cent_id", F.col("cent_ix").alias("qcell"),
+                f_sim.alias("f_sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= p2)
+        .select("query_id", "qcell")
+    )
+    # Exact re-rank over the probed fine cells (a vector lives in
+    # exactly one fine cell, so pairs are unique without a dedup).
+    q = qf.join(F.broadcast(qvecs), "query_id")
+    cand = F.broadcast(q).join(
+        assigned,
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cosine = F.expr(
+        f"ROUND({dot_cols('q', 'v', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('v', dim)}), 9)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= k)
+    )
 
 
 def _semdedup_cells_arrow(

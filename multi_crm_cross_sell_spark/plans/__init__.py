@@ -119,19 +119,61 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # round to make room for the early rejoins, deadline r11). All
 # parked entries re-verified exact-equality green under
 # tools/check.py in the round-9 closing commit (rule R3).
+# Round-10 rotation (52 parked / 50 in-window / 102 registered):
+# The TWENTY-SEVEN entries parked since round 8 hit their R2 deadline
+# this round and ALL rejoin the driver window, plus
+# ngram_jaccard_dedup (parked r9) rejoins with its idf variant per
+# the round-9 ledger's own pledge that both n-gram Jaccard rows
+# rejoin together, and cluster_balanced_sample (parked r9, deadline
+# r11) rejoins EARLY because its implementation changed this round
+# (count() -> parquet-footer sizing) — every query whose code changed
+# in round 10 sits in-window so CORRECTNESS_r10 proves it green
+# post-change (cross_sell_recommendations, ann_lsh_topk,
+# prototypicality_pruning, d4_selection, incremental_neardup_ingest,
+# cluster_balanced_sample). One round-10 newcomer (ann_ivf2_topk —
+# hierarchical two-level IVF, the documented escape past the flat
+# index's centroid-closure ceiling in SCALE.md) enters in its birth
+# round per R1. The 22 remaining round-9 parks stay parked one more
+# round (R2 deadline r11). In exchange THIRTY round-9-driver-green
+# entries park, chosen per R5: (a) family variants whose base / §2
+# sibling is in-window after the rotation (benchmark_decontamination
+# — bloom twin rejoins; bpe_vocab — vocab_construction rejoins;
+# event_sliding_windows — event_sessionization rejoins;
+# order_priority_pivot — sales_rollup_cube rejoins;
+# customers_without_urgent_orders — the semi twin rejoins;
+# embedding_near_dup, cosine_topk_bruteforce, ann_lsh_multitable,
+# ann_ivf_topk, ann_pq_topk, ann_rerank_crossencoder — the ANN
+# family keeps ann_lsh_topk in-window and gains ann_ivf2_topk; none
+# of their plans changed this round); (b) beyond-reference text/
+# quality ops whose composite sibling corpus_curation_report rejoins
+# (pii_redaction, doc_repetition_stats, doc_text_stats,
+# langid_heuristic, token_counting, rolling_hash_fingerprints,
+# unigram_lm_quality); and (c) §2 rows green in round 9, each ONE
+# round only per R2 (blocked_similarity_join — J2 stays via
+# er_match_cascade; normalize_company_names; multi_predicate_filter
+# — filter_projection stays; pagination — topk_per_group stays and
+# global_rank_topn rejoins; join_revenue_by_nation;
+# string_agg_per_group; trend_with_date_spine;
+# distinct_union_nations; customer_order_deltas;
+# grouped_rank_applyinpandas; nation_balance_quantiles;
+# approx_distinct_stats). All parked entries re-verified
+# exact-equality green under tools/check.py in the round-10 closing
+# commit (rule R3).
 _TAIL = (
     # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
+    # (ngram_jaccard_dedup rejoined at its pledge with the idf
+    #  variant; cluster_balanced_sample rejoined EARLY — its
+    #  implementation changed in round 10)
     # (a) family variants whose base / §2 sibling is in-window:
     "near_dup_clusters",  # dedup family; minhash/exact stay
-    "ngram_jaccard_dedup",  # dedup family; 4 in-window siblings
-    "document_token_ids",  # tokenizer family; bpe_vocab stays
-    "bigram_lm_quality",  # LM-quality family; unigram stays
+    "document_token_ids",  # tokenizer family; vocab_construction rejoins
+    "bigram_lm_quality",  # LM-quality family
     "simhash_fingerprints",  # dedup family; minhash stays
     "repeated_span_removal",  # span family; repeated_span_stats stays
     "decontamination_span_removal",  # span family; stats stays
-    "document_bpe_ids",  # BPE family; bpe_vocab stays
-    "stateful_streaming_dedup",  # ST3; stateful_running_totals rejoins
-    "event_tumbling_windows",  # ST5; event_sliding_windows rejoins
+    "document_bpe_ids",  # BPE family
+    "stateful_streaming_dedup",  # ST3; stateful_running_totals stays
+    "event_tumbling_windows",  # ST5; event_sessionization rejoins
     # (b) beyond-reference curation ops (r8 driver-green):
     "stratified_sample",
     "dataset_temperature_mix",
@@ -142,57 +184,49 @@ _TAIL = (
     "dedup_keep_best",
     "leakage_safe_splits",
     "source_overlap_matrix",
-    "cluster_balanced_sample",
     "textrank_keywords",
-    # (c) §2 function rows green in r8 (room for the early rejoins):
+    # (c) §2 function rows green in r8:
     "deterministic_pred_id",  # F20
     "ab_bucket_allocation",  # F21/ML15
     "domain_extraction",  # F3
-    # -- parked round 8 (driver-green r7), per R5; R2 deadline = r10 --
-    # (a) family variants whose base stays in-window:
-    "ngram_jaccard_dedup_idf",  # idf variant (NOTE: the base also
-    #   parked in r9 — BOTH n-gram Jaccard rows must rejoin in r10)
-    # (ann_ivf_topk and embedding_near_dup rejoined EARLY in round 9 —
-    #  their implementations changed; see the rotation note above)
-    # (b) beyond-reference curation/OLAP ops (r7 driver-green):
-    "dataset_mix_downsample",
-    "dataset_split_assignments",
-    "sequence_packing",
-    "document_chunks",
-    "embedding_int8_quantize",
-    "tfidf_top_terms",
-    "corpus_curation_report",
-    "benchmark_decontamination_bloom",  # exact anchor stays in window
-    "sales_rollup_cube",  # A5 sibling order_priority_pivot rejoins
-    "order_value_histogram",
-    "balance_outliers_zscore",
-    "range_join_incidents",  # beyond-reference binned range join
-    "vocab_construction",  # its ranked-vocab table lives on inside
-    #   document_token_ids, which stays in-window
-    # (c) §2 rows green in round 7:
-    "customers_with_urgent_orders",  # J7 semi; anti stays in-window
-    "daily_order_stats",  # A2/F22; weekly_order_rollup stays in-window
-    # -- parked round 8 exchange for the three R1 newcomers
-    #    (semantic_dedup / dsir_importance_weights / dedup_keep_best),
-    #    per R5(c) — driver-green r7, one round only, deadline r10 --
-    "score_explanations",  # ML9; flagship sibling stays in-window
-    "event_funnel_metrics",  # A11
-    "feedback_asof_labels",  # ML14/P11
-    "ranking_eval_metrics",  # ML13/W9-W10; exchange for ann_pq_topk
-    "incremental_watermark_sync",  # S7/ST2; exchange for repeated_span_stats
-    "event_sessionization",  # ST5 via event_tumbling_windows; exchange
-    #   for repeated_span_removal
-    "token_jaccard_pairs",  # SO2/SO3/F6 via er_match_cascade; exchange
-    #   for decontamination_span_removal
-    # -- parked late round 8 for the three R1 newcomers
-    #    (incremental_neardup_ingest / leakage_safe_splits /
-    #    cluster_balanced_sample), per R5(c) — driver-green r7, one
-    #    round only, deadline r10 --
-    "account_features",  # P2; feature ladder inside the flagship
-    "global_rank_topn",  # W1/W4/W8; topk_per_group + pagination stay
-    "label_join",  # J5/A8
-    "contract_validation_report",  # A9-A10/P10; exchange for
-    #   source_overlap_matrix
+    # -- parked round 10 (driver-green r9), per R5; R2 deadline = r12 --
+    # (a) family variants whose base / §2 sibling is in-window after
+    #     the rotation (no plan in this group changed in round 10):
+    "benchmark_decontamination",  # bloom twin rejoins
+    "bpe_vocab",  # vocab_construction rejoins
+    "event_sliding_windows",  # ST5; event_sessionization rejoins
+    "order_priority_pivot",  # A5; sales_rollup_cube rejoins
+    "customers_without_urgent_orders",  # J7 anti; semi twin rejoins
+    "embedding_near_dup",  # ANN/dedup family
+    "cosine_topk_bruteforce",  # quadratic yardstick; ANN family stays
+    "ann_lsh_multitable",  # ann_lsh_topk stays in-window
+    "ann_ivf_topk",  # ann_ivf2_topk enters in-window
+    "ann_pq_topk",  # ANN family
+    "ann_rerank_crossencoder",  # ANN family
+    # (b) beyond-reference text/quality ops; composite sibling
+    #     corpus_curation_report rejoins:
+    "pii_redaction",
+    "doc_repetition_stats",
+    "doc_text_stats",
+    "langid_heuristic",
+    "token_counting",
+    "rolling_hash_fingerprints",
+    "unigram_lm_quality",
+    # (c) §2 rows green in round 9, one round only (R2 deadline r12):
+    "blocked_similarity_join",  # J2/F4/A1 via er_match_cascade
+    "normalize_company_names",  # F1-F2; the normalizer also runs
+    #   inside the in-window ER cascade
+    "multi_predicate_filter",  # P4-P5/S8/J9; filter_projection stays
+    "pagination",  # W3/W5-W6; topk_per_group stays, global_rank_topn
+    #   rejoins
+    "join_revenue_by_nation",  # J6/A4
+    "string_agg_per_group",  # J4/M5
+    "trend_with_date_spine",  # A6
+    "distinct_union_nations",  # SO1/SO4
+    "customer_order_deltas",
+    "grouped_rank_applyinpandas",
+    "nation_balance_quantiles",
+    "approx_distinct_stats",
 )
 
 

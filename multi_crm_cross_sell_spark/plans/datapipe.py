@@ -1484,6 +1484,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf2_oracle(p1: int = 2, p2: int = 2, k: int = 5) -> str:
+    """DuckDB mirror of ann_ivf2_topk: the _ivf_oracle CTE style with
+    one extra quantizer level — coarse codebook c1 = max(4, isqrt(c)),
+    fine-centroid coarse labels, two-stage vector assignment, and the
+    p1-coarse → p2-fine probe cascade. Every rank orders
+    (ROUND(sim, 9) DESC, centroid id ASC), matching the Spark packed
+    argmax / window tie semantics."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+cc1 AS (
+  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)) AS c1 FROM cc
+),
+base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+fine AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+coarse AS (
+  SELECT co_id, ov, onorm FROM (
+    SELECT vec_id AS co_id, v AS ov, norm AS onorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS orn
+    FROM norms), cc1
+  WHERE orn <= cc1.c1
+),
+flab AS (
+  SELECT cent_id, cv, cnorm, co_id AS fco FROM (
+    SELECT f.cent_id, f.cv, f.cnorm, o.co_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cent_id
+             ORDER BY ROUND({dd('f.cv', 'o.ov')} / (f.cnorm * o.onorm), 9) DESC,
+                      o.co_id) AS rn
+    FROM fine f CROSS JOIN coarse o) WHERE rn = 1
+),
+vcoarse AS (
+  SELECT vec_id, v, norm, co_id AS vco, rn FROM (
+    SELECT n.vec_id, n.v, n.norm, o.co_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY ROUND({dd('n.v', 'o.ov')} / (n.norm * o.onorm), 9) DESC,
+                      o.co_id) AS rn
+    FROM norms n CROSS JOIN coarse o)
+),
+assigned AS (
+  SELECT vec_id, v, norm, cent_id AS cell FROM (
+    SELECT x.vec_id, x.v, x.norm, f.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({dd('x.v', 'f.cv')} / (x.norm * f.cnorm), 9) DESC,
+                      f.cent_id) AS rn
+    FROM (SELECT * FROM vcoarse WHERE rn = 1) x
+    JOIN flab f ON f.fco = x.vco) WHERE rn = 1
+),
+qf AS (
+  SELECT query_id, qv, qnorm, cent_id AS qcell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qnorm, f.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({dd('q.v', 'f.cv')} / (q.norm * f.cnorm), 9) DESC,
+                      f.cent_id) AS rn
+    FROM (SELECT * FROM vcoarse WHERE rn <= {p1} AND vec_id % 100 = 0) q
+    JOIN flab f ON f.fco = q.vco) WHERE rn <= {p2}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, p.qnorm, a.v, a.norm
+  FROM qf p JOIN assigned a ON a.cell = p.qcell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({dd('qv', 'v')} / (qnorm * norm), 9) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+@register(
+    "ann_ivf2_topk",
+    oracle=_ivf2_oracle(),
+    tags=("similarity", "ann", "ivf", "hierarchical", "beyond-reference"),
+)
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical two-level IVF ANN (p1=2 coarse probes, p2=2 fine
+    probes): the escape hatch past the flat index's centroid-closure
+    ceiling documented in SCALE.md — per-task centroid state drops
+    from c·dim·8B to √c·dim·8B and the assignment pair stream from
+    n·c to ~2·n·√c, at a measured recall cost vs the flat index
+    (SCALE.md §ANN recall). Deterministic lowest-id centroids at both
+    levels keep the whole cascade oracle-reproducible; the oracle
+    mirrors c = max(16, isqrt(n)) and c1 = max(4, isqrt(c)) from
+    COUNT(*) (FLOOR(SQRT) is IEEE-exact below 2^52)."""
+    from ..operators.similarity_search import ivf2_topk
+    from ..sources.bronze import table_num_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    return ivf2_topk(
+        e, F.col("vec_id") % 100 == 0, k=5, p1=2, p2=2, n_vectors=n
+    )
+
+
 @register(
     "multimodal_features",
     # Codec parsing / md5-over-BLOB cannot be expressed in the oracle

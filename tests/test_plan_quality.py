@@ -230,6 +230,80 @@ def test_ivf_assign_arrow_chunking_is_winner_invariant(spark):
     assert mism == 0
 
 
+def test_ivf_assign_with_sim_parity(spark):
+    """with_sim carries the winner cosine OUT of the packed argmax key
+    (nanos/1e9) instead of recomputing the dot. Three invariants:
+    (1) arrow and bnlj with_sim agree bit-for-bit on (cell, proto_sim);
+    (2) with_sim changes no cell assignment vs the default path;
+    (3) the unpacked sim equals the recomputed ROUND(dot/(|v||c|), 9)
+        against the assigned centroid — the claim that nanos/1e9 IS
+        the correctly-rounded ROUND(sim, 9)."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        DIM,
+        dot_cols,
+        ivf_assign,
+        norm_cols,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, _, a = ivf_assign(e, None, impl="arrow", with_vectors=False, with_sim=True)
+    _, cents, b = ivf_assign(e, None, impl="bnlj", with_vectors=False, with_sim=True)
+    pa = a.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert list(pa.columns) == ["vec_id", "cell", "proto_sim"]
+    assert pa.equals(pb)
+    _, _, plain = ivf_assign(e, None, impl="bnlj", with_vectors=False)
+    pc = plain.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert (pa["cell"].values == pc["cell"].values).all()
+    # (3): recompute the dot against the assigned centroid, the way the
+    # pre-round-10 consumers did, and demand exact equality.
+    _, _, wide = ivf_assign(e, None, impl="bnlj", with_sim=True)
+    sim = F.expr(
+        f"ROUND({dot_cols('v', 'c', DIM)}"
+        f" / ({norm_cols('v', DIM)} * {norm_cols('c', DIM)}), 9)"
+    )
+    mism = (
+        wide.join(F.broadcast(cents), wide.cell == cents.cent_ix)
+        .select("vec_id", "proto_sim", sim.alias("recomputed"))
+        .where("proto_sim != recomputed")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_adaptive_coarse_formula():
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        adaptive_coarse,
+    )
+
+    assert adaptive_coarse(16) == 4
+    assert adaptive_coarse(15) == 4  # floor at MIN_COARSE
+    assert adaptive_coarse(70) == 8
+    assert adaptive_coarse(447) == 21
+    assert adaptive_coarse(100_000) == 316
+
+
+def test_ivf2_fine_labels_cover_every_coarse_cell(spark):
+    """Every coarse centroid is also a fine centroid (both are
+    lowest-id prefixes), so it labels to itself (cos = 1, tie to the
+    lowest co_ix) — no coarse cell can be empty of fine centroids and
+    no vector can be left unassigned at stage 2."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        ivf2_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivf2_topk(e, F.col("vec_id") % 100 == 0, k=3, n_vectors=e.count())
+    pdf = out.toPandas()
+    # every query with any same-cell candidate yields <= k ranked rows
+    assert (pdf["rk"] <= 3).all()
+    assert pdf.groupby("query_id")["rk"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
+
+
 def test_semantic_dedup_arrow_matches_join(spark):
     """The per-cell Arrow SemDeDup pass must be bit-identical to the
     within-cell equi-join form: same ordered accumulation for dots and

@@ -216,6 +216,22 @@ def main() -> None:
                         centroids=mode,
                     ),
                 )
+        # Hierarchical two-level IVF (round 10): recall vs the flat
+        # index at matched probe budget measures the price of the
+        # coarse-boundary blind spot — the √c closure/pair-stream win
+        # is structural, the recall delta is the measured trade.
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf2_topk,
+        )
+
+        ivf2_probes = ((2, 2), (4, 4)) if label != "sf1x100" else ((4, 4),)
+        for p1, p2 in ivf2_probes:
+            run(
+                f"ivf2_first_p{p1}x{p2}",
+                lambda p1=p1, p2=p2: ivf2_topk(
+                    e, pred, k=K_EVAL, p1=p1, p2=p2, n_vectors=n
+                ),
+            )
         # IVFPQ: same cell pruning, ADC scoring over 4-bit codes — the
         # recall delta vs plain IVF at equal nprobe is the price of
         # the 32x memory compression; measured, not assumed.
