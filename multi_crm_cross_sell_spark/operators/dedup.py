@@ -437,6 +437,12 @@ def incremental_near_dup(
     hits = inter.select("doc1", "doc2", jac.alias("jac_raw")).where(
         F.col("jac_raw") >= threshold
     )
+    if small:
+        # Verified hits are O(batch) rows; one partition satisfies the
+        # best-match window's ClusteredDistribution without an
+        # exchange (the ann_lsh_topk SinglePartition trick) — the
+        # whole verify → window chain fuses onto the probe stage.
+        hits = hits.coalesce(1)
     w = Window.partitionBy("doc1").orderBy(F.col("jac_raw").desc(), F.col("doc2"))
     best = (
         hits.select("doc1", "doc2", "jac_raw", F.row_number().over(w).alias("rn"))

@@ -131,6 +131,10 @@ QUERIES = [
     # rerank tier stresses the pair-payload joins linearly while the
     # retrieval tier inherits ann_ivf_topk's scaling.
     "ann_rerank_crossencoder",
+    # Round 10: hierarchical two-level IVF — stage 1 is n·c1, stage 2
+    # n·(c/c1) ≈ n·√c pairs through a broadcast equi-join: BOTH decades
+    # must show the sub-flat-IVF assignment cost the hierarchy claims.
+    "ann_ivf2_topk",
 ]
 
 
