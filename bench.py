@@ -208,29 +208,36 @@ def main() -> None:
 
         con = duck_connect(sf_dir)
         con.execute(f"SET threads TO {os.cpu_count()}")
+    except Exception:
+        con = None
+    if con is not None:
         for name in HEADLINE + CURATION + ANN_INDEX:
             q = qs.get(name)
             if q is None or not q.oracle:
                 continue
-            best = None
-            for _ in range(3):
-                t0 = time.time()
-                con.execute(q.oracle).fetchall()
-                dt = round(time.time() - t0, 3)
-                best = dt if best is None or dt < best else best
-            oracle_timings[name] = best
-    except Exception:
-        pass
+            # per-query guard: one failing oracle must not discard the
+            # timings of every later query (round-10 review finding)
+            try:
+                best = None
+                for _ in range(3):
+                    t0 = time.time()
+                    con.execute(q.oracle).fetchall()
+                    dt = round(time.time() - t0, 3)
+                    best = dt if best is None or dt < best else best
+                oracle_timings[name] = best
+            except Exception:
+                continue
 
-    def _sec_totals(names: list[str], book: dict[str, float]) -> tuple[float, float]:
-        spark_t = sum(book.values())
-        # ratio over the queries present on BOTH sides only, so a
-        # missing oracle cannot skew the comparison
+    def _sec_totals(names: list[str], book: dict[str, float]):
+        # BOTH sums restricted to queries timed on BOTH sides, so a
+        # missing oracle shrinks the comparison instead of skewing it;
+        # no oracle at all -> null totals, never a fake ratio.
         both = [n for n in names if n in book and n in oracle_timings]
-        return (
-            round(sum(oracle_timings[n] for n in both), 3),
-            round(spark_t / max(1e-9, sum(oracle_timings[n] for n in both)), 3),
-        )
+        if not both:
+            return None, None
+        o = sum(oracle_timings[n] for n in both)
+        s = sum(book[n] for n in both)
+        return round(o, 3), round(s / o, 3)
 
     head_oracle, head_ratio = _sec_totals(HEADLINE, timings)
     cur_oracle, cur_ratio = _sec_totals(CURATION, cur_timings)

