@@ -105,6 +105,34 @@ ANN_INDEX = [
 ]
 
 
+def oracle_pass(
+    book: dict, sf_dir: str, qs: dict, runs: int = 1
+) -> None:
+    """One DuckDB timing pass over every benched oracle, folding the
+    per-query min into ``book``. Per-query error guard: one failing
+    oracle must not discard the timings of every later query."""
+    try:
+        from tools.check import duck_connect
+
+        con = duck_connect(sf_dir)
+        con.execute(f"SET threads TO {os.cpu_count()}")
+    except Exception:
+        return
+    for name in HEADLINE + CURATION + ANN_INDEX:
+        q = qs.get(name)
+        if q is None or not q.oracle:
+            continue
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                con.execute(q.oracle).fetchall()
+                dt = round(time.time() - t0, 3)
+                if name not in book or dt < book[name]:
+                    book[name] = dt
+        except Exception:
+            continue
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -155,6 +183,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     cur_timings: dict[str, float] = {}
     ann_timings: dict[str, float] = {}
+    # First oracle bracket (see the second one below for why two).
+    oracle_timings: dict[str, float] = {}
+    oracle_pass(oracle_timings, sf_dir, qs, runs=1)
     for _ in range(n_runs):
         for name in HEADLINE + CURATION + ANN_INDEX:
             book = (
@@ -197,36 +228,16 @@ def main() -> None:
         payload = {}
 
     # SAME-SESSION DuckDB oracle pass (round-9 verdict item): this
-    # box's speed drifts between sessions (steal time hits the JVM far
-    # harder than DuckDB's scan loop), so a spark-vs-oracle ratio is
-    # only meaningful when both sides are measured in the SAME session
-    # minutes apart. min-of-3 per query, matching the judge's
-    # tools/oracle_bench.py methodology.
-    oracle_timings: dict[str, float] = {}
-    try:
-        from tools.check import duck_connect
-
-        con = duck_connect(sf_dir)
-        con.execute(f"SET threads TO {os.cpu_count()}")
-    except Exception:
-        con = None
-    if con is not None:
-        for name in HEADLINE + CURATION + ANN_INDEX:
-            q = qs.get(name)
-            if q is None or not q.oracle:
-                continue
-            # per-query guard: one failing oracle must not discard the
-            # timings of every later query (round-10 review finding)
-            try:
-                best = None
-                for _ in range(3):
-                    t0 = time.time()
-                    con.execute(q.oracle).fetchall()
-                    dt = round(time.time() - t0, 3)
-                    best = dt if best is None or dt < best else best
-                oracle_timings[name] = best
-            except Exception:
-                continue
+    # box's speed drifts between sessions AND within one (steal time
+    # hits the JVM far harder than DuckDB's scan loop), so a
+    # spark-vs-oracle ratio is only meaningful when both sides are
+    # measured in the SAME session — and the oracle is measured in
+    # TWO passes BRACKETING the spark loop (one ran above, via
+    # oracle_pass below), min per query across passes: a mid-session
+    # epoch change then biases both sides the same way instead of
+    # hitting whichever side ran later. min matches the spark side's
+    # min-of-n estimator and the judge's tools/oracle_bench.py.
+    oracle_pass(oracle_timings, sf_dir, qs, runs=2)
 
     def _sec_totals(names: list[str], book: dict[str, float]):
         # BOTH sums restricted to queries timed on BOTH sides, so a

@@ -420,6 +420,36 @@ def test_table_num_rows_matches_spark_count(spark, sf_dir):
         assert table_num_rows(tmp, "things") == 1234
 
 
+def test_pinned_schema_cache_invalidates_on_rewrite(spark):
+    """_read_pinned caches the inferred StructType per file signature;
+    a rewritten file (single-file OR a part file inside a directory
+    dataset whose directory stat does not change — the round-10
+    review finding) must re-infer, never read with the stale schema."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from multi_crm_cross_sell_spark.sources.bronze import _read_pinned
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "t.parquet")
+        spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+        assert _read_pinned(spark, p).columns == ["a"]
+        # rewrite the contained part files IN PLACE with a new schema,
+        # preserving the directory's own stat as far as possible
+        tmp2 = os.path.join(tmp, "t2")
+        spark.range(5).selectExpr(
+            "id AS b", "id * 2 AS c"
+        ).write.mode("overwrite").parquet(tmp2)
+        _time.sleep(0.01)
+        for f in os.listdir(p):
+            os.remove(os.path.join(p, f))
+        for f in os.listdir(tmp2):
+            shutil.copy(os.path.join(tmp2, f), os.path.join(p, f))
+        assert sorted(_read_pinned(spark, p).columns) == ["b", "c"]
+
+
 def test_wide_base_partitions_track_corpus_size(spark, sf_dir):
     """wide_base(n_rows=...) sizes the frame's partition count as
     ceil(n/2000) within [8, 2x cores] — the round-9 fix for every
