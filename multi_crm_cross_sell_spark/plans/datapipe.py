@@ -1888,9 +1888,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_N = 8  # word n-gram length for contamination (13 at real scale)
 _DECON_MOD = 50  # doc_id % _DECON_MOD == 0 plays the held-out eval set
-# bloom-sizing upper bound, memoized per immutable input file (see
-# benchmark_decontamination_bloom)
-_DECON_NUPPER_MEMO: dict = {}
 
 
 def decontamination_broadcast_payload(
@@ -2117,29 +2114,25 @@ def benchmark_decontamination_bloom(
     # with the CAP-space fill (~k·n_grams words) instead of the
     # serving size m/64 — the pre-sizing pass is what keeps the
     # bounded-collect claim true. See commit 39971a0 / its revert.
-    # The bound is a pure statistic of the immutable input file, so it
-    # memoizes per table signature (the schema-pinning pattern): the
-    # synchronous collect job runs once per corpus, not once per query
-    # run. A rewritten file changes the signature and re-derives.
-    from ..sources.bronze import table_signature
-
-    memo_key = (table_signature(sf_dir, "documents"), _DECON_N, _DECON_MOD)
-    n_upper = _DECON_NUPPER_MEMO.get(memo_key)
-    if n_upper is None:
-        n_upper = (
-            docs.where(F.col("doc_id") % _DECON_MOD == 0)
-            .agg(
-                F.sum(
-                    F.greatest(
-                        F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
-                        F.lit(0),
-                    )
-                ).alias("n")
-            )
-            .collect()[0]
-            .n
+    # NOT memoized across runs, deliberately (round-10 second review):
+    # this collect is a DATA-SCAN job, and caching it per table
+    # signature made bench min-of-n runs 2..n skip a real per-run cost
+    # — the exact cross-run understatement the localCheckpoint comment
+    # above forbids. Schema pinning stays (metadata, the catalog
+    # shape); data-derived statistics pay their job every run.
+    n_upper = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
+                    F.lit(0),
+                )
+            ).alias("n")
         )
-        _DECON_NUPPER_MEMO[memo_key] = n_upper
+        .collect()[0]
+        .n
+    )
     m_bits = bloom_m_bits(int(n_upper or 1))
     words = build_bloom_words(bench_raw, "g", m_bits, BLOOM_K)
     train = grams.where(F.col("doc_id") % _DECON_MOD != 0)

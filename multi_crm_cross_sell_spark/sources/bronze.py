@@ -46,30 +46,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_CACHE: dict = {}
 
 
+def _fingerprint(path: str) -> tuple:
+    """Identity fingerprint of a parquet file or directory dataset.
+    For directories the PARQUET FILES are stat'ed (one stat each): a
+    part file rewritten in place does not change the directory's own
+    mtime (round-10 review finding), so the directory stat alone is
+    not a valid cache key."""
+    if os.path.isdir(path):
+        sig = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    sig.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(sig))
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
     try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            # A directory's own mtime does NOT change when a contained
-            # part file is rewritten in place (round-10 review
-            # finding) — fingerprint the parquet files themselves.
-            sig = tuple(
-                sorted(
-                    (
-                        os.path.join(root, f),
-                        os.stat(os.path.join(root, f)).st_mtime_ns,
-                        os.stat(os.path.join(root, f)).st_size,
-                    )
-                    for root, _dirs, files in os.walk(path)
-                    for f in files
-                    if f.endswith(".parquet")
-                )
-            )
-        else:
-            sig = (st.st_mtime, st.st_size)
         key = (
             os.path.abspath(path),
-            sig,
+            _fingerprint(path),
             spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
         )
     except OSError:
@@ -123,27 +122,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
-
-
-def table_signature(sf_dir: str, name: str) -> tuple:
-    """Cheap identity fingerprint of a testdata table file/directory —
-    (path, mtime, size) per parquet file. Cache key for derived
-    statistics of an immutable input (the schema-pinning pattern): a
-    rewritten file changes the signature, a repeat read hits the memo."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        return tuple(
-            sorted(
-                (os.path.join(root, f),
-                 os.stat(os.path.join(root, f)).st_mtime_ns,
-                 os.stat(os.path.join(root, f)).st_size)
-                for root, _dirs, files in os.walk(path)
-                for f in files
-                if f.endswith(".parquet")
-            )
-        )
-    st = os.stat(path)
-    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
 
 
 def table_num_rows(sf_dir: str, name: str) -> int:

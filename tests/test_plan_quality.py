@@ -342,7 +342,16 @@ def test_ivf2_fine_labels_cover_every_coarse_cell(spark):
             f"query {qid}: {len(grp)} candidates, expected {n - 1} — "
             "a vector was dropped at stage 2"
         )
-    assert (out["rk"] <= n).all()
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+    # real-corpus smoke (exercises the non-degenerate impl path at
+    # parquet scale): ranks per query are contiguous 1..len
+    ep = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out2 = ivf2_topk(
+        ep, F.col("vec_id") % 100 == 0, k=3, n_vectors=ep.count()
+    ).toPandas()
+    assert (out2["rk"] <= 3).all()
+    for _qid, grp in out2.groupby("query_id"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
 
 
 def test_semantic_dedup_arrow_matches_join(spark):
@@ -426,7 +435,6 @@ def test_pinned_schema_cache_invalidates_on_rewrite(spark):
     dataset whose directory stat does not change — the round-10
     review finding) must re-infer, never read with the stale schema."""
     import os
-    import shutil
     import tempfile
     import time as _time
 
@@ -434,19 +442,31 @@ def test_pinned_schema_cache_invalidates_on_rewrite(spark):
 
     with tempfile.TemporaryDirectory() as tmp:
         p = os.path.join(tmp, "t.parquet")
-        spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+        spark.range(5).repartition(1).selectExpr("id AS a").write.mode(
+            "overwrite"
+        ).parquet(p)
         assert _read_pinned(spark, p).columns == ["a"]
-        # rewrite the contained part files IN PLACE with a new schema,
-        # preserving the directory's own stat as far as possible
+        # Rewrite the single part file's BYTES in place (same
+        # filename), drop the now-stale checksum sidecars, and restore
+        # the directory's own (atime, mtime): the pre-fix cache key
+        # (dir stat) is then IDENTICAL and the stale schema would be
+        # served — only the per-file fingerprint catches the rewrite.
+        st0 = os.stat(p)
         tmp2 = os.path.join(tmp, "t2")
-        spark.range(5).selectExpr(
+        spark.range(5).repartition(1).selectExpr(
             "id AS b", "id * 2 AS c"
         ).write.mode("overwrite").parquet(tmp2)
         _time.sleep(0.01)
+        (old_part,) = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        (new_part,) = [f for f in os.listdir(tmp2) if f.endswith(".parquet")]
+        with open(os.path.join(tmp2, new_part), "rb") as src:
+            data = src.read()
+        with open(os.path.join(p, old_part), "wb") as dst:
+            dst.write(data)
         for f in os.listdir(p):
-            os.remove(os.path.join(p, f))
-        for f in os.listdir(tmp2):
-            shutil.copy(os.path.join(tmp2, f), os.path.join(p, f))
+            if f.endswith(".crc"):
+                os.remove(os.path.join(p, f))
+        os.utime(p, (st0.st_atime, st0.st_mtime))
         assert sorted(_read_pinned(spark, p).columns) == ["b", "c"]
 
 
