@@ -1109,7 +1109,16 @@ def ivf2_topk(
 
     Determinism: lowest-id centroids at both levels, all similarity
     ranks ordered (ROUND(sim, 9) DESC, centroid id ASC) — the whole
-    index is oracle-reproducible in SQL."""
+    index is oracle-reproducible in SQL. A TRAINED codebook (the
+    ivf_assign ``centroids="kmeans"`` analogue) slots into the same
+    plan shape with one extra build-time obligation: the coverage
+    invariant below (every coarse cell holds ≥1 fine centroid) is
+    guaranteed here by the SELF bit — coarse centroids ARE fine
+    centroids under lowest-id prefixes — but trained coarse/fine
+    codebooks are disjoint point sets, so the build must either
+    reseed empty coarse clusters or drop empty coarse cells from the
+    probe space before serving. Enforced-by-construction here,
+    asserted-by-test (test_ivf2_fine_labels_cover_every_coarse_cell)."""
     from pyspark.sql import Window
 
     n = embeddings.count() if n_vectors is None else n_vectors
