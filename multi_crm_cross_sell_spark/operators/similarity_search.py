@@ -803,6 +803,28 @@ def _assign_cells_arrow(
     return base.mapInPandas(fn, schema=schema)
 
 
+def _kmeans_cents(base: DataFrame, k: int, dim: int, seed: int = 1337) -> DataFrame:
+    """Trained codebook over the scalar-column frame: MLlib KMeans with
+    a fixed seed (deterministic given the frame's deterministic
+    partitioning), centers back as a (cent_id, c_0..c_{dim-1}) frame
+    with synthetic dense ids 0..k-1. Shared by ivf_assign's
+    ``centroids="kmeans"`` mode and ivf2_topk's trained mode."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = base.select(
+        array_to_vector(F.array(*[F.col(f"v_{i}") for i in range(dim)])).alias(
+            "features"
+        )
+    )
+    km = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
+    cent_rows = [
+        (i, *[float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    schema = "cent_id bigint, " + ", ".join(f"c_{i} double" for i in range(dim))
+    return base.sparkSession.createDataFrame(cent_rows, schema)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int | None = 16,
@@ -869,23 +891,7 @@ def ivf_assign(
         embeddings, id_col, vec_col, dim, n_rows=n_rows
     ).localCheckpoint(eager=False)
     if centroids == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        feat = base.select(
-            array_to_vector(F.array(*[F.col(f"v_{i}") for i in range(dim)])).alias(
-                "features"
-            )
-        )
-        km = KMeans(k=n_centroids, seed=1337, maxIter=20).fit(feat)
-        spark = embeddings.sparkSession
-        cent_rows = [
-            (i, *[float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-        ]
-        schema = "cent_id bigint, " + ", ".join(
-            f"c_{i} double" for i in range(dim)
-        )
-        cents = spark.createDataFrame(cent_rows, schema)
+        cents = _kmeans_cents(base, n_centroids, dim)
     else:
         cents = base.orderBy("vec_id").limit(n_centroids).selectExpr(
             "vec_id AS cent_id", *rename_exprs("v", "c", dim)
@@ -1077,6 +1083,7 @@ def ivf2_topk(
     vec_col: str = "embedding",
     dim: int = DIM,
     n_vectors: int | None = None,
+    centroids: str = "first",
 ) -> DataFrame:
     """HIERARCHICAL two-level IVF ANN — the documented escape hatch
     past the flat index's centroid-closure ceiling (SCALE.md: flat
@@ -1107,46 +1114,63 @@ def ivf2_topk(
     — the standard two-level trade, measured next to the flat curve
     in SCALE.md.
 
-    Determinism: lowest-id centroids at both levels, all similarity
-    ranks ordered (ROUND(sim, 9) DESC, centroid id ASC) — the whole
-    index is oracle-reproducible in SQL. A TRAINED codebook (the
-    ivf_assign ``centroids="kmeans"`` analogue) slots into the same
-    plan shape with one extra build-time obligation: the coverage
-    invariant below (every coarse cell holds ≥1 fine centroid) is
-    guaranteed here by the SELF bit — coarse centroids ARE fine
-    centroids under lowest-id prefixes — but trained coarse/fine
-    codebooks are disjoint point sets, so the build must either
-    reseed empty coarse clusters or drop empty coarse cells from the
-    probe space before serving. Enforced-by-construction here,
-    asserted-by-test (test_ivf2_fine_labels_cover_every_coarse_cell)."""
+    Determinism ("first" mode, the oracle-pinned default): lowest-id
+    centroids at both levels, all similarity ranks ordered
+    (ROUND(sim, 9) DESC, centroid id ASC) — the whole index is
+    oracle-reproducible in SQL. The coverage invariant (every coarse
+    cell a vector can assign to holds ≥1 fine centroid) is guaranteed
+    by the SELF bit in the label argmax: coarse centroids ARE fine
+    centroids under lowest-id prefixes, so each labels to itself.
+
+    ``centroids="kmeans"`` (the TRAINED production path, mirroring
+    ivf_assign's): both codebooks are MLlib KMeans fits (fixed seed),
+    FAISS-style — the coarse quantizer trains on the data, not on the
+    fine centroids. Trained coarse/fine codebooks are disjoint point
+    sets, so the self-bit cannot apply; instead the build DROPS empty
+    coarse cells from the assignment/probe space (vectors and queries
+    only ever see coarse cells that own fine centroids), which
+    restores the same invariant. Seed-pinned, test-asserted
+    (test_ivf2_fine_labels_cover_every_coarse_cell / _kmeans)."""
     from pyspark.sql import Window
 
     n = embeddings.count() if n_vectors is None else n_vectors
     c, impl = adaptive_codebook(n)
     c1 = adaptive_coarse(c)
 
-    # Stage 1 (vector -> coarse cell): the shared ivf_assign kernel
-    # with the c1-sized codebook; base is its checkpointed wide frame,
-    # reused by every stage below.
-    base, coarse, vco = ivf_assign(
-        embeddings, n_centroids=c1, id_col=id_col, vec_col=vec_col,
-        dim=dim, impl=impl, n_rows=n, with_vectors=False,
-    )
+    cw = Window.orderBy("cent_id")
+    if centroids == "kmeans":
+        base = wide_base(
+            embeddings, id_col, vec_col, dim, n_rows=n
+        ).localCheckpoint(eager=False)
+        coarse = _kmeans_cents(base, c1, dim).withColumn(
+            "cent_ix", F.row_number().over(cw) - 1
+        )
+        fine = _kmeans_cents(base, c, dim).withColumn(
+            "cent_ix", F.row_number().over(cw) - 1
+        )
+        vco = None  # assigned below, against the VALID coarse set only
+    else:
+        # Stage 1 (vector -> coarse cell): the shared ivf_assign kernel
+        # with the c1-sized codebook; base is its checkpointed wide
+        # frame, reused by every stage below.
+        base, coarse, vco = ivf_assign(
+            embeddings, n_centroids=c1, id_col=id_col, vec_col=vec_col,
+            dim=dim, impl=impl, n_rows=n, with_vectors=False,
+        )
+        # Fine codebook: first c lowest-id vectors, dense cent_ix (same
+        # construction as ivf_assign's).
+        fine = (
+            base.orderBy("vec_id")
+            .limit(c)
+            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+            .withColumn("cent_ix", F.row_number().over(cw) - 1)
+        )
     # Coarse centroids in o_-prefixed layout for joins against frames
     # that already carry c_-named fine centroids or v_-named vectors.
     co = coarse.selectExpr(
         "cent_id AS co_id",
         "cent_ix AS co_ix",
         *[f"c_{i} AS o_{i}" for i in range(dim)],
-    )
-    # Fine codebook: first c lowest-id vectors, dense cent_ix (same
-    # construction as ivf_assign's).
-    cw = Window.orderBy("cent_id")
-    fine = (
-        base.orderBy("vec_id")
-        .limit(c)
-        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
-        .withColumn("cent_ix", F.row_number().over(cw) - 1)
     )
     # Fine -> coarse labels: c×c1 pairs, packed-long argmax ordered
     # (sim desc, SELF first, co_id asc via the dense monotone co_ix) —
@@ -1158,13 +1182,21 @@ def ivf2_topk(
     # while vectors still coarse-assign to it, and the stage-2 inner
     # join would silently drop those vectors from the index (round-10
     # review finding). Bound: (2e9·2 + 1)·2^21 ≈ 8.4e15 « 2^63.
+    # In kmeans mode the ids are synthetic and unrelated across levels,
+    # so the self term is hard-zero — validity comes from the
+    # empty-cell DROP below instead.
     lab_raw = (
         f"{dot_cols('c', 'o', dim)}"
         f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
     )
+    self_term = (
+        "(CASE WHEN cent_id = co_id THEN 1L ELSE 0L END)"
+        if centroids != "kmeans"
+        else "0L"
+    )
     lab_packed = F.expr(
         f"((CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L) * 2"
-        f" + (CASE WHEN cent_id = co_id THEN 1L ELSE 0L END))"
+        f" + {self_term})"
         f" * 2097152L + (1048576L - co_ix)"
     )
     labels = (
@@ -1180,6 +1212,23 @@ def ivf2_topk(
             ).alias("co_ix"),
         )
     )
+    if centroids == "kmeans":
+        # Drop empty coarse cells BEFORE any assignment/probe: vectors
+        # and queries only ever see coarse cells that own ≥1 fine
+        # centroid, restoring the coverage invariant the self bit
+        # provides in "first" mode. The valid set is ≤ c1 ints.
+        coarse_valid = coarse.join(
+            F.broadcast(labels.select(F.col("co_ix").alias("cent_ix")).distinct()),
+            "cent_ix",
+        )
+        co = coarse_valid.selectExpr(
+            "cent_id AS co_id",
+            "cent_ix AS co_ix",
+            *[f"c_{i} AS o_{i}" for i in range(dim)],
+        )
+        # Stage 1 against the valid coarse set (the measured Arrow
+        # kernel — trained mode is the at-scale path, no BNLJ gate).
+        vco = _assign_cells_arrow(base, coarse_valid, dim)
     # Lazy RDD persist: fine_lab fans out to THREE broadcast builds
     # (stage-2 assignment, query fine probes) whose column-pruned
     # copies are canonically different — without it each build re-runs

@@ -354,6 +354,39 @@ def test_ivf2_fine_labels_cover_every_coarse_cell(spark):
         assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
 
 
+def test_ivf2_kmeans_mode_covers_every_vector(spark):
+    """Trained-codebook mode: coarse/fine KMeans codebooks are
+    disjoint point sets (no self bit possible), so validity comes from
+    DROPPING empty coarse cells before assignment/probing. Full-probe
+    search over the real sf0.001 corpus must reach every vector —
+    a dropped stage-2 vector shows up as a missing candidate row."""
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        adaptive_codebook,
+        adaptive_coarse,
+        ivf2_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    c, _ = adaptive_codebook(n)
+    c1 = adaptive_coarse(c)
+    out = ivf2_topk(
+        e,
+        F.col("vec_id") % 50 == 0,
+        k=n,
+        p1=c1,
+        p2=c,
+        n_vectors=n,
+        centroids="kmeans",
+    ).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert len(grp) == n - 1, (
+            f"query {qid}: {len(grp)} candidates, expected {n - 1}"
+        )
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+
+
 def test_semantic_dedup_arrow_matches_join(spark):
     """The per-cell Arrow SemDeDup pass must be bit-identical to the
     within-cell equi-join form: same ordered accumulation for dots and

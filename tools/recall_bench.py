@@ -232,6 +232,16 @@ def main() -> None:
                     e, pred, k=K_EVAL, p1=p1, p2=p2, n_vectors=n
                 ),
             )
+        # trained two-level codebooks (kmeans fit cost excluded at the
+        # 100x corpus, like the flat kmeans rows)
+        if label != "sf1x100":
+            run(
+                "ivf2_kmeans_p2x2",
+                lambda: ivf2_topk(
+                    e, pred, k=K_EVAL, p1=2, p2=2, n_vectors=n,
+                    centroids="kmeans",
+                ),
+            )
         # IVFPQ: same cell pruning, ADC scoring over 4-bit codes — the
         # recall delta vs plain IVF at equal nprobe is the price of
         # the 32x memory compression; measured, not assumed.
