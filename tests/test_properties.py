@@ -109,6 +109,66 @@ class TestWordGramRowsProperties:
                 assert got.get(i, Counter()) == want, (n, i)
 
 
+class TestPackedArgmaxProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-1_000_000_000, max_value=1_000_000_000),
+                st.integers(min_value=0, max_value=1_048_575),
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_packed_max_equals_lexicographic_argmax(self, pairs):
+        """The packed-long encoding used by every argmax in the IVF
+        family — pk = (nanos + 1e9)·2^21 + (2^20 − ix) — must order
+        EXACTLY like (nanos DESC, ix ASC): max(pk) decodes to the same
+        (nanos, ix) the lexicographic rule picks. This is the single
+        invariant the ivf_assign / ivf2 label / with_sim unpack logic
+        all lean on; a bound overflow or field collision shows up here."""
+        best = max(pairs, key=lambda t: (t[0], -t[1]))
+        pks = [
+            (nanos + 1_000_000_000) * 2_097_152 + (1_048_576 - ix)
+            for nanos, ix in pairs
+        ]
+        pk = max(pks)
+        nanos = pk // 2_097_152 - 1_000_000_000
+        ix = 1_048_576 - (pk % 2_097_152)
+        assert (nanos, ix) == best
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-1_000_000_000, max_value=1_000_000_000),
+                st.booleans(),
+                st.integers(min_value=0, max_value=1_048_575),
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_self_bit_packing_orders_sim_then_self_then_ix(self, triples):
+        """The ivf2 label variant — pk = ((nanos + 1e9)·2 + self)·2^21
+        + (2^20 − ix) — must order (nanos DESC, self DESC, ix ASC) and
+        stay within int64."""
+        best = max(triples, key=lambda t: (t[0], t[1], -t[2]))
+        pks = [
+            ((nanos + 1_000_000_000) * 2 + int(s)) * 2_097_152
+            + (1_048_576 - ix)
+            for nanos, s, ix in triples
+        ]
+        pk = max(pks)
+        assert pk < 2**63
+        hi = pk // 2_097_152
+        ix = 1_048_576 - (pk % 2_097_152)
+        s = hi % 2
+        nanos = hi // 2 - 1_000_000_000
+        assert (nanos, bool(s), ix) == (best[0], best[1], best[2])
+
+
 class TestHalfUpExactProperties:
     @given(
         st.floats(
