@@ -86,6 +86,22 @@ def suffix_ranks(
     max_rounds: int = 40,
     n_parts: int = 32,
 ) -> DataFrame:
+    """See _suffix_ranks_full; public form returns only the real-token
+    suffix order (doc_id, pos, srank)."""
+    final, _hist, _pos, _n = _suffix_ranks_full(
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts
+    )
+    return final
+
+
+def _suffix_ranks_full(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    word_col: str = "w",
+    max_rounds: int = 40,
+    n_parts: int = 32,
+):
     """Global lexicographic suffix order of the token corpus.
 
     Documents are concatenated in ``id_col`` order with one UNIQUE
@@ -140,9 +156,18 @@ def suffix_ranks(
     r = pos_map.join(
         global_dense_rank(pos_map.select("w"), ["w"], n_parts), "w"
     ).select("gpos", "rank")
+    # History of (h, rank-table) per doubling level — rank_h(a) ==
+    # rank_h(b) iff the first h TOKENS of the two suffixes are equal
+    # (sentinel uniqueness makes equal-window-containing-a-sentinel
+    # impossible across distinct positions). adjacent_lcp walks this
+    # history to exact LCPs. Each table is eager-checkpointed by the
+    # loop, so keeping references costs storage (N rows × log N
+    # levels), not recompute.
+    histories: list[tuple[int, DataFrame]] = []
     h = 1
     for _ in range(max_rounds):
         r = r.localCheckpoint(eager=True)
+        histories.append((h, r))
         if r.select("rank").distinct().count() == n_total:
             break
         nxt = r.select(
@@ -169,10 +194,95 @@ def suffix_ranks(
     real = pos_map.where(~F.col("w").startswith("\x00")).select(
         "doc_id", "pos", "gpos"
     )
-    kept = real.join(r, "gpos").select("doc_id", "pos", "rank")
-    return kept.join(
+    kept = real.join(r, "gpos").select("doc_id", "pos", "gpos", "rank")
+    final = kept.join(
         global_dense_rank(
             kept.select("rank"), ["rank"], n_parts, out="srank"
         ),
         "rank",
-    ).select("doc_id", "pos", "srank")
+    ).select("doc_id", "pos", "gpos", "srank")
+    return final, histories, pos_map, n_total
+
+
+def adjacent_lcp(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    word_col: str = "w",
+    max_rounds: int = 40,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact LCP between rank-adjacent suffixes — the second half of
+    the Lee et al. exact-repeat pipeline. For every real-token suffix
+    (in the global suffix order of :func:`suffix_ranks`) this returns
+    its exact token-level longest common prefix with the NEXT suffix
+    in that order:
+
+        (doc_id, pos, srank, nxt_doc_id, nxt_pos, lcp)
+
+    A position's longest repeated prefix is max(lcp with prev, lcp
+    with next) — the classic suffix-array fact that SA-neighbors
+    maximize LCP — so "every position inside an exact repeat ≥ L
+    tokens" falls out of this frame plus the existing islands tail.
+
+    Algorithm: walk the doubling history DOWNWARD (h = H/2, …, 1):
+    whenever rank_h(a') == rank_h(b') the first h tokens match, so
+    advance both cursors by h and add h to the lcp — the standard
+    O(log N) LCP walk, distributed as two broadcast-free equi-joins
+    per level over narrow (pair, cursor) rows, each level ending in an
+    eager checkpoint (constant plan size). Total accumulable lcp is
+    H−1, and max LCP < H by the fixpoint's distinctness, so the walk
+    is exact. Sentinels bound every lcp at the document edge by
+    construction (their ranks are unique)."""
+    final, histories, _pos_map, _n = _suffix_ranks_full(
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts
+    )
+    # rank-adjacent REAL pairs (sentinel suffixes carry lcp 0 with
+    # everything — their first token is unique — so restricting to
+    # real suffixes loses nothing)
+    left = final.select(
+        "doc_id", "pos", "srank", F.col("gpos").alias("ga")
+    )
+    right = final.select(
+        (F.col("srank") - 1).alias("srank"),
+        F.col("doc_id").alias("nxt_doc_id"),
+        F.col("pos").alias("nxt_pos"),
+        F.col("gpos").alias("gb"),
+    )
+    state = left.join(right, "srank").select(
+        "doc_id",
+        "pos",
+        "srank",
+        "nxt_doc_id",
+        "nxt_pos",
+        F.col("ga").alias("ca"),
+        F.col("gb").alias("cb"),
+        F.lit(0).cast("bigint").alias("lcp"),
+    )
+    # walk levels high → low; the final (all-distinct) level can never
+    # match and is skipped
+    for h, rh in reversed(histories[:-1] or histories):
+        ra = rh.select(F.col("gpos").alias("ca"), F.col("rank").alias("_ra"))
+        rb = rh.select(F.col("gpos").alias("cb"), F.col("rank").alias("_rb"))
+        st = (
+            state.join(ra, "ca", "left")
+            .join(rb, "cb", "left")
+        )
+        eq = (
+            F.col("_ra").isNotNull()
+            & F.col("_rb").isNotNull()
+            & (F.col("_ra") == F.col("_rb"))
+        )
+        state = st.select(
+            "doc_id",
+            "pos",
+            "srank",
+            "nxt_doc_id",
+            "nxt_pos",
+            F.when(eq, F.col("ca") + h).otherwise(F.col("ca")).alias("ca"),
+            F.when(eq, F.col("cb") + h).otherwise(F.col("cb")).alias("cb"),
+            F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp")).alias("lcp"),
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "doc_id", "pos", "srank", "nxt_doc_id", "nxt_pos", "lcp"
+    )

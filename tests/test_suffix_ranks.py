@@ -82,3 +82,72 @@ def test_global_dense_rank_is_dense_and_ordered(spark):
         for r in global_dense_rank(df, ["k"], n_parts=3).collect()
     }
     assert got == {1: 0, 3: 1, 5: 2, 9: 3}
+
+
+def _reference_adjacent_lcp(docs):
+    """Adjacent-suffix LCPs over the same concatenated stream."""
+    glob, origin = [], []
+    for d in sorted(docs):
+        for p, w in enumerate(docs[d]):
+            glob.append(w)
+            origin.append((d, p))
+        glob.append("\x00" + str(d))
+        origin.append(None)
+    order = sorted(range(len(glob)), key=lambda i: glob[i:])
+    real = [i for i in order if origin[i] is not None]
+    out = {}
+    for k in range(len(real) - 1):
+        a, b = real[k], real[k + 1]
+        lcp = 0
+        while (
+            a + lcp < len(glob)
+            and b + lcp < len(glob)
+            and glob[a + lcp] == glob[b + lcp]
+        ):
+            lcp += 1
+        out[origin[a]] = (origin[b], lcp)
+    return out
+
+
+@pytest.mark.parametrize("seed,n_docs,vocab", [(5, 10, 3), (23, 18, 4)])
+def test_adjacent_lcp_matches_python_reference(spark, seed, n_docs, vocab):
+    from multi_crm_cross_sell_spark.operators.suffix import adjacent_lcp
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = {
+        d: [words[rng.randint(vocab)] for _ in range(rng.randint(3, 15))]
+        for d in range(n_docs)
+    }
+    rows = [(d, p, w) for d, t in docs.items() for p, w in enumerate(t)]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    got = {
+        (r["doc_id"], r["pos"]): ((r["nxt_doc_id"], r["nxt_pos"]), r["lcp"])
+        for r in adjacent_lcp(df, n_parts=4).collect()
+    }
+    want = _reference_adjacent_lcp(docs)
+    assert got == want
+
+
+def test_adjacent_lcp_repeated_block(spark):
+    """A deliberately planted ≥4-token repeat across two docs must
+    surface as an adjacent-pair lcp of exactly its length (bounded by
+    the sentinel at the shorter doc's edge)."""
+    from multi_crm_cross_sell_spark.operators.suffix import adjacent_lcp
+
+    docs = {
+        0: ["x", "q", "r", "s", "t", "y"],
+        1: ["z", "q", "r", "s", "t"],
+        2: ["a", "b"],
+    }
+    rows = [(d, p, w) for d, t in docs.items() for p, w in enumerate(t)]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    got = {
+        (r["doc_id"], r["pos"]): r["lcp"]
+        for r in adjacent_lcp(df, n_parts=3).collect()
+    }
+    ref = {k: v[1] for k, v in _reference_adjacent_lcp(docs).items()}
+    assert got == ref
+    # the planted repeat: suffix (0,1)="q r s t y ..." and (1,1)=
+    # "q r s t <sent>" share exactly 4 tokens; they are SA-adjacent
+    assert max(got.values()) == 4
