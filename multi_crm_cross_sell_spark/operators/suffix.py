@@ -78,6 +78,38 @@ def global_dense_rank(
     )
 
 
+def _order_ranks(
+    df: DataFrame, keys: list[str], n_parts: int = 32, out: str = "rank"
+) -> DataFrame:
+    """Tie-preserving, order-MONOTONE (not dense) ranks of the key
+    tuple, attached to every input row — with ZERO driver actions.
+    Shape: repartitionByRange(keys) (explicit count — AQE preserves
+    REPARTITION_BY_NUM) → sortWithinPartitions(keys) →
+    monotonically_increasing_id (globally monotone w.r.t. the key
+    order because range-partition indices are ordered by the same
+    boundaries the local sort refines) → rank = min(id) OVER
+    (PARTITION BY keys), which equal keys share and distinct keys
+    order correctly (group-head ids of contiguous sorted blocks).
+    Prefix doubling only needs order-isomorphism and tie
+    preservation from its intermediate ranks, so this replaces the
+    per-round global_dense_rank and its offsets collect + join-back.
+    Bound: ids pack (partition << 33 | row), so keep rows-per-
+    partition < 2^33 — size n_parts to the corpus at extreme scale."""
+    ordered = (
+        df.repartitionByRange(n_parts, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    # min(_mid) over the key group = the group-head id: equal keys
+    # share it, distinct keys order by it (heads of contiguous sorted
+    # blocks). A partitionBy(spark_partition_id)+running-max variant
+    # that avoids this second exchange was MEASURED WORSE: Spark
+    # materializes spark_partition_id() as a projected column and
+    # inserts a hash exchange per Window anyway (two of them).
+    w = Window.partitionBy(*keys)
+    return ordered.withColumn(out, F.min("_mid").over(w)).drop("_mid")
+
+
 def suffix_ranks(
     tokens: DataFrame,
     id_col: str = "doc_id",
@@ -88,7 +120,7 @@ def suffix_ranks(
 ) -> DataFrame:
     """See _suffix_ranks_full; public form returns only the real-token
     suffix order (doc_id, pos, srank)."""
-    final, _hist, _pos, _n = _suffix_ranks_full(
+    final, _hist, _pos, _n, _fp = _suffix_ranks_full(
         tokens, id_col, pos_col, word_col, max_rounds, n_parts
     )
     return final
@@ -101,8 +133,22 @@ def _suffix_ranks_full(
     word_col: str = "w",
     max_rounds: int = 40,
     n_parts: int = 32,
+    cap: int | None = None,
 ):
     """Global lexicographic suffix order of the token corpus.
+
+    ``cap``: stop doubling once the level width h reaches >= cap —
+    the CAPPED order, exact through prefix width cap. Suffixes
+    sharing their first h_f >= cap tokens stay TIED in rank and the
+    final order breaks ties by global position; that refinement is
+    harmless to every capped-LCP consumer because all within-tie
+    pairwise capped LCPs equal cap exactly (h_f >= cap), so no
+    range-min across the tie block can be distorted. This is THE
+    scale lever: rep values above the dedup threshold are never
+    needed (Lee et al. remove at a fixed span length), and capping
+    turns log2(corpus-longest-repeat) doubling rounds into
+    log2(cap) — at 100 TB the difference between ~40 and ~6 global
+    sort rounds.
 
     Documents are concatenated in ``id_col`` order with one UNIQUE
     per-doc sentinel token appended ("\\x00<doc_id>", below every real
@@ -151,11 +197,12 @@ def _suffix_ranks_full(
         )
         .localCheckpoint(eager=False)
     )
-    n_total = pos_map.count()
+    # the row count only feeds the uncapped fixpoint probe
+    n_total = pos_map.count() if cap is None else None
     # round 0: rank by the token STRING (the only string-keyed round)
-    r = pos_map.join(
-        global_dense_rank(pos_map.select("w"), ["w"], n_parts), "w"
-    ).select("gpos", "rank")
+    r = _order_ranks(pos_map.select("gpos", "w"), ["w"], n_parts).select(
+        "gpos", "rank"
+    )
     # History of (h, rank-table) per doubling level — rank_h(a) ==
     # rank_h(b) iff the first h TOKENS of the two suffixes are equal
     # (sentinel uniqueness makes equal-window-containing-a-sentinel
@@ -165,26 +212,35 @@ def _suffix_ranks_full(
     # levels), not recompute.
     histories: list[tuple[int, DataFrame]] = []
     h = 1
+    fixpoint = False
     for _ in range(max_rounds):
-        r = r.localCheckpoint(eager=True)
+        # LAZY checkpoints: downstream consumption materializes each
+        # level exactly once (RDD persist); capped mode runs the whole
+        # build with zero per-round driver actions, uncapped mode pays
+        # only the fixpoint probe
+        r = r.localCheckpoint(eager=False)
         histories.append((h, r))
-        if r.select("rank").distinct().count() == n_total:
-            break
+        if cap is not None:
+            if h >= cap:
+                break
+        else:
+            # _order_ranks ranks are NOT dense — probe distinctness
+            # directly (the one per-round action of the uncapped mode)
+            fixpoint = (
+                r.agg(F.countDistinct("rank")).first()[0] == n_total
+            )
+            if fixpoint:
+                break
         nxt = r.select(
             (F.col("gpos") - h).alias("gpos"), F.col("rank").alias("rank2")
         )
         paired = r.join(nxt, "gpos", "left").select(
             "gpos", "rank", F.coalesce("rank2", F.lit(-1)).alias("rank2")
         )
-        r = paired.join(
-            global_dense_rank(
-                paired.select("rank", "rank2"),
-                ["rank", "rank2"],
-                n_parts,
-                out="nrank",
-            ),
-            ["rank", "rank2"],
-        ).select("gpos", F.col("nrank").alias("rank"))
+        # the monotone re-rank attaches in place — no offsets collect,
+        # no join-back (see _order_ranks)
+        r = _order_ranks(paired, ["rank", "rank2"], n_parts, out="nrank")
+        r = r.select("gpos", F.col("nrank").alias("rank"))
         h *= 2
     else:
         raise RuntimeError(
@@ -195,13 +251,19 @@ def _suffix_ranks_full(
         "doc_id", "pos", "gpos"
     )
     kept = real.join(r, "gpos").select("doc_id", "pos", "gpos", "rank")
+    # (rank, gpos) keys: under a cap, ranks can tie (suffixes sharing
+    # the first h_f >= cap tokens) — gpos breaks ties to a total
+    # order, which the capped-LCP consumers tolerate by construction
+    # (docstring above). Uncapped, ranks are already distinct and the
+    # extra key is a no-op on the result.
     final = kept.join(
         global_dense_rank(
-            kept.select("rank"), ["rank"], n_parts, out="srank"
+            kept.select("rank", "gpos"), ["rank", "gpos"], n_parts,
+            out="srank",
         ),
-        "rank",
+        ["rank", "gpos"],
     ).select("doc_id", "pos", "gpos", "srank")
-    return final, histories, pos_map, n_total
+    return final, histories, pos_map, n_total, fixpoint
 
 
 def adjacent_lcp(
@@ -234,18 +296,25 @@ def adjacent_lcp(
     H−1, and max LCP < H by the fixpoint's distinctness, so the walk
     is exact. Sentinels bound every lcp at the document edge by
     construction (their ranks are unique)."""
-    final, histories, _pos_map, _n = _suffix_ranks_full(
+    final, histories, _pos_map, _n, fixpoint = _suffix_ranks_full(
         tokens, id_col, pos_col, word_col, max_rounds, n_parts
     )
-    return _adjacent_lcp_from(final, histories)
+    return _adjacent_lcp_from(final, histories, skip_last=fixpoint)
 
 
 def _adjacent_lcp_from(
-    final: DataFrame, histories: list[tuple[int, DataFrame]]
+    final: DataFrame,
+    histories: list[tuple[int, DataFrame]],
+    skip_last: bool = True,
 ) -> DataFrame:
     """The LCP walk of :func:`adjacent_lcp`, factored so consumers
     that already hold the suffix order (cross_doc_repeat) reuse it
-    without a second prefix-doubling build."""
+    without a second prefix-doubling build. ``skip_last``: when the
+    doubling reached its all-ranks-distinct fixpoint the final level
+    can never match (distinct ranks at distinct cursors — and the two
+    cursors keep their nonzero ga-gb offset forever) and is skipped;
+    a CAP-stopped build's final level holds ties and MUST be
+    walked."""
     # rank-adjacent REAL pairs (sentinel suffixes carry lcp 0 with
     # everything — their first token is unique — so restricting to
     # real suffixes loses nothing)
@@ -268,9 +337,16 @@ def _adjacent_lcp_from(
         F.col("gb").alias("cb"),
         F.lit(0).cast("bigint").alias("lcp"),
     )
-    # walk levels high → low; the final (all-distinct) level can never
-    # match and is skipped
-    for h, rh in reversed(histories[:-1] or histories):
+    # walk levels high → low (the fixpoint-distinct final level is
+    # skipped per skip_last). Few levels (a capped build) walk LAZY —
+    # ~12 joins in one plan is fine and saves a per-level job; long
+    # (uncapped) walks keep the eager per-level checkpoint so plan
+    # size stays constant.
+    levels = histories[:-1] or histories
+    if not skip_last:
+        levels = histories
+    eager_walk = len(levels) > 8
+    for h, rh in reversed(levels):
         ra = rh.select(F.col("gpos").alias("ca"), F.col("rank").alias("_ra"))
         rb = rh.select(F.col("gpos").alias("cb"), F.col("rank").alias("_rb"))
         st = (
@@ -291,7 +367,7 @@ def _adjacent_lcp_from(
             F.when(eq, F.col("ca") + h).otherwise(F.col("ca")).alias("ca"),
             F.when(eq, F.col("cb") + h).otherwise(F.col("cb")).alias("cb"),
             F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp")).alias("lcp"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager_walk)
     return state.select(
         "doc_id", "pos", "srank", "nxt_doc_id", "nxt_pos", "lcp"
     )
@@ -353,6 +429,7 @@ def cross_doc_repeat(
     word_col: str = "w",
     max_rounds: int = 40,
     n_parts: int = 32,
+    cap: int | None = None,
 ) -> DataFrame:
     """EXACT longest cross-document repeat at every position: for each
     real token position (doc_id, pos), ``rep`` = the exact token
@@ -386,11 +463,20 @@ def cross_doc_repeat(
     ids, and two same-partitioning windows keyed by run. Run length
     is bounded by repeat structure (a run is consecutive same-doc
     suffixes), so run-partitioned windows carry no pathological skew
-    beyond a document's own suffix count."""
-    final, histories, _pos_map, _n = _suffix_ranks_full(
-        tokens, id_col, pos_col, word_col, max_rounds, n_parts
+    beyond a document's own suffix count.
+
+    ``cap``: return min(rep, cap) EXACTLY, with the doubling stopped
+    at level width >= cap (see _suffix_ranks_full) — ~log2(cap)
+    global sort rounds instead of log2(longest-repeat). Every
+    downstream consumer whose thresholds are <= cap (mark counts,
+    flags, covered-word unions — proof in exact_repeat_doc_stats) is
+    unaffected by the cap; only the raw "longest" saturates at it."""
+    final, histories, _pos_map, _n, fixpoint = _suffix_ranks_full(
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts, cap=cap
     )
-    adj = _adjacent_lcp_from(final, histories).localCheckpoint(eager=False)
+    adj = _adjacent_lcp_from(
+        final, histories, skip_last=fixpoint
+    ).localCheckpoint(eager=False)
     base = final.select("doc_id", "pos", "srank")
     lcp_next = adj.select("srank", F.col("lcp").alias("lcp_next"))
     lcp_prev = adj.select(
@@ -426,13 +512,15 @@ def cross_doc_repeat(
         .orderBy("srank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return runs.select(
-        "doc_id",
-        "pos",
-        F.greatest(
-            F.min("lcp_next").over(w_next), F.min("lcp_prev").over(w_prev)
-        ).alias("rep"),
+    rep = F.greatest(
+        F.min("lcp_next").over(w_next), F.min("lcp_prev").over(w_prev)
     )
+    if cap is not None:
+        # walk values above cap may be truncated at the history's
+        # capacity (2*h_f - 1) — but every value >= cap saturates to
+        # cap here, so the truncation is unobservable by construction
+        rep = F.least(rep, F.lit(cap).cast("bigint"))
+    return runs.select("doc_id", "pos", rep.alias("rep"))
 
 
 def exact_repeat_doc_stats(
@@ -458,6 +546,19 @@ def exact_repeat_doc_stats(
       earlier interval's end (per-doc windows over int rows).
     - flagged: longest_repeat >= flag_words (the exact form of the
       anchor-gram flag).
+
+    CAPPED-INPUT EXACTNESS: fed a capped rep frame (cap >= flag_words
+    >= mark_k), every output except the saturating longest_repeat is
+    IDENTICAL to the uncapped one. For the covered union: take any
+    truly-covered position p in [s, s+rep(s)-1] with rep(s) >=
+    flag_words, and let s' = max(s, p-cap+1). Then (a) p-s'+1 <= cap,
+    (b) rep(s') >= (distance from s' to the repeat's end) >= p-s'+1,
+    so min(rep(s'), cap) reaches p, and (c) rep(s') >= flag_words —
+    when s'=s directly, else rep(s') >= p-s'+1 = cap >= flag_words —
+    so s' is itself a flagged start. Hence the capped union contains
+    p; the reverse containment is immediate (capped intervals are
+    subsets). Mark counts are threshold tests at mark_k <= cap,
+    unaffected by saturation above the threshold.
     """
     ends = rep.where(F.col("rep") >= flag_words).select(
         "doc_id", "pos", (F.col("pos") + F.col("rep") - 1).alias("end")
@@ -526,10 +627,12 @@ def exact_repeat_oracle_sql(
     sum of per-position repeat lengths, NOT corpus² — and rep(pos) =
     max marked k, exactly.
 
-    EXACTNESS BOUND: correct iff the corpus' true longest cross-doc
-    repeat is < k_max; callers must pick k_max above the measured
-    max at the target scale (the equivalence test asserts this on its
-    fixtures; a registration should document its margin)."""
+    EXACTNESS BOUND: against the UNCAPPED Spark pipeline, correct iff
+    the corpus' true longest cross-doc repeat is < k_max. Against the
+    CAPPED pipeline (cross_doc_repeat(cap=k_max)) it is exact for ANY
+    corpus — the oracle's rep = max marked k <= k_max is precisely
+    min(true rep, k_max) by mark monotonicity, so the pair is total:
+    that is the registration shape."""
     stages = []
     prev = "cand_1"
     stages.append(
@@ -550,7 +653,7 @@ def exact_repeat_oracle_sql(
 )"""
             )
         stages.append(
-            f"""marks_{k} AS (
+            f"""marks_{k} AS MATERIALIZED (
   SELECT doc_id, pos, n FROM (
     SELECT doc_id, pos, n,
            MIN(doc_id) OVER (PARTITION BY g) AS mn,
@@ -566,7 +669,7 @@ def exact_repeat_oracle_sql(
     union_sql = "\n    UNION ALL ".join(union_parts)
     stages_sql = ",\n".join(stages)
     return f"""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents {where}
 ),
 {stages_sql},

@@ -347,3 +347,122 @@ def test_exact_repeat_stats_match_duckdb_oracle(spark, seed, n_docs, vocab):
         ).fetchall()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed,cap", [(7, 4), (41, 8), (97, 3)])
+def test_cross_doc_repeat_capped_matches_min_of_reference(spark, seed, cap):
+    """Capped mode: rep must equal min(true rep, cap) everywhere —
+    including corpora whose repeats exceed the cap (rank tie groups
+    at the final doubling level exercise the gpos tie-break)."""
+    from multi_crm_cross_sell_spark.operators.suffix import cross_doc_repeat
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{i}" for i in range(3)]
+    docs = {
+        d: [words[rng.randint(3)] for _ in range(rng.randint(3, 16))]
+        for d in range(10)
+    }
+    # plant a long shared block so true rep >> cap in places
+    block = [words[rng.randint(3)] for _ in range(cap * 3)]
+    docs[100] = ["u1"] + block + ["u2"]
+    docs[101] = block + ["u3"]
+    rows = [(d, p, w) for d, t in docs.items() for p, w in enumerate(t)]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    got = {
+        (r["doc_id"], r["pos"]): r["rep"]
+        for r in cross_doc_repeat(df, n_parts=4, cap=cap).collect()
+    }
+    want = {
+        k: min(v, cap) for k, v in _reference_cross_doc_repeat(docs).items()
+    }
+    assert got == want
+
+
+def test_capped_stats_match_uncapped_below_thresholds(spark):
+    """The capped-input exactness claim: with cap >= flag_words, every
+    stat except the saturating longest_repeat must match the uncapped
+    run bit-for-bit (covered-union proof in the docstring)."""
+    from multi_crm_cross_sell_spark.operators.suffix import (
+        cross_doc_repeat,
+        exact_repeat_doc_stats,
+    )
+
+    rng = np.random.RandomState(71)
+    words = [f"w{i}" for i in range(3)]
+    docs = {
+        d: [words[rng.randint(3)] for _ in range(rng.randint(4, 18))]
+        for d in range(8)
+    }
+    block = [words[rng.randint(3)] for _ in range(20)]
+    docs[50] = block + ["a1"] + block
+    docs[51] = ["b1", "b2"] + block
+    rows = [(d, p, w) for d, t in docs.items() for p, w in enumerate(t)]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    cap, mark_k, flag = 6, 3, 5
+    capped = {
+        r["doc_id"]: (r["n_repeat_starts"], r["n_covered_words"], r["flagged"])
+        for r in exact_repeat_doc_stats(
+            cross_doc_repeat(df, n_parts=4, cap=cap), mark_k=mark_k,
+            flag_words=flag,
+        ).collect()
+    }
+    uncapped = {
+        r["doc_id"]: (r["n_repeat_starts"], r["n_covered_words"], r["flagged"])
+        for r in exact_repeat_doc_stats(
+            cross_doc_repeat(df, n_parts=4), mark_k=mark_k, flag_words=flag
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_capped_pipeline_matches_oracle_totally(spark):
+    """The registration pair: Spark capped pipeline vs the k_max=cap
+    chained-CTE oracle must agree on ANY corpus — no exactness-bound
+    caveat (repeats far beyond the cap are planted to prove it)."""
+    import duckdb
+
+    from multi_crm_cross_sell_spark.operators.suffix import (
+        cross_doc_repeat,
+        exact_repeat_doc_stats,
+        exact_repeat_oracle_sql,
+    )
+
+    rng = np.random.RandomState(29)
+    words = [f"w{i}" for i in range(4)]
+    docs = {
+        d: [words[rng.randint(4)] for _ in range(rng.randint(3, 20))]
+        for d in range(12)
+    }
+    block = [words[rng.randint(4)] for _ in range(40)]
+    docs[200] = block + ["t1"]
+    docs[201] = ["t2"] + block
+    cap, mark_k, flag = 8, 3, 5
+    ddf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()],
+        "doc_id bigint, text string",
+    )
+    from pyspark.sql import functions as F
+
+    toks = ddf.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in exact_repeat_doc_stats(
+            cross_doc_repeat(toks, n_parts=4, cap=cap), mark_k=mark_k,
+            flag_words=flag,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(d, " ".join(t)) for d, t in docs.items()],
+    )
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(
+            exact_repeat_oracle_sql(cap, mark_k=mark_k, flag_words=flag)
+        ).fetchall()
+    }
+    assert got == want
