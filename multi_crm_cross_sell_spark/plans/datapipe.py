@@ -5062,6 +5062,65 @@ repeated_span_stats.__doc__ = repeated_span_stats.__doc__.format(
 )
 
 
+_EXACT_REPEAT_CAP = 32  # >= _SPAN_FLAG_WORDS: capped stats stay exact
+
+
+def exact_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-EXACT cross-document repeat statistics — the
+    no-slack upgrade of repeated_span_stats (Lee et al. 2022's exact
+    form, operators/suffix.py). Per doc: longest_repeat =
+    min(true longest cross-doc shared substring, {cap}) tokens
+    exactly; n_repeat_starts = positions whose {k}-gram is cross-doc
+    shared (identical to the anchor family's n_dup_grams by
+    construction); n_covered_words = the EXACT removal footprint of
+    the "drop repeated spans >= {flag} words" policy (cap >= flag
+    keeps it exact — proof in exact_repeat_doc_stats); flagged =
+    longest >= {flag}.
+
+    ROUND-11 REGISTRATION STAGING: not yet @register-ed — round 10's
+    newcomer slot went to ann_ivf2_topk and the rotation ledger caps
+    growth at one per round. The oracle pair
+    (operators.suffix.exact_repeat_oracle_sql(cap, k, flag)) is TOTAL
+    (exact on any corpus — capped Spark side vs k_max=cap chained
+    marks), tested in tests/test_suffix_ranks.py and against this
+    very plan in test_exact_repeat_stats_plan_matches_oracle. To
+    register: add @register("exact_repeat_stats",
+    oracle=_exact_repeat_oracle(), tags=(...)) and the ledger entry.
+    Keep it OUT of the bench headline — its cost is a ~90-job
+    scheduling floor (SCALE.md round-10 suffix section), not data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    from ..operators.suffix import cross_doc_repeat, exact_repeat_doc_stats
+
+    rep = cross_doc_repeat(toks, cap=_EXACT_REPEAT_CAP)
+    stats = exact_repeat_doc_stats(
+        rep, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS
+    )
+    # docs with no row in the stats frame cannot exist (every doc has
+    # >= 1 token, hence >= 1 suffix), so no left-join fill is needed;
+    # still project through documents for a pinned output order
+    # contract matching the oracle's FROM documents frame.
+    return stats.select(
+        "doc_id", "longest_repeat", "n_repeat_starts", "n_covered_words",
+        "flagged",
+    )
+
+
+def _exact_repeat_oracle() -> str:
+    from ..operators.suffix import exact_repeat_oracle_sql
+
+    return exact_repeat_oracle_sql(
+        _EXACT_REPEAT_CAP, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS
+    )
+
+
+exact_repeat_stats.__doc__ = exact_repeat_stats.__doc__.format(
+    cap=_EXACT_REPEAT_CAP, k=_SPAN_K, flag=_SPAN_FLAG_WORDS
+)
+
+
 @register(
     "repeated_span_removal",
     oracle=f"""

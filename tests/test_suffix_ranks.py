@@ -466,3 +466,68 @@ def test_capped_pipeline_matches_oracle_totally(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_global_prefix_sum_matches_itertools(spark):
+    import itertools
+
+    from multi_crm_cross_sell_spark.operators.suffix import global_prefix_sum
+
+    vals = [3, 0, 5, 1, 0, 0, 7, 2, 4, 1, 1, 0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ord bigint, v bigint"
+    )
+    got = {
+        r["ord"]: r["ps"]
+        for r in global_prefix_sum(df, "ord", "v", out="ps", n_parts=4).collect()
+    }
+    want = dict(enumerate(itertools.accumulate(vals)))
+    assert got == want
+
+
+def test_order_ranks_monotone_and_tie_preserving(spark):
+    """_order_ranks: equal keys share a rank; rank order equals key
+    order (values themselves are arbitrary ids, NOT dense)."""
+    from multi_crm_cross_sell_spark.operators.suffix import _order_ranks
+
+    rows = [(i, k) for i, k in enumerate([5, 3, 3, 9, 1, 5, 1, 3])]
+    df = spark.createDataFrame(rows, "gpos bigint, k bigint")
+    got = {r["gpos"]: r["rank"] for r in _order_ranks(df, ["k"], 3).collect()}
+    by_key = {}
+    for i, k in rows:
+        by_key.setdefault(k, set()).add(got[i])
+    # tie-preserving: one rank value per key
+    assert all(len(v) == 1 for v in by_key.values())
+    # order-monotone: rank values sort identically to keys
+    ks = sorted(by_key)
+    rs = [next(iter(by_key[k])) for k in ks]
+    assert rs == sorted(rs) and len(set(rs)) == len(ks)
+
+
+def test_exact_repeat_stats_plan_matches_oracle(spark):
+    """Round-11 staging gate: the UNREGISTERED plan function and its
+    oracle builder agree row-for-row on real testdata (sf0.001) — the
+    registration is a decorator flip away."""
+    import duckdb
+
+    from multi_crm_cross_sell_spark.plans.datapipe import (
+        _exact_repeat_oracle,
+        exact_repeat_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["longest_repeat"],
+            r["n_repeat_starts"],
+            r["n_covered_words"],
+            r["flagged"],
+        )
+        for r in exact_repeat_stats(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {r[0]: r[1:] for r in con.execute(_exact_repeat_oracle()).fetchall()}
+    assert got == want
