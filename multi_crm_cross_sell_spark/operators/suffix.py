@@ -36,6 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Walk checkpointing: few-level (capped) walks run LAZY — one ~12-join
+# plan, no per-level jobs; past this level count the per-level eager
+# checkpoint keeps plan size constant (uncapped deep walks).
+WALK_EAGER_MIN_LEVELS = 8
+
 
 def global_dense_rank(
     df: DataFrame, keys: list[str], n_parts: int = 32, out: str = "rank"
@@ -345,7 +350,7 @@ def _adjacent_lcp_from(
     levels = histories[:-1] or histories
     if not skip_last:
         levels = histories
-    eager_walk = len(levels) > 8
+    eager_walk = len(levels) > WALK_EAGER_MIN_LEVELS
     for h, rh in reversed(levels):
         ra = rh.select(F.col("gpos").alias("ca"), F.col("rank").alias("_ra"))
         rb = rh.select(F.col("gpos").alias("cb"), F.col("rank").alias("_rb"))
