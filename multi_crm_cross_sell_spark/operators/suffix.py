@@ -565,36 +565,11 @@ def exact_repeat_doc_stats(
     subsets). Mark counts are threshold tests at mark_k <= cap,
     unaffected by saturation above the threshold.
     """
-    ends = rep.where(F.col("rep") >= flag_words).select(
-        "doc_id", "pos", (F.col("pos") + F.col("rep") - 1).alias("end")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    w_prior = w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    isl = ends.select(
-        "doc_id",
-        "pos",
-        "end",
-        F.when(
-            F.col("pos") > F.coalesce(
-                F.max("end").over(w_prior), F.lit(-1)
-            ),
-            F.lit(1),
+    spans = covered_spans(rep, flag_words)
+    covered = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+            "n_covered_words"
         )
-        .otherwise(F.lit(0))
-        .alias("new_isl"),
-    ).select(
-        "doc_id",
-        "pos",
-        "end",
-        F.sum("new_isl")
-        .over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("isl"),
-    )
-    covered = (
-        isl.groupBy("doc_id", "isl")
-        .agg((F.max("end") - F.min("pos") + 1).alias("cov"))
-        .groupBy("doc_id")
-        .agg(F.sum("cov").cast("bigint").alias("n_covered_words"))
     )
     per_doc = rep.groupBy("doc_id").agg(
         F.max("rep").cast("bigint").alias("longest_repeat"),
@@ -612,6 +587,88 @@ def exact_repeat_doc_stats(
             .cast("bigint")
             .alias("n_covered_words"),
             (F.col("longest_repeat") >= flag_words).alias("flagged"),
+        )
+    )
+
+
+def covered_spans(rep: DataFrame, flag_words: int) -> DataFrame:
+    """Maximal disjoint covered intervals (doc_id, s, e): the union of
+    [pos, pos+rep−1] over positions with rep >= flag_words, folded by
+    the classic running-max-end sweep — an island starts where pos
+    exceeds every earlier interval's end (per-doc windows over narrow
+    int rows). Shared by the stats fold (covered word counts) and the
+    removal (positional filter spans)."""
+    ends = rep.where(F.col("rep") >= flag_words).select(
+        "doc_id", "pos", (F.col("pos") + F.col("rep") - 1).alias("end")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_prior = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    isl = ends.select(
+        "doc_id",
+        "pos",
+        "end",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prior), F.lit(-1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_isl"),
+    ).select(
+        "doc_id",
+        "pos",
+        "end",
+        F.sum("new_isl")
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("isl"),
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+
+
+def exact_repeat_removal_frame(
+    docs: DataFrame, rep: DataFrame, flag_words: int = 20
+) -> DataFrame:
+    """Cleaned text with every position covered by a >= flag_words
+    cross-document repeat REMOVED — symmetric (ALL occurrences cut),
+    the strict-decontamination policy; contrast the anchor family's
+    repeated_span_removal, which keeps the canonical first occurrence.
+    Output: (doc_id, clean_text, n_kept_words, n_removed_words).
+
+    Fed a capped rep frame with cap >= flag_words the output is
+    EXACTLY the uncapped one (the covered union is cap-invariant —
+    proof in exact_repeat_doc_stats). Re-assembly is the
+    _span_removal_tail discipline: the few, short spans join back as
+    a per-doc array and a positional higher-order filter drops
+    covered words inside one codegen projection — the document's
+    words never leave its row."""
+    spans = covered_spans(rep, flag_words)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    ws = F.split(F.col("text"), " ")
+    kept = F.filter(
+        ws,
+        lambda w, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(span_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_spans").isNull(), F.col("text"))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+            F.when(F.col("_spans").isNull(), F.size(ws))
+            .otherwise(F.size(kept))
+            .cast("bigint")
+            .alias("n_kept_words"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(ws) - F.size(kept))
+            .cast("bigint")
+            .alias("n_removed_words"),
         )
     )
 
@@ -638,39 +695,7 @@ def exact_repeat_oracle_sql(
     corpus — the oracle's rep = max marked k <= k_max is precisely
     min(true rep, k_max) by mark monotonicity, so the pair is total:
     that is the registration shape."""
-    stages = []
-    prev = "cand_1"
-    stages.append(
-        f"""cand_1 AS (
-  SELECT doc_id, i - 1 AS pos, ws[i] AS g, LEN(ws) AS n
-  FROM words, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
-)"""
-    )
-    union_parts = []
-    for k in range(1, k_max + 1):
-        if k > 1:
-            stages.append(
-                f"""cand_{k} AS (
-  SELECT m.doc_id, m.pos,
-         ARRAY_TO_STRING(w.ws[m.pos + 1 : m.pos + {k}], ' ') AS g, m.n
-  FROM marks_{k - 1} m JOIN words w USING (doc_id)
-  WHERE m.pos + {k} <= m.n
-)"""
-            )
-        stages.append(
-            f"""marks_{k} AS MATERIALIZED (
-  SELECT doc_id, pos, n FROM (
-    SELECT doc_id, pos, n,
-           MIN(doc_id) OVER (PARTITION BY g) AS mn,
-           MAX(doc_id) OVER (PARTITION BY g) AS mx
-    FROM cand_{k}
-  ) WHERE mn <> mx
-)"""
-        )
-        union_parts.append(
-            f"SELECT doc_id, pos, {k} AS k FROM marks_{k}"
-        )
-        prev = f"marks_{k}"
+    stages, union_parts = _exact_repeat_stage_sql(k_max)
     union_sql = "\n    UNION ALL ".join(union_parts)
     stages_sql = ",\n".join(stages)
     return f"""
@@ -708,4 +733,95 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents {where}) d
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN covered c USING (doc_id)
+"""
+
+
+def _exact_repeat_stage_sql(k_max: int):
+    """The shared chained mark stages (see exact_repeat_oracle_sql)
+    plus the rep-union select list, for both the stats and the
+    removal oracles."""
+    stages = []
+    stages.append(
+        f"""cand_1 AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS g, LEN(ws) AS n
+  FROM words, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+)"""
+    )
+    union_parts = []
+    for k in range(1, k_max + 1):
+        if k > 1:
+            stages.append(
+                f"""cand_{k} AS (
+  SELECT m.doc_id, m.pos,
+         ARRAY_TO_STRING(w.ws[m.pos + 1 : m.pos + {k}], ' ') AS g, m.n
+  FROM marks_{k - 1} m JOIN words w USING (doc_id)
+  WHERE m.pos + {k} <= m.n
+)"""
+            )
+        stages.append(
+            f"""marks_{k} AS MATERIALIZED (
+  SELECT doc_id, pos, n FROM (
+    SELECT doc_id, pos, n,
+           MIN(doc_id) OVER (PARTITION BY g) AS mn,
+           MAX(doc_id) OVER (PARTITION BY g) AS mx
+    FROM cand_{k}
+  ) WHERE mn <> mx
+)"""
+        )
+        union_parts.append(
+            f"SELECT doc_id, pos, {k} AS k FROM marks_{k}"
+        )
+    return stages, union_parts
+
+
+def exact_repeat_removal_oracle_sql(
+    k_max: int, flag_words: int = 20, where: str = ""
+) -> str:
+    """Removal twin of exact_repeat_oracle_sql: cleaned text with every
+    position covered by a >= flag_words cross-doc repeat interval
+    REMOVED (symmetric — all occurrences cut; contrast
+    repeated_span_removal's keep-canonical-first policy). Same total
+    exactness as the stats oracle when paired with the capped Spark
+    pipeline (cap = k_max >= flag_words): the covered union is
+    cap-invariant (proof in exact_repeat_doc_stats)."""
+    stages, union_parts = _exact_repeat_stage_sql(k_max)
+    union_sql = "\n    UNION ALL ".join(union_parts)
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents {where}
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM words, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)
+),
+{stages_sql},
+reps AS (
+  SELECT doc_id, pos, MAX(k) AS rep FROM (
+    {union_sql}
+  ) GROUP BY doc_id, pos
+),
+cover AS (
+  SELECT DISTINCT doc_id, upos FROM (
+    SELECT doc_id, UNNEST(RANGE(pos, pos + rep)) AS upos
+    FROM reps WHERE rep >= {flag_words}
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w FROM toks t
+  ANTI JOIN cover c ON c.doc_id = t.doc_id AND c.upos = t.pos
+),
+agg AS (
+  SELECT doc_id,
+         STRING_AGG(w, ' ' ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_words
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+       CAST(LEN(STRING_SPLIT(d.text, ' '))
+            - COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_removed_words
+FROM (SELECT * FROM documents {where}) d
+LEFT JOIN agg a USING (doc_id)
 """

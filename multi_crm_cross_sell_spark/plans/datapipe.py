@@ -5116,6 +5116,44 @@ def _exact_repeat_oracle() -> str:
     )
 
 
+def exact_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-decontamination removal on the suffix-array-exact marks:
+    every position covered by a >= {flag}-word cross-document repeat
+    is cut from EVERY occurrence (symmetric — contrast
+    repeated_span_removal's keep-canonical-first policy; both are
+    real curation modes: keep-first dedups, cut-all decontaminates
+    shared boilerplate). Cleaned text reassembles in-row via the
+    spans-array positional filter (_span_removal_tail discipline).
+
+    ROUND-11 REGISTRATION STAGING, same terms as exact_repeat_stats:
+    the oracle pair (exact_repeat_removal_oracle_sql(cap, flag)) is
+    total for cap >= flag (covered-union cap-invariance proof in
+    exact_repeat_doc_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    from ..operators.suffix import cross_doc_repeat, exact_repeat_removal_frame
+
+    rep = cross_doc_repeat(toks, cap=_EXACT_REPEAT_CAP)
+    return exact_repeat_removal_frame(
+        docs, rep, flag_words=_SPAN_FLAG_WORDS
+    )
+
+
+exact_repeat_removal.__doc__ = exact_repeat_removal.__doc__.format(
+    flag=_SPAN_FLAG_WORDS
+)
+
+
+def _exact_repeat_removal_oracle() -> str:
+    from ..operators.suffix import exact_repeat_removal_oracle_sql
+
+    return exact_repeat_removal_oracle_sql(
+        _EXACT_REPEAT_CAP, flag_words=_SPAN_FLAG_WORDS
+    )
+
+
 exact_repeat_stats.__doc__ = exact_repeat_stats.__doc__.format(
     cap=_EXACT_REPEAT_CAP, k=_SPAN_K, flag=_SPAN_FLAG_WORDS
 )

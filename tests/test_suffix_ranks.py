@@ -531,3 +531,64 @@ def test_exact_repeat_stats_plan_matches_oracle(spark):
     )
     want = {r[0]: r[1:] for r in con.execute(_exact_repeat_oracle()).fetchall()}
     assert got == want
+
+
+def test_exact_repeat_removal_planted(spark):
+    """Symmetric removal: a >= flag-word cross-doc block disappears
+    from BOTH docs; untouched docs pass through verbatim."""
+    from pyspark.sql import functions as F
+
+    from multi_crm_cross_sell_spark.operators.suffix import (
+        cross_doc_repeat,
+        exact_repeat_removal_frame,
+    )
+
+    block = [f"b{i}" for i in range(6)]
+    docs = {
+        0: ["x1"] + block + ["x2"],
+        1: block + ["y1"],
+        2: ["a", "b", "c"],
+    }
+    ddf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()],
+        "doc_id bigint, text string",
+    )
+    toks = ddf.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    rep = cross_doc_repeat(toks, n_parts=3, cap=8)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_words"], r["n_removed_words"])
+        for r in exact_repeat_removal_frame(ddf, rep, flag_words=4).collect()
+    }
+    assert got == {
+        0: ("x1 x2", 2, 6),
+        1: ("y1", 1, 6),
+        2: ("a b c", 3, 0),
+    }
+
+
+def test_exact_repeat_removal_plan_matches_duckdb_oracle(spark):
+    """Round-11 staging gate for the removal twin: plan vs
+    exact_repeat_removal_oracle_sql, row-for-row on sf0.001."""
+    import duckdb
+
+    from multi_crm_cross_sell_spark.plans.datapipe import (
+        _exact_repeat_removal_oracle,
+        exact_repeat_removal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_words"], r["n_removed_words"])
+        for r in exact_repeat_removal(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_exact_repeat_removal_oracle()).fetchall()
+    }
+    assert got == want
