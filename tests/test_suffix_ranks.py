@@ -592,3 +592,45 @@ def test_exact_repeat_removal_plan_matches_duckdb_oracle(spark):
         for r in con.execute(_exact_repeat_removal_oracle()).fetchall()
     }
     assert got == want
+
+
+def test_exact_repeat_removal_matches_python_reference(spark):
+    """Randomized end-to-end check of the symmetric removal against a
+    brute-force reference: covered = union of [p, p+rep-1] over
+    rep >= flag, cleaned text = the uncovered words in order."""
+    from pyspark.sql import functions as F
+
+    from multi_crm_cross_sell_spark.operators.suffix import (
+        cross_doc_repeat,
+        exact_repeat_removal_frame,
+    )
+
+    rng = np.random.RandomState(83)
+    words = [f"w{i}" for i in range(3)]
+    docs = {
+        d: [words[rng.randint(3)] for _ in range(rng.randint(4, 22))]
+        for d in range(16)
+    }
+    flag, cap = 5, 8
+    ref_rep = _reference_cross_doc_repeat(docs)
+    want = {}
+    for d, toks in docs.items():
+        covered = set()
+        for p in range(len(toks)):
+            if ref_rep[(d, p)] >= flag:
+                covered.update(range(p, p + ref_rep[(d, p)]))
+        kept = [w for p, w in enumerate(toks) if p not in covered]
+        want[d] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    ddf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()],
+        "doc_id bigint, text string",
+    )
+    toks = ddf.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    rep = cross_doc_repeat(toks, n_parts=4, cap=cap)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_words"], r["n_removed_words"])
+        for r in exact_repeat_removal_frame(ddf, rep, flag_words=flag).collect()
+    }
+    assert got == want
