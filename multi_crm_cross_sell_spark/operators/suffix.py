@@ -435,6 +435,7 @@ def cross_doc_repeat(
     max_rounds: int = 40,
     n_parts: int = 32,
     cap: int | None = None,
+    group_expr=None,
 ) -> DataFrame:
     """EXACT longest cross-document repeat at every position: for each
     real token position (doc_id, pos), ``rep`` = the exact token
@@ -487,9 +488,21 @@ def cross_doc_repeat(
     lcp_prev = adj.select(
         (F.col("srank") + 1).alias("srank"), F.col("lcp").alias("lcp_prev")
     )
+    # ``group_expr``: Column->Column mapping a doc_id to its GROUP —
+    # rep then means "longest prefix shared with a suffix of a
+    # DIFFERENT GROUP" (the exact-decontamination primitive: group =
+    # holdout membership). Default: the doc itself (cross-document).
+    # Zero joins either way: groups derive from doc_id by expression.
+    # Every correctness argument (nearest different-X neighbor, run
+    # range-mins, cap invariance) is group-agnostic by construction —
+    # runs just split on group boundaries instead of doc boundaries.
+    if group_expr is None:
+        group_expr = lambda c: c  # noqa: E731 — identity: group = doc
     chg = adj.select(
         (F.col("srank") + 1).alias("srank"),
-        (F.col("doc_id") != F.col("nxt_doc_id")).cast("bigint").alias("m"),
+        (
+            group_expr(F.col("doc_id")) != group_expr(F.col("nxt_doc_id"))
+        ).cast("bigint").alias("m"),
     )
     frame = (
         base.join(lcp_next, "srank", "left")
@@ -736,10 +749,13 @@ LEFT JOIN covered c USING (doc_id)
 """
 
 
-def _exact_repeat_stage_sql(k_max: int):
+def _exact_repeat_stage_sql(k_max: int, group_sql: str = "doc_id"):
     """The shared chained mark stages (see exact_repeat_oracle_sql)
-    plus the rep-union select list, for both the stats and the
-    removal oracles."""
+    plus the rep-union select list, for the stats / removal /
+    contamination oracles. ``group_sql``: SQL expression over the
+    gram rows defining the cross-ness group (default: the document
+    itself); a gram is marked when its partition spans >= 2 distinct
+    group values."""
     stages = []
     stages.append(
         f"""cand_1 AS (
@@ -762,8 +778,8 @@ def _exact_repeat_stage_sql(k_max: int):
             f"""marks_{k} AS MATERIALIZED (
   SELECT doc_id, pos, n FROM (
     SELECT doc_id, pos, n,
-           MIN(doc_id) OVER (PARTITION BY g) AS mn,
-           MAX(doc_id) OVER (PARTITION BY g) AS mx
+           MIN({group_sql}) OVER (PARTITION BY g) AS mn,
+           MAX({group_sql}) OVER (PARTITION BY g) AS mx
     FROM cand_{k}
   ) WHERE mn <> mx
 )"""
@@ -824,4 +840,50 @@ SELECT d.doc_id,
             - COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_removed_words
 FROM (SELECT * FROM documents {where}) d
 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def exact_contamination_oracle_sql(
+    k_max: int,
+    flag_words: int,
+    holdout_sql: str,
+    where: str = "",
+) -> str:
+    """Contamination twin of exact_repeat_oracle_sql: per TRAINING doc
+    (NOT matching ``holdout_sql``), the exact (capped at k_max)
+    longest token span shared with the HOLDOUT group, the count of
+    positions starting such a shared span of >= flag_words tokens,
+    and the contaminated flag. Pairs totally with
+    cross_doc_repeat(cap=k_max, group_expr=holdout membership) — and
+    ``contaminated`` with flag_words = n reproduces the n-gram
+    decontamination flag exactly (rep >= n ⟺ shares an n-gram with
+    the holdout). ``holdout_sql``: boolean SQL over doc_id."""
+    grp = f"CASE WHEN {holdout_sql} THEN 1 ELSE 0 END"
+    stages, union_parts = _exact_repeat_stage_sql(k_max, group_sql=grp)
+    union_sql = "\n    UNION ALL ".join(union_parts)
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents {where}
+),
+{stages_sql},
+reps AS (
+  SELECT doc_id, pos, MAX(k) AS rep FROM (
+    {union_sql}
+  ) GROUP BY doc_id, pos
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(MAX(rep) AS BIGINT) AS longest,
+         CAST(SUM(CASE WHEN rep >= {flag_words} THEN 1 ELSE 0 END) AS BIGINT)
+           AS nstarts
+  FROM reps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_shared_span,
+       CAST(COALESCE(p.nstarts, 0) AS BIGINT) AS n_contaminated_positions,
+       COALESCE(p.longest, 0) >= {flag_words} AS contaminated
+FROM (SELECT doc_id FROM documents {where}) d
+LEFT JOIN per_doc p USING (doc_id)
+WHERE NOT ({holdout_sql.replace("doc_id", "d.doc_id")})
 """

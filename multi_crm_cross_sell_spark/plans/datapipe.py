@@ -5154,6 +5154,72 @@ def _exact_repeat_removal_oracle() -> str:
     )
 
 
+def exact_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-exact eval-set contamination: per TRAINING doc
+    (doc_id % {mod} != 0 — the same holdout split as
+    benchmark_decontamination), the EXACT longest token span shared
+    with the holdout group (capped at {cap}), the count of positions
+    starting a >= {n}-token shared span, and the contaminated flag.
+    The flag is provably identical to the n-gram family's (a cross-
+    group rep >= {n} ⟺ the position's {n}-gram occurs in the
+    holdout — the parity test pins it); the spans add what the n-gram
+    test cannot say: HOW MUCH is shared, exactly, per doc — the
+    severity signal surgical decontamination triages by.
+
+    ROUND-11 REGISTRATION STAGING, same terms as exact_repeat_stats;
+    oracle: exact_contamination_oracle_sql (total pair at cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    from ..operators.suffix import cross_doc_repeat
+
+    rep = cross_doc_repeat(
+        toks,
+        cap=_EXACT_REPEAT_CAP,
+        group_expr=lambda d: (d % _DECON_MOD == 0).cast("int"),
+    )
+    train = rep.where(F.col("doc_id") % _DECON_MOD != 0)
+    per_doc = train.groupBy("doc_id").agg(
+        F.max("rep").cast("bigint").alias("longest_shared_span"),
+        F.sum((F.col("rep") >= _DECON_N).cast("bigint"))
+        .cast("bigint")
+        .alias("n_contaminated_positions"),
+    )
+    return (
+        docs.where(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("longest_shared_span", F.lit(0))
+            .cast("bigint")
+            .alias("longest_shared_span"),
+            F.coalesce("n_contaminated_positions", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_positions"),
+            (F.coalesce("longest_shared_span", F.lit(0)) >= _DECON_N).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+exact_contamination_spans.__doc__ = exact_contamination_spans.__doc__.format(
+    mod=_DECON_MOD, cap=_EXACT_REPEAT_CAP, n=_DECON_N
+)
+
+
+def _exact_contamination_oracle() -> str:
+    from ..operators.suffix import exact_contamination_oracle_sql
+
+    return exact_contamination_oracle_sql(
+        _EXACT_REPEAT_CAP,
+        flag_words=_DECON_N,
+        holdout_sql=f"doc_id % {_DECON_MOD} = 0",
+    )
+
+
 exact_repeat_stats.__doc__ = exact_repeat_stats.__doc__.format(
     cap=_EXACT_REPEAT_CAP, k=_SPAN_K, flag=_SPAN_FLAG_WORDS
 )

@@ -634,3 +634,87 @@ def test_exact_repeat_removal_matches_python_reference(spark):
         for r in exact_repeat_removal_frame(ddf, rep, flag_words=flag).collect()
     }
     assert got == want
+
+
+def test_group_expr_cross_group_only(spark):
+    """group_expr: repeats WITHIN a group must not count — only
+    cross-group sharing registers."""
+    from pyspark.sql import functions as F
+
+    from multi_crm_cross_sell_spark.operators.suffix import cross_doc_repeat
+
+    block = [f"b{i}" for i in range(5)]
+    docs = {
+        # docs 0 and 2: same group (even), share a 5-block — NOT cross
+        0: block + ["x1"],
+        2: ["x2"] + block,
+        # doc 1 (odd group) shares a 3-prefix of the block with group 0
+        1: block[:3] + ["y1"],
+    }
+    rows = [(d, p, w) for d, t in docs.items() for p, w in enumerate(t)]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    got = {
+        (r["doc_id"], r["pos"]): r["rep"]
+        for r in cross_doc_repeat(
+            df, n_parts=3, group_expr=lambda d: d % 2
+        ).collect()
+    }
+    # cross-group reference: group = parity
+    want = {}
+    for d, toks in docs.items():
+        for p in range(len(toks)):
+            best = 0
+            for d2, t2 in docs.items():
+                if d2 % 2 == d % 2:
+                    continue
+                for q in range(len(t2)):
+                    ln = 0
+                    while (
+                        p + ln < len(toks)
+                        and q + ln < len(t2)
+                        and toks[p + ln] == t2[q + ln]
+                    ):
+                        ln += 1
+                    best = max(best, ln)
+            want[(d, p)] = best
+    assert got == want
+    # the planted facts: within-group 5-share invisible, cross-group 3 visible
+    assert got[(0, 0)] == 3 and got[(2, 1)] == 3 and got[(1, 0)] == 3
+
+
+def test_exact_contamination_plan_matches_oracle_and_ngram_flag(spark):
+    """Round-11 staging gate for the contamination twin, PLUS the
+    cross-implementation parity pin: the suffix-exact contaminated
+    flag must equal benchmark_decontamination's n-gram flag on real
+    testdata (rep >= n ⟺ shares an n-gram with the holdout)."""
+    import duckdb
+
+    from multi_crm_cross_sell_spark.plans.datapipe import (
+        _exact_contamination_oracle,
+        benchmark_decontamination,
+        exact_contamination_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["longest_shared_span"],
+            r["n_contaminated_positions"],
+            r["contaminated"],
+        )
+        for r in exact_contamination_spans(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_exact_contamination_oracle()).fetchall()
+    }
+    assert got == want
+    ngram_flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in benchmark_decontamination(spark, sf).collect()
+    }
+    assert {d: v[2] for d, v in got.items()} == ngram_flags
