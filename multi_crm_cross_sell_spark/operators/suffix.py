@@ -99,7 +99,12 @@ def _order_ranks(
     preservation from its intermediate ranks, so this replaces the
     per-round global_dense_rank and its offsets collect + join-back.
     Bound: ids pack (partition << 33 | row), so keep rows-per-
-    partition < 2^33 — size n_parts to the corpus at extreme scale."""
+    partition < 2^33 — size n_parts to the corpus at extreme scale.
+    Retry-safe despite monotonically_increasing_id's nondeterminism
+    flag: equal keys form a contiguous block after the sort, so
+    min(id) is the block's FIRST index — fixed by the count of rows
+    in strictly-earlier key groups — even if a task retry permutes
+    the within-block order of ties."""
     ordered = (
         df.repartitionByRange(n_parts, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
