@@ -254,34 +254,39 @@ def main() -> None:
     cur_oracle, cur_ratio = _sec_totals(CURATION, cur_timings)
     ann_oracle, ann_ratio = _sec_totals(ANN_INDEX, ann_timings)
 
-    # Totals FIRST in the one JSON line: the driver's capture has
-    # truncated the (long) line mid-stream before (BENCH_r09 recorded
-    # "parsed": null) — leading with the scalars keeps the headline
-    # numbers human-recoverable from a truncated prefix, and the big
-    # per-query dicts ride at the tail.
+    totals = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "oracle_total": head_oracle,
+        "ratio_vs_oracle": head_ratio,
+        "curation_total": round(sum(cur_timings.values()), 3),
+        "curation_oracle_total": cur_oracle,
+        "curation_ratio": cur_ratio,
+        "ann_index_total": round(sum(ann_timings.values()), 3),
+        "ann_index_oracle_total": ann_oracle,
+        "ann_index_ratio": ann_ratio,
+        "curation_total_r7_subset": round(
+            sum(
+                cur_timings[n]
+                for n in CURATION[: CURATION.index("stratified_sample")]
+                if n in cur_timings
+            ),
+            3,
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Big line first (full per-query books for humans and the repo's
+    # own tooling), then a SHORT totals-only line LAST: the driver
+    # keeps only the final ~2000 output characters, which truncated
+    # the big line mid-stream in rounds 9 AND 10 ("parsed": null in
+    # BENCH_r09/r10) — totals-first merely moved the scalars into the
+    # part that gets cut. A complete, small JSON object at the very
+    # end always survives a tail capture intact.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "oracle_total": head_oracle,
-                "ratio_vs_oracle": head_ratio,
-                "curation_total": round(sum(cur_timings.values()), 3),
-                "curation_oracle_total": cur_oracle,
-                "curation_ratio": cur_ratio,
-                "ann_index_total": round(sum(ann_timings.values()), 3),
-                "ann_index_oracle_total": ann_oracle,
-                "ann_index_ratio": ann_ratio,
-                "curation_total_r7_subset": round(
-                    sum(
-                        cur_timings[n]
-                        for n in CURATION[: CURATION.index("stratified_sample")]
-                        if n in cur_timings
-                    ),
-                    3,
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **totals,
                 "queries": timings,
                 "curation_queries": cur_timings,
                 "ann_index_queries": ann_timings,
@@ -290,6 +295,7 @@ def main() -> None:
             }
         )
     )
+    print(json.dumps(totals))
     spark.stop()
 
 

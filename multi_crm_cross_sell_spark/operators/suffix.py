@@ -83,8 +83,28 @@ def global_dense_rank(
     )
 
 
+# monotonically_increasing_id packs (partition << 33 | row): the
+# per-partition row counter holds 2^33 rows. Size partitions to a
+# quarter of that so range-partitioner imbalance and key-tie
+# clustering (equal keys land in ONE partition) have 4x headroom
+# before the counter could wrap.
+_IDS_PER_PART_MAX = 1 << 31
+
+
+def _sized_parts(n_parts: int, n_rows: int | None) -> int:
+    """max(n_parts, ceil(n_rows / _IDS_PER_PART_MAX)) — the cheap
+    guard the id-packing bound needs when a corpus count is known."""
+    if n_rows is None:
+        return n_parts
+    return max(n_parts, -(-n_rows // _IDS_PER_PART_MAX))
+
+
 def _order_ranks(
-    df: DataFrame, keys: list[str], n_parts: int = 32, out: str = "rank"
+    df: DataFrame,
+    keys: list[str],
+    n_parts: int = 32,
+    out: str = "rank",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Tie-preserving, order-MONOTONE (not dense) ranks of the key
     tuple, attached to every input row — with ZERO driver actions.
@@ -99,12 +119,18 @@ def _order_ranks(
     preservation from its intermediate ranks, so this replaces the
     per-round global_dense_rank and its offsets collect + join-back.
     Bound: ids pack (partition << 33 | row), so keep rows-per-
-    partition < 2^33 — size n_parts to the corpus at extreme scale.
+    partition < 2^33 — pass ``n_rows`` (the input row count, when the
+    caller already knows it) and n_parts is sized to keep partitions
+    under 2^31 rows (4x headroom for partitioner imbalance; equal
+    keys range to ONE partition, so a single key with more rows than
+    the id counter would still need a pre-split — no measured corpus
+    is within two orders of magnitude of that).
     Retry-safe despite monotonically_increasing_id's nondeterminism
     flag: equal keys form a contiguous block after the sort, so
     min(id) is the block's FIRST index — fixed by the count of rows
     in strictly-earlier key groups — even if a task retry permutes
     the within-block order of ties."""
+    n_parts = _sized_parts(n_parts, n_rows)
     ordered = (
         df.repartitionByRange(n_parts, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
@@ -127,11 +153,15 @@ def suffix_ranks(
     word_col: str = "w",
     max_rounds: int = 40,
     n_parts: int = 32,
+    n_tokens: int | None = None,
 ) -> DataFrame:
     """See _suffix_ranks_full; public form returns only the real-token
-    suffix order (doc_id, pos, srank)."""
+    suffix order (doc_id, pos, srank). ``n_tokens``: corpus token
+    count when the caller knows it — sizes rank partitions under the
+    id-packing bound (_order_ranks) without adding a count job."""
     final, _hist, _pos, _n, _fp = _suffix_ranks_full(
-        tokens, id_col, pos_col, word_col, max_rounds, n_parts
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts,
+        n_tokens=n_tokens,
     )
     return final
 
@@ -144,6 +174,7 @@ def _suffix_ranks_full(
     max_rounds: int = 40,
     n_parts: int = 32,
     cap: int | None = None,
+    n_tokens: int | None = None,
 ):
     """Global lexicographic suffix order of the token corpus.
 
@@ -209,10 +240,16 @@ def _suffix_ranks_full(
     )
     # the row count only feeds the uncapped fixpoint probe
     n_total = pos_map.count() if cap is None else None
+    # id-bound sizing for _order_ranks (2^31 rows/partition, 4x
+    # headroom): the uncapped mode's count is reused for free; the
+    # capped mode (zero driver actions) takes the caller's n_tokens
+    # when known — sentinels add only one row per doc, well inside
+    # the headroom.
+    n_rows = n_total if n_total is not None else n_tokens
     # round 0: rank by the token STRING (the only string-keyed round)
-    r = _order_ranks(pos_map.select("gpos", "w"), ["w"], n_parts).select(
-        "gpos", "rank"
-    )
+    r = _order_ranks(
+        pos_map.select("gpos", "w"), ["w"], n_parts, n_rows=n_rows
+    ).select("gpos", "rank")
     # History of (h, rank-table) per doubling level — rank_h(a) ==
     # rank_h(b) iff the first h TOKENS of the two suffixes are equal
     # (sentinel uniqueness makes equal-window-containing-a-sentinel
@@ -249,7 +286,9 @@ def _suffix_ranks_full(
         )
         # the monotone re-rank attaches in place — no offsets collect,
         # no join-back (see _order_ranks)
-        r = _order_ranks(paired, ["rank", "rank2"], n_parts, out="nrank")
+        r = _order_ranks(
+            paired, ["rank", "rank2"], n_parts, out="nrank", n_rows=n_rows
+        )
         r = r.select("gpos", F.col("nrank").alias("rank"))
         h *= 2
     else:
@@ -283,6 +322,7 @@ def adjacent_lcp(
     word_col: str = "w",
     max_rounds: int = 40,
     n_parts: int = 32,
+    n_tokens: int | None = None,
 ) -> DataFrame:
     """Exact LCP between rank-adjacent suffixes — the second half of
     the Lee et al. exact-repeat pipeline. For every real-token suffix
@@ -307,7 +347,8 @@ def adjacent_lcp(
     is exact. Sentinels bound every lcp at the document edge by
     construction (their ranks are unique)."""
     final, histories, _pos_map, _n, fixpoint = _suffix_ranks_full(
-        tokens, id_col, pos_col, word_col, max_rounds, n_parts
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts,
+        n_tokens=n_tokens,
     )
     return _adjacent_lcp_from(final, histories, skip_last=fixpoint)
 
@@ -441,6 +482,7 @@ def cross_doc_repeat(
     n_parts: int = 32,
     cap: int | None = None,
     group_expr=None,
+    n_tokens: int | None = None,
 ) -> DataFrame:
     """EXACT longest cross-document repeat at every position: for each
     real token position (doc_id, pos), ``rep`` = the exact token
@@ -481,9 +523,15 @@ def cross_doc_repeat(
     global sort rounds instead of log2(longest-repeat). Every
     downstream consumer whose thresholds are <= cap (mark counts,
     flags, covered-word unions — proof in exact_repeat_doc_stats) is
-    unaffected by the cap; only the raw "longest" saturates at it."""
+    unaffected by the cap; only the raw "longest" saturates at it.
+
+    ``n_tokens``: corpus token count when the caller already knows it
+    (e.g. from parquet footers × average doc length) — sizes the rank
+    partitions under _order_ranks' id-packing bound without adding a
+    count job to the capped mode's zero-action build."""
     final, histories, _pos_map, _n, fixpoint = _suffix_ranks_full(
-        tokens, id_col, pos_col, word_col, max_rounds, n_parts, cap=cap
+        tokens, id_col, pos_col, word_col, max_rounds, n_parts, cap=cap,
+        n_tokens=n_tokens,
     )
     adj = _adjacent_lcp_from(
         final, histories, skip_last=fixpoint
@@ -546,8 +594,30 @@ def cross_doc_repeat(
     return runs.select("doc_id", "pos", rep.alias("rep"))
 
 
+def _check_cap(cap: int | None, flag_words: int, mark_k: int = 0) -> None:
+    """Enforce the capped-input exactness precondition cap >=
+    flag_words >= mark_k (the proofs in exact_repeat_doc_stats /
+    exact_repeat_removal_frame assume it; violating it silently
+    undercounts coverage and flags). ``cap=None`` asserts the caller
+    fed an UNCAPPED rep frame, which is always exact."""
+    if mark_k > flag_words:
+        raise ValueError(
+            f"mark_k={mark_k} > flag_words={flag_words}: the marked-start "
+            "threshold must not exceed the flag threshold"
+        )
+    if cap is not None and cap < flag_words:
+        raise ValueError(
+            f"cap={cap} < flag_words={flag_words}: a rep frame capped "
+            "below the flag threshold cannot support exact coverage — "
+            "raise the cap (cap >= flag_words keeps every output exact)"
+        )
+
+
 def exact_repeat_doc_stats(
-    rep: DataFrame, mark_k: int = 5, flag_words: int = 20
+    rep: DataFrame,
+    mark_k: int = 5,
+    flag_words: int = 20,
+    cap: int | None = None,
 ) -> DataFrame:
     """Per-document fold of :func:`cross_doc_repeat`'s position frame
     — the suffix-array-exact counterpart of repeated_span_stats:
@@ -582,7 +652,12 @@ def exact_repeat_doc_stats(
     p; the reverse containment is immediate (capped intervals are
     subsets). Mark counts are threshold tests at mark_k <= cap,
     unaffected by saturation above the threshold.
+
+    ``cap``: pass the cap the rep frame was built with (None for an
+    uncapped frame) — the precondition cap >= flag_words >= mark_k is
+    then ENFORCED (ValueError), not just documented.
     """
+    _check_cap(cap, flag_words, mark_k)
     spans = covered_spans(rep, flag_words)
     covered = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
@@ -645,7 +720,10 @@ def covered_spans(rep: DataFrame, flag_words: int) -> DataFrame:
 
 
 def exact_repeat_removal_frame(
-    docs: DataFrame, rep: DataFrame, flag_words: int = 20
+    docs: DataFrame,
+    rep: DataFrame,
+    flag_words: int = 20,
+    cap: int | None = None,
 ) -> DataFrame:
     """Cleaned text with every position covered by a >= flag_words
     cross-document repeat REMOVED — symmetric (ALL occurrences cut),
@@ -659,7 +737,12 @@ def exact_repeat_removal_frame(
     _span_removal_tail discipline: the few, short spans join back as
     a per-doc array and a positional higher-order filter drops
     covered words inside one codegen projection — the document's
-    words never leave its row."""
+    words never leave its row.
+
+    ``cap``: the cap the rep frame was built with (None = uncapped);
+    cap >= flag_words is ENFORCED (the cap-invariance proof needs
+    it)."""
+    _check_cap(cap, flag_words)
     spans = covered_spans(rep, flag_words)
     span_arr = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("_spans")
@@ -862,7 +945,11 @@ def exact_contamination_oracle_sql(
     cross_doc_repeat(cap=k_max, group_expr=holdout membership) — and
     ``contaminated`` with flag_words = n reproduces the n-gram
     decontamination flag exactly (rep >= n ⟺ shares an n-gram with
-    the holdout). ``holdout_sql``: boolean SQL over doc_id."""
+    the holdout). ``holdout_sql``: boolean SQL over the bare
+    ``doc_id`` column — the outer scan wraps it in a subquery whose
+    scope exposes exactly that column, so no alias rewriting is ever
+    applied to the predicate text (a naive string replace would
+    corrupt identifiers containing "doc_id" as a substring)."""
     grp = f"CASE WHEN {holdout_sql} THEN 1 ELSE 0 END"
     stages, union_parts = _exact_repeat_stage_sql(k_max, group_sql=grp)
     union_sql = "\n    UNION ALL ".join(union_parts)
@@ -888,7 +975,9 @@ SELECT d.doc_id,
        CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_shared_span,
        CAST(COALESCE(p.nstarts, 0) AS BIGINT) AS n_contaminated_positions,
        COALESCE(p.longest, 0) >= {flag_words} AS contaminated
-FROM (SELECT doc_id FROM documents {where}) d
+FROM (
+  SELECT doc_id FROM (SELECT * FROM documents {where})
+  WHERE NOT ({holdout_sql})
+) d
 LEFT JOIN per_doc p USING (doc_id)
-WHERE NOT ({holdout_sql.replace("doc_id", "d.doc_id")})
 """

@@ -159,36 +159,69 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # approx_distinct_stats). All parked entries re-verified
 # exact-equality green under tools/check.py in the round-10 closing
 # commit (rule R3).
+# Round-11 rotation (55 parked / 50 in-window / 105 registered):
+# The TWENTY-TWO entries parked since round 9 hit their R2 deadline
+# this round and ALL rejoin the driver window (near_dup_clusters,
+# document_token_ids, bigram_lm_quality, simhash_fingerprints,
+# repeated_span_removal, decontamination_span_removal,
+# document_bpe_ids, stateful_streaming_dedup, event_tumbling_windows,
+# stratified_sample, dataset_temperature_mix, perplexity_filter_by_lang,
+# length_bucketed_batches, semantic_dedup, dsir_importance_weights,
+# dedup_keep_best, leakage_safe_splits, source_overlap_matrix,
+# textrank_keywords, deterministic_pred_id, ab_bucket_allocation,
+# domain_extraction). The THREE round-10-staged suffix-array plans
+# (exact_repeat_stats, exact_repeat_removal, exact_contamination_spans)
+# register this round and enter in their birth round per R1 — the
+# round-10 ledger's own item #1. The 30 round-10 parks stay parked one
+# more round (R2 deadline r12). Every query whose executed plan
+# changes in round 11 sits in-window so CORRECTNESS_r11 proves it
+# green post-change (benchmark_decontamination_bloom,
+# corpus_curation_report, incremental_neardup_ingest, ann_ivf2_topk,
+# bigram_lm_quality, document_bpe_ids, plus the suffix family).
+# In exchange TWENTY-FIVE round-10-driver-green entries park, chosen
+# per R5: (a) family variants whose base / §2 sibling is in-window
+# after the rotation, (b) beyond-reference curation ops, and (c) §2
+# rows green in round 10, each ONE round only (R2 deadline r13). All
+# parked entries re-verified exact-equality green under tools/check.py
+# in the round-11 closing commit (rule R3).
 _TAIL = (
-    # -- parked round 9 (driver-green r8), per R5; R2 deadline = r11 --
-    # (ngram_jaccard_dedup rejoined at its pledge with the idf
-    #  variant; cluster_balanced_sample rejoined EARLY — its
-    #  implementation changed in round 10)
+    # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
     # (a) family variants whose base / §2 sibling is in-window:
-    "near_dup_clusters",  # dedup family; minhash/exact stay
-    "document_token_ids",  # tokenizer family; vocab_construction rejoins
-    "bigram_lm_quality",  # LM-quality family
-    "simhash_fingerprints",  # dedup family; minhash stays
-    "repeated_span_removal",  # span family; repeated_span_stats stays
-    "decontamination_span_removal",  # span family; stats stays
-    "document_bpe_ids",  # BPE family
-    "stateful_streaming_dedup",  # ST3; stateful_running_totals stays
-    "event_tumbling_windows",  # ST5; event_sessionization rejoins
-    # (b) beyond-reference curation ops (r8 driver-green):
-    "stratified_sample",
-    "dataset_temperature_mix",
-    "perplexity_filter_by_lang",
-    "length_bucketed_batches",
-    "semantic_dedup",
-    "dsir_importance_weights",
-    "dedup_keep_best",
-    "leakage_safe_splits",
-    "source_overlap_matrix",
-    "textrank_keywords",
-    # (c) §2 function rows green in r8:
-    "deterministic_pred_id",  # F20
-    "ab_bucket_allocation",  # F21/ML15
-    "domain_extraction",  # F3
+    "ngram_jaccard_dedup_idf",  # idf variant; base stays in-window
+    "repeated_span_stats",  # span family; both removals rejoin and
+    #   the suffix-exact stats sibling enters
+    "event_sessionization",  # ST5; event_tumbling_windows rejoins
+    "stateful_running_totals",  # ST3; stateful_streaming_dedup rejoins
+    "vocab_construction",  # tokenizer family; document_token_ids +
+    #   document_bpe_ids rejoin
+    "dataset_mix_downsample",  # sampling family; stratified_sample +
+    #   dataset_temperature_mix rejoin
+    "dataset_split_assignments",  # leakage_safe_splits rejoins
+    "tfidf_top_terms",  # text-stats family; textrank_keywords +
+    #   bigram_lm_quality rejoin
+    "sequence_packing",  # packing family; length_bucketed_batches rejoins
+    "document_chunks",  # chunking sibling; tokenizer row stays via
+    #   document_token_ids
+    "exact_dedup_documents",  # P9; dedup family keeps near_dup_clusters,
+    #   simhash_fingerprints, semantic_dedup, dedup_keep_best,
+    #   incremental_neardup_ingest in-window
+    "minhash_near_dup",  # dedup family; near_dup_clusters (built on
+    #   the same MinHash bands) rejoins
+    # (b) beyond-reference ops green r10:
+    "cluster_balanced_sample",
+    "prototypicality_pruning",
+    "d4_selection",
+    "embedding_int8_quantize",
+    "multimodal_features",
+    # (c) §2 rows green in round 10, one round only (deadline r13):
+    "account_features",  # P2/P8/F7-14; ladder also runs in flagship
+    "jaro_winkler_pairs",  # F5
+    "token_jaccard_pairs",  # SO2-3/F6; also inside er_match_cascade
+    "score_explanations",  # ML9/F16-19; ladders stay via flagship
+    "er_threshold_sweep",  # ML12
+    "ranking_eval_metrics",  # ML13/W9-10/F23
+    "feedback_asof_labels",  # ML14/P11
+    "extractive_summary",  # ML16
     # -- parked round 10 (driver-green r9), per R5; R2 deadline = r12 --
     # (a) family variants whose base / §2 sibling is in-window after
     #     the rotation (no plan in this group changed in round 10):

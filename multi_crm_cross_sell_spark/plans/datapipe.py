@@ -5065,6 +5065,37 @@ repeated_span_stats.__doc__ = repeated_span_stats.__doc__.format(
 _EXACT_REPEAT_CAP = 32  # >= _SPAN_FLAG_WORDS: capped stats stay exact
 
 
+def _exact_repeat_oracle() -> str:
+    from ..operators.suffix import exact_repeat_oracle_sql
+
+    return exact_repeat_oracle_sql(
+        _EXACT_REPEAT_CAP, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS
+    )
+
+
+def _exact_repeat_removal_oracle() -> str:
+    from ..operators.suffix import exact_repeat_removal_oracle_sql
+
+    return exact_repeat_removal_oracle_sql(
+        _EXACT_REPEAT_CAP, flag_words=_SPAN_FLAG_WORDS
+    )
+
+
+def _exact_contamination_oracle() -> str:
+    from ..operators.suffix import exact_contamination_oracle_sql
+
+    return exact_contamination_oracle_sql(
+        _EXACT_REPEAT_CAP,
+        flag_words=_DECON_N,
+        holdout_sql=f"doc_id % {_DECON_MOD} = 0",
+    )
+
+
+@register(
+    "exact_repeat_stats",
+    oracle=_exact_repeat_oracle(),
+    tags=("dedup", "suffix-array", "exact", "beyond-reference"),
+)
 def exact_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-EXACT cross-document repeat statistics — the
     no-slack upgrade of repeated_span_stats (Lee et al. 2022's exact
@@ -5077,17 +5108,14 @@ def exact_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it exact — proof in exact_repeat_doc_stats); flagged =
     longest >= {flag}.
 
-    ROUND-11 REGISTRATION STAGING: not yet @register-ed — round 10's
-    newcomer slot went to ann_ivf2_topk and the rotation ledger caps
-    growth at one per round. The oracle pair
+    Registered in round 11 (staged round 10; the newcomer slot then
+    went to ann_ivf2_topk per the growth cap). The oracle pair
     (operators.suffix.exact_repeat_oracle_sql(cap, k, flag)) is TOTAL
     (exact on any corpus — capped Spark side vs k_max=cap chained
     marks), tested in tests/test_suffix_ranks.py and against this
-    very plan in test_exact_repeat_stats_plan_matches_oracle. To
-    register: add @register("exact_repeat_stats",
-    oracle=_exact_repeat_oracle(), tags=(...)) and the ledger entry.
-    Keep it OUT of the bench headline — its cost is a ~90-job
-    scheduling floor (SCALE.md round-10 suffix section), not data."""
+    very plan in test_exact_repeat_stats_plan_matches_oracle. Kept
+    OUT of the bench headline — its cost is a ~90-job scheduling
+    floor (SCALE.md round-10 suffix section), not data."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -5096,7 +5124,8 @@ def exact_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rep = cross_doc_repeat(toks, cap=_EXACT_REPEAT_CAP)
     stats = exact_repeat_doc_stats(
-        rep, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS
+        rep, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS,
+        cap=_EXACT_REPEAT_CAP,
     )
     # docs with no row in the stats frame cannot exist (every doc has
     # >= 1 token, hence >= 1 suffix), so no left-join fill is needed;
@@ -5108,14 +5137,11 @@ def exact_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_repeat_oracle() -> str:
-    from ..operators.suffix import exact_repeat_oracle_sql
-
-    return exact_repeat_oracle_sql(
-        _EXACT_REPEAT_CAP, mark_k=_SPAN_K, flag_words=_SPAN_FLAG_WORDS
-    )
-
-
+@register(
+    "exact_repeat_removal",
+    oracle=_exact_repeat_removal_oracle(),
+    tags=("dedup", "suffix-array", "exact", "removal", "beyond-reference"),
+)
 def exact_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-decontamination removal on the suffix-array-exact marks:
     every position covered by a >= {flag}-word cross-document repeat
@@ -5125,9 +5151,9 @@ def exact_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared boilerplate). Cleaned text reassembles in-row via the
     spans-array positional filter (_span_removal_tail discipline).
 
-    ROUND-11 REGISTRATION STAGING, same terms as exact_repeat_stats:
-    the oracle pair (exact_repeat_removal_oracle_sql(cap, flag)) is
-    total for cap >= flag (covered-union cap-invariance proof in
+    Registered in round 11, same terms as exact_repeat_stats: the
+    oracle pair (exact_repeat_removal_oracle_sql(cap, flag)) is total
+    for cap >= flag (covered-union cap-invariance proof in
     exact_repeat_doc_stats)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -5137,7 +5163,7 @@ def exact_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rep = cross_doc_repeat(toks, cap=_EXACT_REPEAT_CAP)
     return exact_repeat_removal_frame(
-        docs, rep, flag_words=_SPAN_FLAG_WORDS
+        docs, rep, flag_words=_SPAN_FLAG_WORDS, cap=_EXACT_REPEAT_CAP
     )
 
 
@@ -5146,14 +5172,13 @@ exact_repeat_removal.__doc__ = exact_repeat_removal.__doc__.format(
 )
 
 
-def _exact_repeat_removal_oracle() -> str:
-    from ..operators.suffix import exact_repeat_removal_oracle_sql
-
-    return exact_repeat_removal_oracle_sql(
-        _EXACT_REPEAT_CAP, flag_words=_SPAN_FLAG_WORDS
-    )
-
-
+@register(
+    "exact_contamination_spans",
+    oracle=_exact_contamination_oracle(),
+    tags=(
+        "decontamination", "suffix-array", "exact", "beyond-reference",
+    ),
+)
 def exact_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-exact eval-set contamination: per TRAINING doc
     (doc_id % {mod} != 0 — the same holdout split as
@@ -5166,7 +5191,7 @@ def exact_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test cannot say: HOW MUCH is shared, exactly, per doc — the
     severity signal surgical decontamination triages by.
 
-    ROUND-11 REGISTRATION STAGING, same terms as exact_repeat_stats;
+    Registered in round 11, same terms as exact_repeat_stats;
     oracle: exact_contamination_oracle_sql (total pair at cap)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -5208,16 +5233,6 @@ def exact_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 exact_contamination_spans.__doc__ = exact_contamination_spans.__doc__.format(
     mod=_DECON_MOD, cap=_EXACT_REPEAT_CAP, n=_DECON_N
 )
-
-
-def _exact_contamination_oracle() -> str:
-    from ..operators.suffix import exact_contamination_oracle_sql
-
-    return exact_contamination_oracle_sql(
-        _EXACT_REPEAT_CAP,
-        flag_words=_DECON_N,
-        holdout_sql=f"doc_id % {_DECON_MOD} = 0",
-    )
 
 
 exact_repeat_stats.__doc__ = exact_repeat_stats.__doc__.format(
