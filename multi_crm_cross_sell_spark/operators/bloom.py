@@ -74,12 +74,15 @@ def bloom_m_bits(n_elements: int) -> int:
     return m
 
 
-def _position_sql(col_sql: str, i: int, m_bits: int) -> str:
+def _position_sql(col_sql: str, i: int, m_bits: int | str) -> str:
     # Expressions are assembled as SQL STRINGS, not Column trees: one
     # py4j round trip per expression instead of one per operator (the
     # round-7 lesson from banded_simhash_bands, where Column-tree
-    # construction cost 2.7s of a 3.9s query).
-    return f"pmod(xxhash64({col_sql}, {i}), {m_bits}L)"
+    # construction cost 2.7s of a 3.9s query). m_bits: a literal int
+    # (plan-literal form) or a COLUMN NAME (declarative bloom_row
+    # form, where m comes from the 1-row sizing frame).
+    m = f"{m_bits}L" if isinstance(m_bits, int) else m_bits
+    return f"pmod(xxhash64({col_sql}, {i}), {m})"
 
 
 def build_bloom_words(
@@ -103,6 +106,96 @@ def build_bloom_words(
     for r in words:
         dense[r.w] = r.bits
     return dense
+
+
+_M_SIZING_SQL = (
+    # next_pow2(max(4096, BITS_PER_ELEMENT·n)), capped: the same rule
+    # as bloom_m_bits, in-plan. ceil(log2(·)) can only round UP at a
+    # float boundary (a benign 2x oversize that lowers FP); it can
+    # never undersize. The cap degrades FP rate gracefully instead of
+    # raising — correctness never depends on m because the exact
+    # verify join kills every false positive.
+    f"least(CAST({1 << 26} AS BIGINT), greatest(CAST(4096 AS BIGINT), "
+    f"shiftleft(CAST(1 AS BIGINT), CAST(ceil(log2(CAST(greatest("
+    f"{BLOOM_BITS_PER_ELEMENT} * _n, 1) AS DOUBLE))) AS INT)))) AS _m"
+)
+
+
+def bloom_row(df: DataFrame, col_sql: str, k: int = BLOOM_K) -> DataFrame:
+    """FULLY DECLARATIVE bloom build — one-row frame
+    ``(_bloom_words array<bigint>, _m bigint)`` with ZERO driver
+    actions (round 11; the build_bloom_words/bloom_prune pair below
+    needs a sizing collect + a words collect + a createDataFrame
+    round trip, three driver sync barriers that serialized the whole
+    query into separate scans).
+
+    - sizing: a 1-row count aggregate of the input, next-pow2'd
+      in-plan (_M_SIZING_SQL) and cross-joined onto the position
+      stream — n here is the input ROW count, an upper bound on the
+      distinct-element count, same as the callers always passed;
+    - bitmap: k seeded-xxhash64 positions per row → (word, bit) →
+      union an all-zero spine exploded from sequence(0, _m/64 − 1)
+      (so the array is dense without any per-element map lookups) →
+      bit_or per word → one global sort_array(collect_list(struct))
+      whose .bits projection is the dense word array.
+
+    The global collect+sort runs ONCE over m/64 ≤ 2^20 structs inside
+    one task — bounded by the BLOOM size, never the input — and the
+    row travels executor-to-executor via the broadcast exchange, so
+    no driver-memory bound applies at all (the 2^26 cap bounds the
+    broadcast payload at 8 MB; beyond it the filter stays correct and
+    only its FP rate decays)."""
+    mrow = df.agg(F.count("*").alias("_n")).selectExpr(_M_SIZING_SQL)
+    probes = ", ".join(_position_sql(col_sql, i, "_m") for i in range(k))
+    entries = (
+        df.crossJoin(F.broadcast(mrow))
+        .selectExpr(f"explode(array({probes})) AS pos", "_m")
+        .selectExpr(
+            "CAST(pos DIV 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b",
+            "_m",
+        )
+    )
+    spine = mrow.selectExpr(
+        "explode(sequence(CAST(0 AS BIGINT), _m DIV 64 - 1)) AS w",
+        "CAST(0 AS BIGINT) AS b",
+        "_m",
+    )
+    return (
+        entries.unionByName(spine)
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"), F.first("_m").alias("_m"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(w, bits))),"
+                " x -> x.bits) AS _bloom_words"
+            ),
+            F.first("_m").alias("_m"),
+        )
+    )
+
+
+def bloom_prune_row(
+    df: DataFrame, col_sql: str, bloom: DataFrame, k: int = BLOOM_K
+) -> DataFrame:
+    """Probe against a :func:`bloom_row` frame: cross-join the
+    broadcast one-row bitmap and keep rows with ALL k probe bits set —
+    element_at on the dense array is O(1) per probe, pure integer
+    codegen, no UDF, no Python boundary, and (unlike the list-based
+    bloom_prune) no driver round trip anywhere in the pipeline."""
+    tests = []
+    for i in range(k):
+        pos = _position_sql(col_sql, i, "_m")
+        tests.append(
+            f"(element_at(_bloom_words, CAST({pos} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .where(F.expr("(" + " AND ".join(tests) + ")"))
+        .drop("_bloom_words", "_m")
+    )
 
 
 def bloom_prune(

@@ -396,6 +396,17 @@ def incremental_near_dup(
         # window is one short chain of fused stages (measured: 11
         # jobs with four 64-task exchange stages → ~7 jobs of
         # right-sized stages at sf0.1).
+        # NEGATIVE RESULT (round 11, kept so it isn't re-tried): the
+        # "one corpus pass" fusion — corpus band rows CARRY their gram
+        # array through the band explode so band match + verify
+        # Jaccard + threshold all evaluate in one stage (two broadcast
+        # joins, no cand re-broadcast, no second corpus pass) —
+        # measured WORSE same-session at sf0.1: min-of-6 1.878s vs
+        # 1.275s for this shape. The ×n_bands in-stage duplication of
+        # ~1.6 KB gram arrays (UnsafeRow copies through Generate and
+        # both join projections) costs more than the separate verify
+        # pass it saves. The checkpoint/probe separation stands as the
+        # measured floor, not an oversight.
         ab = F.broadcast(bands.where(F.col("doc_id") % batch_mod == 0)).alias("a")
         bb = bands.where(F.col("doc_id") % batch_mod != 0).alias("b")
         cand = ab.join(

@@ -2071,72 +2071,46 @@ def benchmark_decontamination_bloom(
     gram strings) and the join fan-in (survivors only); the bound on
     the plan-literal form and the sc.broadcast+pandas-UDF escape
     hatch above it are documented in operators/bloom.py."""
-    from ..operators.bloom import (
-        BLOOM_K,
-        bloom_m_bits,
-        bloom_prune,
-        build_bloom_words,
-    )
+    from ..operators.bloom import bloom_prune_row, bloom_row
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _word_gram_rows(docs, _DECON_N)
-    # Lazy RDD persist on the RAW bench gram stream: it feeds both the
-    # bloom build and the verify join's distinct, and without it each
-    # consumer re-ran the bench-side scan + gram explode (the
-    # column-pruning lesson). The bloom build takes the stream
-    # UN-deduplicated — bit_or is idempotent, duplicates re-set the
-    # same bits — so the distinct shuffle runs once, on the verify
-    # side only, where it keeps the broadcast payload minimal.
     # localCheckpoint rather than cache(): cache matches by canonical
     # plan and would serve CROSS-RUN hits inside the bench's min-of-n
     # loop, understating the real per-run wall.
-    bench_raw = (
+    # ONE deduplicated, lazily-checkpointed bench gram set serves all
+    # three consumers — bloom sizing, bloom build, and the exact
+    # verify join (which needed the distinct anyway). coalesce(2)
+    # before the checkpoint: the (tiny — ~2% of docs) distinct output
+    # sits at the full 32 shuffle partitions, and a checkpoint PINS
+    # that, so its materialization would run 32 near-empty tasks;
+    # coalesce narrows the exchange's reduce side shuffle-free.
+    bench = (
         grams.where(F.col("doc_id") % _DECON_MOD == 0)
         .select("g")
+        .distinct()
+        .coalesce(2)
         .localCheckpoint(eager=False)
     )
-    bench = bench_raw.distinct()
-    # Size the bitmap from an UPPER BOUND on the bench-set cardinality:
-    # total bench gram occurrences, computed as one narrow agg over the
-    # bench DOCS (size(split) arithmetic — no window, no explode, no
-    # distinct shuffle). A distinct count would be exact but must
-    # materialize the whole bench gram pipeline first (measured ~0.3s
-    # of the query at sf0.1); the bound oversizes the bitmap by at most
-    # the gram-multiplicity factor (≤2× in practice), which only
-    # LOWERS the false-positive rate, and the power-of-two rounding in
-    # bloom_m_bits usually lands on the same m anyway. At 100 TB this
-    # is also the right shape: word-count arithmetic partial-combines
-    # map-side, a distinct-gram count shuffles gram strings.
+    # Round 11: the build is FULLY DECLARATIVE (operators/bloom.py
+    # bloom_row) — sizing is a 1-row count aggregate of the distinct
+    # bench set (EXACT n, the best possible FP rate for the size
+    # rule), and the dense word array is assembled in-plan. The
+    # previous form paid THREE driver sync barriers (sizing collect,
+    # words collect, createDataFrame re-ship) that serialized the
+    # query into separate scans, plus a separate raw-stream
+    # checkpoint next to the verify join's distinct; now the whole
+    # thing is ONE action whose stages AQE pipelines, and nothing
+    # bloom-related ever touches the driver.
     # NEGATIVE RESULT (round 8, kept so it isn't re-tried): a one-job
     # "build at the 2^24 cap, fold words down to the fill-derived m"
-    # variant removed this aggregate but regressed at 10× (1.9→2.3s
-    # A/B'd same-session): the build's groupBy/collect then grows
-    # with the CAP-space fill (~k·n_grams words) instead of the
-    # serving size m/64 — the pre-sizing pass is what keeps the
-    # bounded-collect claim true. See commit 39971a0 / its revert.
-    # NOT memoized across runs, deliberately (round-10 second review):
-    # this collect is a DATA-SCAN job, and caching it per table
-    # signature made bench min-of-n runs 2..n skip a real per-run cost
-    # — the exact cross-run understatement the localCheckpoint comment
-    # above forbids. Schema pinning stays (metadata, the catalog
-    # shape); data-derived statistics pay their job every run.
-    n_upper = (
-        docs.where(F.col("doc_id") % _DECON_MOD == 0)
-        .agg(
-            F.sum(
-                F.greatest(
-                    F.size(F.split(F.col("text"), " ")) - (_DECON_N - 1),
-                    F.lit(0),
-                )
-            ).alias("n")
-        )
-        .collect()[0]
-        .n
-    )
-    m_bits = bloom_m_bits(int(n_upper or 1))
-    words = build_bloom_words(bench_raw, "g", m_bits, BLOOM_K)
+    # variant removed the sizing pass but regressed at 10× (1.9→2.3s
+    # A/B'd same-session): the build's groupBy then grows with the
+    # CAP-space fill (~k·n_grams words) instead of the serving size
+    # m/64 — the sizing aggregate is what keeps the bitmap-bounded
+    # claim true. See commit 39971a0 / its revert.
     train = grams.where(F.col("doc_id") % _DECON_MOD != 0)
-    survivors = bloom_prune(train, "g", words, m_bits, BLOOM_K)
+    survivors = bloom_prune_row(train, "g", bloom_row(bench, "g"))
     hits = (
         survivors.join(bench, "g")
         .groupBy("doc_id")
@@ -2395,13 +2369,17 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
 
-    # The gram rows feed two consumers with DIFFERENT pushed filters
-    # (% 50 == 0 vs != 0), so their exchange subplans can never be
-    # canonically equal and ReusedExchange cannot fire — the pipeline
-    # would run twice per action. An eager localCheckpoint
-    # materializes it once (the near_dup_clusters technique); gram
-    # rows are two narrow columns, so the checkpoint is small.
-    grams = _word_gram_rows(docs, _DECON_N).localCheckpoint(eager=True)
+    # The gram rows feed two consumers with DIFFERENT, DISJOINT pushed
+    # filters (% 50 == 0 vs != 0): each document's grams are exploded
+    # exactly once ACROSS the two passes, so the only duplicated work
+    # is the parquet scan evaluating the pushed predicate — exactly
+    # benchmark_decontamination's shape. Round 11 removed the eager
+    # localCheckpoint that used to sit here: it materialized the FULL
+    # gram stream (~n-gram-width × the corpus text in bytes) to dodge
+    # one extra 1×-column scan — a clear loss at 100 TB, and a wash at
+    # sf0.1 (A/B min-of-6 same-session: 0.976s checkpointed vs 1.041s
+    # pushdown).
+    grams = _word_gram_rows(docs, _DECON_N)
     bench = grams.where(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
     contaminated = (
         grams.where(F.col("doc_id") % _DECON_MOD != 0)
@@ -2705,53 +2683,65 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nat parity discipline: the only floats are the final
     per-row avg/exp, rounded at 6dp.
 
-    Scale shape: (prev, w) pairs come from one lag() over the
-    (doc_id, pos) token window — explode-first, no arrays. The
-    unigram table is vocabulary-sized and BROADCASTS (|V| rides a
-    1-row broadcast cross join); the OBSERVED-bigram table is
-    corpus-bounded (≤ tokens, never |V|²), so its join is left to the
-    planner — broadcast while it fits, shuffle join on (prev, w)
-    beyond. The per-doc reduction shuffles one row per document."""
+    Scale shape (round-11 job-count rewrite, 10 → ~6 jobs): bigram
+    pairs come from exploding arrays_zip(slice(ws, 1, n−1),
+    slice(ws, 2, n−1)) — adjacent raw-column slices, codegen-safe
+    under Generate (round-6 precision: only lambda-HOF children are
+    pathological) — which deletes the lag() window and its doc_id
+    shuffle entirely. The pair stream partial-combines map-side into
+    per-(doc, prev, w) counts n (never shuffling raw positions), the
+    observed-bigram count c2 attaches as a (prev, w)-window sum over
+    that already-aggregated frame (no separate bigram aggregate, no
+    second join), and the unigram broadcast carries |V| as a
+    single-partition count window over the vocabulary-sized frame
+    (the 1-row |V| aggregate and its extra broadcast job are gone).
+    Positions collapse to weighted distinct bigrams, so the per-doc
+    reduction sums n·nll — integer-identical to summing per position.
+    At 100 TB: three exchanges total — (doc, prev, w) with partial
+    aggregation, (prev, w) for the window (input bounded by distinct
+    per-doc bigrams, not positions), one row per doc out — plus the
+    vocab broadcast TF-IDF itself assumes."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    # pairs feeds both the observed-bigram aggregate and the scoring
-    # join; uni feeds both its broadcast and the |V| count. Lazy
-    # checkpoints keep each pipeline single-pass (column pruning would
-    # otherwise specialize the copies and re-run the explode+window
-    # per consumer — the round-7 lesson).
-    pairs = (
-        toks.select("doc_id", F.lag("w").over(wnd).alias("prev"), "w")
-        .where(F.col("prev").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+    ws = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.explode(ws).alias("w"))
     # c(prev) counts every occurrence of the word anywhere (the
     # standard add-one denominator), not only occurrences with a
-    # successor — the oracle aggregates over toks the same way.
-    uni = (
+    # successor — the oracle aggregates over toks the same way. |V|
+    # rides the same broadcast as a count window (the frame is
+    # vocabulary-sized by the broadcast's own assumption, so a
+    # single-partition window over it is free).
+    uni_prev = (
         toks.groupBy("w")
         .agg(F.count("*").alias("c1"))
-        .localCheckpoint(eager=False)
+        .withColumn("vsz", F.count("*").over(Window.partitionBy()))
+        .withColumnRenamed("w", "prev")
     )
-    vsz = uni.agg(F.count("*").alias("vsz"))
-    bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
-    # uni and the 1-row |V| are vocabulary-sized → broadcast hints.
-    # bi is NOT: observed bigrams are corpus-bounded (≤ tokens), so
-    # the hint is left to the planner — AQE broadcasts it while it
-    # fits and falls back to a shuffle join on (prev, w) beyond that,
-    # which is the correct 100 TB plan.
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.size(ws) - 1).alias("prev"),
+                F.slice(ws, 2, F.size(ws) - 1).alias("w"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    docbi = pairs.groupBy("doc_id", "prev", "w").agg(
+        F.count("*").alias("n")
+    )
+    # every position IS an occurrence of its own bigram, so c2 >= 1
+    # always — the add-one smoothing's unobserved branch is
+    # unreachable when scoring the training corpus itself
+    c2 = F.sum("n").over(Window.partitionBy("prev", "w"))
     scored = (
-        pairs.join(F.broadcast(uni.withColumnRenamed("w", "prev")), "prev")
-        .join(bi, ["prev", "w"], "left")
-        .crossJoin(F.broadcast(vsz))
+        docbi.withColumn("c2", c2)
+        .join(F.broadcast(uni_prev), "prev")
         .select(
             "doc_id",
+            "n",
             F.round(
                 F.log(
                     (F.col("c1") + F.col("vsz")).cast("double")
-                    / (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    / (F.col("c2") + 1)
                 )
                 * 1e6
             )
@@ -2763,8 +2753,8 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("nll_micro").alias("sum_nll_micro"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("nll_micro")).alias("sum_nll_micro"),
         )
         .select(
             "doc_id",
