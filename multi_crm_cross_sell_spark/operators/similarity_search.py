@@ -1675,7 +1675,15 @@ def pq_encode(
     against every codebook row; callers relying on that must pass
     ``ks`` >= the codebook's actual width (repo callers all derive ks
     and codebook from the same adaptive_codebook gate, so they are
-    consistent by construction)."""
+    consistent by construction).
+
+    BEHAVIOR CHANGE (round 10, the other direction of the same knob):
+    when the codebook carries FEWER than ``ks`` centroids per
+    subspace (a corpus smaller than ks), ``ks`` is CLAMPED down to
+    the codebook's actual width instead of raising on the missing
+    (m, c) keys — the graceful small-corpus degradation the
+    codebook-frame path already had. An explicit smaller ks still
+    means "first ks centroids"; the clamp never widens it."""
     import numpy as np
 
     if isinstance(cb, DataFrame):

@@ -218,15 +218,18 @@ def _suffix_ranks_full(
     )
     allt = toks.unionByName(sentinels)
     # Global position: doc offset = exclusive prefix sum of (n_tok + 1)
-    # in doc_id order. The cumsum window runs over ONE ROW PER DOC —
-    # fine at any measured scale; at extreme doc counts this becomes
-    # the same range-partitioned prefix sum global_dense_rank uses.
-    wlen = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offs = lens.select(
+    # in doc_id order — the RANGE-PARTITIONED prefix sum (round 11;
+    # the previous single-partition cumsum window sorted one-row-per-
+    # doc on ONE task, a flagged suspect at the 500k-doc decade).
+    # Exclusive form: inclusive psum minus the row's own length.
+    offs = global_prefix_sum(
+        lens.select("doc_id", (F.col("n_tok") + 1).alias("_len")),
         "doc_id",
-        F.coalesce(F.sum(F.col("n_tok") + 1).over(wlen), F.lit(0)).alias(
-            "doc_off"
-        ),
+        "_len",
+        out="_ipsum",
+        n_parts=n_parts,
+    ).select(
+        "doc_id", (F.col("_ipsum") - F.col("_len")).alias("doc_off")
     )
     pos_map = (
         allt.join(F.broadcast(offs), "doc_id")

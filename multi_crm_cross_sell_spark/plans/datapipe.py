@@ -1575,26 +1575,32 @@ SELECT query_id, vec_id, cosine, rk FROM (
 
 @register(
     "ann_ivf2_topk",
-    oracle=_ivf2_oracle(),
+    oracle=_ivf2_oracle(p1=4, p2=4),
     tags=("similarity", "ann", "ivf", "hierarchical", "beyond-reference"),
 )
 def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical two-level IVF ANN (p1=2 coarse probes, p2=2 fine
+    """Hierarchical two-level IVF ANN (p1=4 coarse probes, p2=4 fine
     probes): the escape hatch past the flat index's centroid-closure
     ceiling documented in SCALE.md — per-task centroid state drops
     from c·dim·8B to √c·dim·8B and the assignment pair stream from
     n·c to ~2·n·√c, at a measured recall cost vs the flat index
-    (SCALE.md §ANN recall). Deterministic lowest-id centroids at both
-    levels keep the whole cascade oracle-reproducible; the oracle
-    mirrors c = max(16, isqrt(n)) and c1 = max(4, isqrt(c)) from
-    COUNT(*) (FLOOR(SQRT) is IEEE-exact below 2^52)."""
+    (SCALE.md §ANN recall). Probe defaults raised 2×2 → 4×4 in round
+    11 for recall parity with the flat index's nprobe=2 row:
+    recall@10 measured 0.205 (2×2) / 0.185 (4×2 — extra coarse cells
+    without extra fine probes spread the budget thinner) / 0.265
+    (4×4) in tools/recall_bench.py; 4×4 also times FASTER in-bench
+    than 2×2 (fewer empty-candidate windows). Deterministic lowest-id
+    centroids at both levels keep the whole cascade
+    oracle-reproducible; the oracle mirrors c = max(16, isqrt(n)) and
+    c1 = max(4, isqrt(c)) from COUNT(*) (FLOOR(SQRT) is IEEE-exact
+    below 2^52)."""
     from ..operators.similarity_search import ivf2_topk
     from ..sources.bronze import table_num_rows
 
     e = load_table(spark, sf_dir, "embeddings")
     n = table_num_rows(sf_dir, "embeddings")
     return ivf2_topk(
-        e, F.col("vec_id") % 100 == 0, k=5, p1=2, p2=2, n_vectors=n
+        e, F.col("vec_id") % 100 == 0, k=5, p1=4, p2=4, n_vectors=n
     )
 
 

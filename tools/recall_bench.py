@@ -224,7 +224,12 @@ def main() -> None:
             ivf2_topk,
         )
 
-        ivf2_probes = ((2, 2), (4, 4)) if label != "sf1x100" else ((4, 4),)
+        # (4, 2) is the registered query's round-11 default — coarse
+        # probes are the cheap recall lever (extra fine cells only in
+        # already-localized regions), so p1 rises first.
+        ivf2_probes = (
+            ((2, 2), (4, 2), (4, 4)) if label != "sf1x100" else ((4, 4),)
+        )
         for p1, p2 in ivf2_probes:
             run(
                 f"ivf2_first_p{p1}x{p2}",
