@@ -33,13 +33,37 @@ dedup_clusters)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Walk checkpointing: few-level (capped) walks run LAZY — one ~12-join
 # plan, no per-level jobs; past this level count the per-level eager
 # checkpoint keeps plan size constant (uncapped deep walks).
 WALK_EAGER_MIN_LEVELS = 8
+
+
+def _ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Every suffix-module checkpoint goes through here, SERIALIZED
+    (PySpark's MEMORY_AND_DISK = StorageLevel(useDisk, useMemory,
+    deserialized=False)) rather than the localCheckpoint default of
+    deserialized row objects. Why: the round-11 storage probe
+    (tools/suffix_decade.py) measured 6.7 GB of block-store DISK
+    spill at the 100x decade (zero at 1x/10x) — the ~log2(cap)
+    retained history levels plus pos_map overflow the storage region
+    as deserialized objects, so the LCP walk re-reads evicted blocks
+    from disk mid-job. Serialized blocks are several times smaller
+    for these narrow bigint rows and cheap to deserialize, trading a
+    little CPU to stay memory-resident. SPARK_GRAFT_SUFFIX_CKPT=plain
+    switches back for decade A/Bs."""
+    level = (
+        StorageLevel.MEMORY_AND_DISK_DESER
+        if os.environ.get("SPARK_GRAFT_SUFFIX_CKPT") == "plain"
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    return df.localCheckpoint(eager=eager, storageLevel=level)
 
 
 def global_dense_rank(
@@ -64,9 +88,11 @@ def global_dense_rank(
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(*keys)
-    local = keys_distinct.withColumn(
-        "_lrk", F.row_number().over(w).cast("bigint")
-    ).localCheckpoint(eager=False)
+    local = _ckpt(
+        keys_distinct.withColumn(
+            "_lrk", F.row_number().over(w).cast("bigint")
+        )
+    )
     counts = {
         r["_pid"]: r["cnt"]
         for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -239,7 +265,7 @@ def _suffix_ranks_full(
             (F.col("doc_off") + F.col("pos")).alias("gpos"),
             "w",
         )
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     # the row count only feeds the uncapped fixpoint probe
     n_total = pos_map.count() if cap is None else None
@@ -268,7 +294,7 @@ def _suffix_ranks_full(
         # level exactly once (RDD persist); capped mode runs the whole
         # build with zero per-round driver actions, uncapped mode pays
         # only the fixpoint probe
-        r = r.localCheckpoint(eager=False)
+        r = _ckpt(r)
         histories.append((h, r))
         if cap is not None:
             if h >= cap:
@@ -421,7 +447,8 @@ def _adjacent_lcp_from(
             F.when(eq, F.col("ca") + h).otherwise(F.col("ca")).alias("ca"),
             F.when(eq, F.col("cb") + h).otherwise(F.col("cb")).alias("cb"),
             F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp")).alias("lcp"),
-        ).localCheckpoint(eager=eager_walk)
+        )
+        state = _ckpt(state, eager=eager_walk)
     return state.select(
         "doc_id", "pos", "srank", "nxt_doc_id", "nxt_pos", "lcp"
     )
@@ -453,9 +480,11 @@ def global_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = local.withColumn(
-        "_lsum", F.sum(F.col(val_col)).over(w).cast("bigint")
-    ).localCheckpoint(eager=False)
+    local = _ckpt(
+        local.withColumn(
+            "_lsum", F.sum(F.col(val_col)).over(w).cast("bigint")
+        )
+    )
     totals = {
         r["_pid"]: r["tot"]
         for r in local.groupBy("_pid")
@@ -536,9 +565,9 @@ def cross_doc_repeat(
         tokens, id_col, pos_col, word_col, max_rounds, n_parts, cap=cap,
         n_tokens=n_tokens,
     )
-    adj = _adjacent_lcp_from(
-        final, histories, skip_last=fixpoint
-    ).localCheckpoint(eager=False)
+    adj = _ckpt(
+        _adjacent_lcp_from(final, histories, skip_last=fixpoint)
+    )
     base = final.select("doc_id", "pos", "srank")
     lcp_next = adj.select("srank", F.col("lcp").alias("lcp_next"))
     lcp_prev = adj.select(

@@ -479,6 +479,60 @@ class TestBloomDecontamination:
         with _pytest.raises(ValueError, match="driver-payload bound"):
             bloom_m_bits(10_000_000)
 
+    def test_declarative_bloom_no_false_negatives_and_fp_bound(self, spark):
+        """bloom_row/bloom_prune_row (the round-11 zero-driver-action
+        pair): same contract as the list-based form — every member
+        survives, non-members survive at ~the theoretical rate."""
+        import math
+
+        from multi_crm_cross_sell_spark.operators.bloom import (
+            BLOOM_BITS_PER_ELEMENT,
+            BLOOM_K,
+            bloom_prune_row,
+            bloom_row,
+        )
+
+        n = 4_000
+        members = spark.range(n).selectExpr("concat('m', id) AS g")
+        bloom = bloom_row(members, "g")
+        kept = bloom_prune_row(members, "g", bloom).count()
+        assert kept == n  # no false negatives, ever
+        others = spark.range(20_000).selectExpr("concat('x', id) AS g")
+        fp = bloom_prune_row(others, "g", bloom).count()
+        # in-plan sizing uses the row count n (same as the callers of
+        # bloom_m_bits always passed), so the theoretical FP matches
+        m = max(4096, 1 << (BLOOM_BITS_PER_ELEMENT * n - 1).bit_length())
+        theoretical = (1 - math.exp(-BLOOM_K * n / m)) ** BLOOM_K
+        rate = fp / 20_000
+        assert rate <= max(3 * theoretical, 0.02), (
+            f"declarative bloom FP rate {rate:.4f} vs theoretical "
+            f"{theoretical:.4f} (n={n}, m={m}, k={BLOOM_K})"
+        )
+
+    def test_declarative_bloom_sizing_matches_listform_rule(self, spark):
+        """The in-plan _m (next_pow2(max(4096, 16n)), capped) equals
+        bloom_m_bits for every size the list form accepts, and the
+        empty input degrades to the 4096-bit floor with every probe
+        rejected."""
+        from multi_crm_cross_sell_spark.operators.bloom import (
+            bloom_m_bits,
+            bloom_prune_row,
+            bloom_row,
+        )
+
+        for n in (1, 7, 255, 256, 4_000, 100_000):
+            df = spark.range(n).selectExpr("concat('m', id) AS g")
+            got_m = bloom_row(df, "g").select("_m").first()[0]
+            assert got_m == bloom_m_bits(n), (n, got_m, bloom_m_bits(n))
+        empty = spark.range(0).selectExpr("concat('m', id) AS g")
+        bloom = bloom_row(empty, "g")
+        row = bloom.first()
+        assert row["_m"] == 4096
+        assert len(row["_bloom_words"]) == 4096 // 64
+        assert all(w == 0 for w in row["_bloom_words"])
+        probe = spark.range(100).selectExpr("concat('x', id) AS g")
+        assert bloom_prune_row(probe, "g", bloom).count() == 0
+
 
 class TestBPE:
     """operators/bpe.py: the Spark BPE learner vs an independent
