@@ -536,13 +536,28 @@ def dedup_clusters(
     if method not in ("propagate", "jump"):
         raise ValueError(f"unknown dedup_clusters method: {method!r}")
     for _ in range(max_iters):
+        # The node's OLD label rides the union as a tagged column
+        # (every node appears exactly once on the labels side, so the
+        # conditional max recovers it through the min-aggregate) —
+        # round 11: this deletes the per-iteration new-vs-old join,
+        # and the convergence count materializes a LAZY checkpoint,
+        # so each iteration is ONE action (eager ckpt + join + count
+        # was three; dedup_keep_best 33 -> ~20 jobs at sf0.1).
         prop = edges.join(
             labels, edges["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), F.col("label"))
+        ).select(
+            F.col("dst").alias("node"),
+            F.col("label"),
+            F.lit(None).cast("bigint").alias("_own"),
+        )
         new_labels = (
-            labels.unionByName(prop)
+            labels.select("node", "label", F.col("label").alias("_own"))
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("_own").alias("_old"),
+            )
         )
         if method == "jump":
             # pointer doubling: node -> label(label(node)). The label
@@ -560,16 +575,14 @@ def dedup_clusters(
                 .select(
                     "node",
                     F.coalesce(F.col("lk_label"), F.col("label")).alias("label"),
+                    "_old",
                 )
             )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.where(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
