@@ -323,6 +323,45 @@ class TestBigramLmQuality:
             avg = sum_micro / (r.n_bigrams * 1e6)
             assert abs(r.ppl - math.exp(avg)) < 1e-4
 
+    def test_degenerate_docs_explode_zip_edges(self, spark, tmp_path):
+        """The round-11 pair extraction (explode of arrays_zip over
+        adjacent slices) must drop 1-token and empty-string docs —
+        slice(ws, 1, size-1) with length 0 — and emit exactly n-1
+        bigrams otherwise. Testdata's min doc length is 10 words, so
+        this edge only exists here."""
+        rows = [
+            (0, "a b a b", "en", "t", 7),
+            (1, "solo", "en", "t", 4),
+            (2, "", "en", "t", 0),
+            (3, "x y", "en", "t", 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        d = str(tmp_path / "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        q = all_queries()["bigram_lm_quality"]
+        got = {r.doc_id: r for r in q.fn(spark, str(tmp_path)).collect()}
+        # 1-token and empty docs produce no bigram rows at all
+        assert set(got) == {0, 3}
+        assert got[0].n_bigrams == 3
+        assert got[3].n_bigrams == 1
+        # corpus: uni counts include ALL tokens ("" and "solo" too);
+        # V = |{a, b, solo, x, y, ""}| = 6
+        import math as _m
+
+        uni = {"a": 2, "b": 2, "solo": 1, "x": 1, "y": 1, "": 1}
+        bi = {("a", "b"): 2, ("b", "a"): 1, ("x", "y"): 1}
+        v = len(uni)
+        want0 = sum(
+            int(round(_m.log((uni[p] + v) / (bi[(p, w)] + 1)) * 1e6))
+            for p, w in [("a", "b"), ("b", "a"), ("a", "b")]
+        )
+        assert got[0].sum_nll_micro == want0
+        want3 = int(round(_m.log((uni["x"] + v) / (bi[("x", "y")] + 1)) * 1e6))
+        assert got[3].sum_nll_micro == want3
+
     def test_word_order_sensitivity(self, spark, sf_dir):
         # The property unigram scoring cannot have: a document's score
         # depends on adjacency. Observed bigrams must be cheaper than
