@@ -3008,6 +3008,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     pr = nodes.select("node", F.lit(1_000_000_000).cast("bigint").alias("r"))
+    # NEGATIVE RESULT (round 11, kept so it isn't re-tried):
+    # broadcasting the vocabulary-sized rank vector into the edge
+    # join each iteration (hint on the renamed pr side) measured
+    # WORSE same-session at sf0.1 — min-of-6 4.68s vs 4.06s for this
+    # shuffle shape: ten sequential broadcast-build barriers cost
+    # more than the small hash exchanges they replace, and the edge
+    # side still re-scans its checkpoint per iteration either way.
     for it in range(_TEXTRANK_ITERS):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
