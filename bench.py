@@ -4,6 +4,16 @@ ONE JSON line with per-query wall seconds.
 
 Queries execute through the noop sink so the full plan (scan → shuffle
 → projection) runs without driver-side collect cost.
+
+Measurement protocol (round 12): each query's DuckDB oracle is timed
+INTERLEAVED with its Spark runs — spark/duck/spark/duck adjacent in
+time, min each side, per-query ratio = ratio of adjacent mins. Earlier
+rounds ran the oracle in separate bracketing passes; within-session
+epoch drift (steal time hits the JVM 3-6x harder than DuckDB) made the
+same code read 1.83x and 2.59x on the same section in two sessions.
+Section ratios are reported BOTH ways: sum-of-walls / sum-of-oracles
+(comparable to earlier rounds) and the MEDIAN per-query ratio (robust
+to scheduling-floor outliers on sub-second queries).
 """
 
 from __future__ import annotations
@@ -105,32 +115,64 @@ ANN_INDEX = [
 ]
 
 
-def oracle_pass(
-    book: dict, sf_dir: str, qs: dict, runs: int = 1
-) -> None:
-    """One DuckDB timing pass over every benched oracle, folding the
-    per-query min into ``book``. Per-query error guard: one failing
-    oracle must not discard the timings of every later query."""
+def duck_con(sf_dir: str):
+    """DuckDB connection for the oracle side, or None when the oracle
+    harness is unavailable (bench then records walls without ratios)."""
     try:
         from tools.check import duck_connect
 
         con = duck_connect(sf_dir)
         con.execute(f"SET threads TO {os.cpu_count()}")
+        return con
     except Exception:
-        return
-    for name in HEADLINE + CURATION + ANN_INDEX:
-        q = qs.get(name)
-        if q is None or not q.oracle:
-            continue
+        return None
+
+
+def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
+    """INTERLEAVED per-query protocol (round-12): spark/duck/spark/duck
+    adjacent in time, ``runs`` pairs, min each side.
+
+    Why: this box's speed drifts WITHIN a session (steal time hits the
+    JVM 3-6x harder than DuckDB's scan loop), so two separated timing
+    passes — even passes bracketing each other — measured the SAME
+    code at section ratios 1.83x and 2.59x across sessions (round-11
+    verdict). Adjacent-in-time pairs make each query's ratio a
+    comparison of the same box epoch; min-of-pairs on each side keeps
+    the one-sided-noise estimator.
+
+    Per-run error guards: a failing oracle never discards the spark
+    walls (ratio is simply absent); a failing spark run never blocks
+    the remaining pairs. Returns (spark_min, oracle_min) — either may
+    be None."""
+    s_min: float | None = None
+    d_min: float | None = None
+    for _ in range(runs):
+        # GC barrier: each query measured from a comparable heap
+        # state, not against previous queries' uncollected garbage.
+        # The brief pause after it lets ContextCleaner drain the
+        # weak-ref queue the GC just populated (broadcast/shuffle
+        # unpersists are processed asynchronously and would
+        # otherwise land INSIDE the next timed query).
         try:
-            for _ in range(runs):
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if s_min is None or dt < s_min:
+                s_min = dt
+        except Exception:
+            pass
+        if con is not None and q.oracle:
+            try:
                 t0 = time.time()
                 con.execute(q.oracle).fetchall()
                 dt = round(time.time() - t0, 3)
-                if name not in book or dt < book[name]:
-                    book[name] = dt
-        except Exception:
-            continue
+                if d_min is None or dt < d_min:
+                    d_min = dt
+            except Exception:
+                pass
+    return s_min, d_min
 
 
 def main() -> None:
@@ -175,44 +217,42 @@ def main() -> None:
     first = qs.get(HEADLINE[0])
     if first is not None:
         first.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    # Repeat the timed pass and report the per-query MIN: this box's
-    # wall clock swings >2x under external contention (BENCH_r02's 10x
-    # minhash outlier on unchanged code), and min-of-n is the standard
-    # steady-state estimator under one-sided noise.
+    # Per-query INTERLEAVED spark/duck pairs (interleaved_measure),
+    # min each side: min-of-n is the steady-state estimator under
+    # one-sided noise (this box swings >2x under external contention),
+    # and adjacency makes the per-query ratio epoch-robust.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     cur_timings: dict[str, float] = {}
     ann_timings: dict[str, float] = {}
-    # First oracle bracket (see the second one below for why two).
     oracle_timings: dict[str, float] = {}
-    oracle_pass(oracle_timings, sf_dir, qs, runs=1)
-    for _ in range(n_runs):
-        for name in HEADLINE + CURATION + ANN_INDEX:
-            book = (
-                ann_timings
-                if name in ANN_INDEX
-                else cur_timings
-                if name in CURATION
-                else timings
-            )
-            q = qs.get(name)
-            if q is None:
-                continue
-            # GC barrier: each query measured from a comparable heap
-            # state, not against previous queries' uncollected garbage.
-            # The brief pause after it lets ContextCleaner drain the
-            # weak-ref queue the GC just populated (broadcast/shuffle
-            # unpersists are processed asynchronously and would
-            # otherwise land INSIDE the next timed query — deep-DAG
-            # queries with many scheduler round-trips are hit hardest).
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(0.3)
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            if name not in book or dt < book[name]:
-                book[name] = dt
+    ratios: dict[str, float] = {}
+    con = duck_con(sf_dir)
+    # One untimed oracle warmup so the first timed duck run measures
+    # the query, not catalog/view binding.
+    if con is not None and first is not None and first.oracle:
+        try:
+            con.execute(first.oracle).fetchall()
+        except Exception:
+            pass
+    for name in HEADLINE + CURATION + ANN_INDEX:
+        book = (
+            ann_timings
+            if name in ANN_INDEX
+            else cur_timings
+            if name in CURATION
+            else timings
+        )
+        q = qs.get(name)
+        if q is None:
+            continue
+        s_min, d_min = interleaved_measure(spark, con, q, sf_dir, n_runs)
+        if s_min is not None:
+            book[name] = s_min
+        if d_min is not None:
+            oracle_timings[name] = d_min
+        if s_min is not None and d_min is not None and d_min > 0:
+            ratios[name] = round(s_min / d_min, 3)
     total = sum(timings.values())
 
     # Broadcast-payload metric for the decontamination pair: the
@@ -226,18 +266,6 @@ def main() -> None:
         payload = decontamination_broadcast_payload(spark, sf_dir)
     except Exception:
         payload = {}
-
-    # SAME-SESSION DuckDB oracle pass (round-9 verdict item): this
-    # box's speed drifts between sessions AND within one (steal time
-    # hits the JVM far harder than DuckDB's scan loop), so a
-    # spark-vs-oracle ratio is only meaningful when both sides are
-    # measured in the SAME session — and the oracle is measured in
-    # TWO passes BRACKETING the spark loop (one ran above, via
-    # oracle_pass below), min per query across passes: a mid-session
-    # epoch change then biases both sides the same way instead of
-    # hitting whichever side ran later. min matches the spark side's
-    # min-of-n estimator and the judge's tools/oracle_bench.py.
-    oracle_pass(oracle_timings, sf_dir, qs, runs=2)
 
     def _sec_totals(names: list[str], book: dict[str, float]):
         # BOTH sums restricted to queries timed on BOTH sides, so a
@@ -254,18 +282,34 @@ def main() -> None:
     cur_oracle, cur_ratio = _sec_totals(CURATION, cur_timings)
     ann_oracle, ann_ratio = _sec_totals(ANN_INDEX, ann_timings)
 
+    def _median_ratio(names: list[str]):
+        # Median of the per-query adjacent-min ratios: robust to the
+        # scheduling-floor outliers that dominate the TOTAL-based
+        # ratio at sf0.1 (a 0.3s spark wall over a 10ms duck scan is
+        # a 30x "ratio" worth 0.3s), and epoch-robust because each
+        # ratio compares adjacent-in-time runs.
+        rs = sorted(ratios[n] for n in names if n in ratios)
+        if not rs:
+            return None
+        mid = len(rs) // 2
+        m = rs[mid] if len(rs) % 2 else (rs[mid - 1] + rs[mid]) / 2
+        return round(m, 3)
+
     totals = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "oracle_total": head_oracle,
         "ratio_vs_oracle": head_ratio,
+        "ratio_median": _median_ratio(HEADLINE),
         "curation_total": round(sum(cur_timings.values()), 3),
         "curation_oracle_total": cur_oracle,
         "curation_ratio": cur_ratio,
+        "curation_ratio_median": _median_ratio(CURATION),
         "ann_index_total": round(sum(ann_timings.values()), 3),
         "ann_index_oracle_total": ann_oracle,
         "ann_index_ratio": ann_ratio,
+        "ann_index_ratio_median": _median_ratio(ANN_INDEX),
         "curation_total_r7_subset": round(
             sum(
                 cur_timings[n]
@@ -291,6 +335,7 @@ def main() -> None:
                 "curation_queries": cur_timings,
                 "ann_index_queries": ann_timings,
                 "oracle_queries": oracle_timings,
+                "ratio_queries": ratios,
                 "decon_broadcast_payload": payload,
             }
         )

@@ -183,18 +183,26 @@ def bloom_prune_row(
     broadcast one-row bitmap and keep rows with ALL k probe bits set —
     element_at on the dense array is O(1) per probe, pure integer
     codegen, no UDF, no Python boundary, and (unlike the list-based
-    bloom_prune) no driver round trip anywhere in the pipeline."""
-    tests = []
-    for i in range(k):
-        pos = _position_sql(col_sql, i, "_m")
-        tests.append(
-            f"(element_at(_bloom_words, CAST({pos} DIV 64 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
-        )
+    bloom_prune) no driver round trip anywhere in the pipeline.
+
+    Each probe position is computed ONCE into a projected _p{i}
+    column before the bit tests — the earlier form inlined the full
+    pmod(xxhash64(...)) SQL twice per probe (word index + bit shift)
+    and leaned on codegen subexpression elimination to dedupe 2k hash
+    evaluations per row; the explicit projection makes the
+    evaluate-once shape structural rather than optimizer-dependent."""
+    pos_cols = [
+        f"{_position_sql(col_sql, i, '_m')} AS _p{i}" for i in range(k)
+    ]
+    tests = " AND ".join(
+        f"(element_at(_bloom_words, CAST(_p{i} DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        for i in range(k)
+    )
+    probed = df.crossJoin(F.broadcast(bloom)).selectExpr("*", *pos_cols)
     return (
-        df.crossJoin(F.broadcast(bloom))
-        .where(F.expr("(" + " AND ".join(tests) + ")"))
-        .drop("_bloom_words", "_m")
+        probed.where(F.expr(f"({tests})"))
+        .drop("_bloom_words", "_m", *[f"_p{i}" for i in range(k)])
     )
 
 

@@ -271,9 +271,11 @@ def _suffix_ranks_full(
     n_total = pos_map.count() if cap is None else None
     # id-bound sizing for _order_ranks (2^31 rows/partition, 4x
     # headroom): the uncapped mode's count is reused for free; the
-    # capped mode (zero driver actions) takes the caller's n_tokens
-    # when known — sentinels add only one row per doc, well inside
-    # the headroom.
+    # capped mode takes the caller's n_tokens when known — sentinels
+    # add only one row per doc, well inside the headroom. (The capped
+    # build's only driver action is then the one BOUNDED offsets
+    # collect inside global_prefix_sum above: <= n_parts per-partition
+    # totals, independent of corpus size.)
     n_rows = n_total if n_total is not None else n_tokens
     # round 0: rank by the token STRING (the only string-keyed round)
     r = _order_ranks(
@@ -560,7 +562,8 @@ def cross_doc_repeat(
     ``n_tokens``: corpus token count when the caller already knows it
     (e.g. from parquet footers × average doc length) — sizes the rank
     partitions under _order_ranks' id-packing bound without adding a
-    count job to the capped mode's zero-action build."""
+    count job to the capped build (whose only remaining driver action
+    is global_prefix_sum's bounded <= n_parts offsets collect)."""
     final, histories, _pos_map, _n, fixpoint = _suffix_ranks_full(
         tokens, id_col, pos_col, word_col, max_rounds, n_parts, cap=cap,
         n_tokens=n_tokens,
@@ -623,7 +626,41 @@ def cross_doc_repeat(
         # capacity (2*h_f - 1) — but every value >= cap saturates to
         # cap here, so the truncation is unobservable by construction
         rep = F.least(rep, F.lit(cap).cast("bigint"))
-    return runs.select("doc_id", "pos", rep.alias("rep"))
+    # The cap travels WITH the frame as column metadata (-1 =
+    # uncapped) so downstream consumers (exact_repeat_doc_stats /
+    # exact_repeat_removal_frame) enforce the cap >= flag_words
+    # precondition even when the caller drops the kwarg — the cap
+    # cannot be silently lost between build and fold.
+    return runs.select(
+        "doc_id",
+        "pos",
+        rep.alias("rep", metadata={"suffix_cap": cap if cap is not None else -1}),
+    )
+
+
+def _resolve_cap(rep: DataFrame, cap: int | None) -> int | None:
+    """Authoritative cap for a rep frame: cross_doc_repeat stamps the
+    build-time cap into the rep column's metadata (-1 = uncapped), so
+    a consumer called WITHOUT the cap kwarg still enforces the
+    precondition — the kwarg cannot be silently dropped. An explicit
+    kwarg that CONTRADICTS the metadata is a caller bug and raises;
+    frames with no metadata (hand-built, e.g. oracle fixtures) fall
+    back to the kwarg as before."""
+    meta = None
+    for f in rep.schema.fields:
+        if f.name == "rep" and "suffix_cap" in (f.metadata or {}):
+            meta = f.metadata["suffix_cap"]
+            break
+    if meta is None:
+        return cap
+    tagged = None if meta == -1 else int(meta)
+    if cap is not None and cap != tagged:
+        raise ValueError(
+            f"cap={cap} contradicts the rep frame's build-time cap "
+            f"{tagged if tagged is not None else 'None (uncapped)'} "
+            "(column metadata 'suffix_cap' stamped by cross_doc_repeat)"
+        )
+    return tagged
 
 
 def _check_cap(cap: int | None, flag_words: int, mark_k: int = 0) -> None:
@@ -687,8 +724,12 @@ def exact_repeat_doc_stats(
 
     ``cap``: pass the cap the rep frame was built with (None for an
     uncapped frame) — the precondition cap >= flag_words >= mark_k is
-    then ENFORCED (ValueError), not just documented.
+    then ENFORCED (ValueError), not just documented. Frames built by
+    cross_doc_repeat carry the cap in column metadata, so the kwarg
+    may be omitted — it is resolved (and cross-checked) from the
+    frame itself.
     """
+    cap = _resolve_cap(rep, cap)
     _check_cap(cap, flag_words, mark_k)
     spans = covered_spans(rep, flag_words)
     covered = spans.groupBy("doc_id").agg(
@@ -773,7 +814,9 @@ def exact_repeat_removal_frame(
 
     ``cap``: the cap the rep frame was built with (None = uncapped);
     cap >= flag_words is ENFORCED (the cap-invariance proof needs
-    it)."""
+    it). cross_doc_repeat frames carry the cap in column metadata,
+    so omitting the kwarg still enforces the precondition."""
+    cap = _resolve_cap(rep, cap)
     _check_cap(cap, flag_words)
     spans = covered_spans(rep, flag_words)
     span_arr = spans.groupBy("doc_id").agg(

@@ -34,179 +34,70 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 #       ops, then (c) §2-unique queries that were driver-green in
 #       the immediately previous round — never two rounds running
 #       (that is R2).
+# Per-round rotation rationale lives in COVERAGE.md ("Rotation
+# history"); this comment carries only the policy and the CURRENT
+# round.
 #
-# Round-8 rotation (48 parked / 50 in-window / 98 registered):
-# The fourteen entries parked since round 6 hit their R2 deadline
-# this round and ALL rejoin the driver window. The nineteen entries
-# parked in round 7 stay parked one more round (their R2 deadline is
-# round 9). The four round-8 newcomers (stratified_sample,
-# dataset_temperature_mix, perplexity_filter_by_lang,
-# length_bucketed_batches) enter in their birth round per R1.
-# Eighteen round-7-driver-green entries park in exchange, chosen per
-# R5: three family variants whose base operator stays in-window,
-# thirteen beyond-reference curation/OLAP ops whose §2 coverage
-# (where any) has an in-window sibling, and two §2 rows green in
-# round 7 (J7 semi — the anti sibling holds the in-window J7 row —
-# and A2/F22 daily — weekly_order_rollup holds the row). The four
-# round-7 driver-red queries (unigram/bigram LM quality,
-# document_token_ids, textrank_keywords — oracle HUGEINT dtype bug,
-# fixed this round) deliberately STAY in-window so CORRECTNESS_r08
-# shows them green. Three more round-8 newcomers (semantic_dedup,
-# dsir_importance_weights, dedup_keep_best) also enter at birth per
-# R1; in exchange three round-7-driver-green §2 rows park per R5(c)
-# (score_explanations, event_funnel_metrics, feedback_asof_labels —
-# each one round only, R2 deadline r10). A fourth newcomer
-# (ann_pq_topk — IVFPQ) also enters at birth, with ranking_eval_metrics
-# (ML13, green r7) parking in exchange, same R5(c) terms; a fifth
-# (repeated_span_stats — exact-substring spans) likewise, with
-# incremental_watermark_sync (S7/ST2, green r7, streaming tests keep
-# covering it) parking in exchange. A sixth newcomer
-# (repeated_span_removal — exact-substring span REMOVAL, the output
-# half of the Lee et al. pipeline) enters at birth per R1, with
-# event_sessionization parking per R5(a) — its ST5 coverage keeps an
-# in-window sibling (event_tumbling_windows). A seventh
-# (decontamination_span_removal — surgical decontamination) enters at
-# birth per R1, with token_jaccard_pairs parking per R5(a) — its
-# SO2/SO3/F6 coverage also lives inside er_match_cascade, which stays
-# in-window. Four more late-round-8 newcomers
-# (incremental_neardup_ingest — asymmetric batch→corpus MinHash
-# probe; leakage_safe_splits — near-dup-cluster-keyed train/val/test
-# assignment; cluster_balanced_sample — IVF-cell-capped diversity
-# sampling; source_overlap_matrix — cross-source near-dup overlap
-# diagnostic) enter at birth per R1; in exchange four round-7
-# driver-green §2 rows park per R5(c), each one round only (deadline
-# r10): account_features (P2 — the same feature ladder is exercised
-# in-window by the flagship), global_rank_topn (W1/W4/W8 — the
-# window family keeps topk_per_group and pagination in-window),
-# label_join (J5/A8) and contract_validation_report (A9-A10/P10).
-# Round-9 rotation (51 parked / 50 in-window / 101 registered):
-# The NINETEEN entries parked since round 7 hit their R2 deadline
-# this round and ALL rejoin the driver window
-# (blocked_similarity_join, event_sliding_windows,
-# stateful_running_totals, customer_order_deltas,
-# grouped_rank_applyinpandas, cosine_topk_bruteforce, pii_redaction,
-# doc_repetition_stats, doc_text_stats, langid_heuristic,
-# token_counting, rolling_hash_fingerprints,
-# nation_balance_quantiles, jaro_winkler_pairs,
-# normalize_company_names, approx_distinct_stats, event_props_json,
-# er_threshold_sweep, multimodal_features). The round-8 parks stay
-# parked one more round (R2 deadline round 10) EXCEPT ann_ivf_topk
-# and embedding_near_dup, which rejoin EARLY because their
-# implementations changed this round — every query whose executed
-# plan changed in round 9 sits in-window so CORRECTNESS_r09 proves it
-# green post-change (ann_pq_topk, ann_ivf_topk, ann_lsh_multitable,
-# embedding_near_dup, cosine_topk_bruteforce,
-# incremental_neardup_ingest, cross_sell_recommendations,
-# embedding_int8_quantize stays parked as the ONE exception: its
-# guard rewrite is covered by the local exact-equality sweep and its
-# R2 deadline rejoins it in round 10 anyway). One round-9 newcomer
-# (ann_rerank_crossencoder — IVF retrieve → Arrow cross-encoder-shape
-# rerank, the serving-side sibling of the ann_* index family) enters
-# in its birth round per R1; a second (prototypicality_pruning —
-# Sorscher et al. 2022 cluster-prototype data pruning on the shared
-# IVF cells) likewise, with ngram_jaccard_dedup parking per R5(a) —
-# the dedup family keeps exact_dedup_documents, minhash_near_dup,
-# embedding_near_dup AND incremental_neardup_ingest in-window; a
-# third (d4_selection — Tirumala et al. 2023 SemDeDup→prototype
-# composition over one shared assignment) likewise, with
-# document_token_ids parking per R5(a) — bpe_vocab keeps the
-# tokenizer row in-window. In exchange for the rest, TWENTY-FOUR
-# round-8-driver-green entries park, chosen per R5: eight family
-# variants whose base operator (or §2 sibling) is in-window after
-# the rotation, eleven beyond-reference curation ops, and three §2
-# function rows green in r8 (deterministic_pred_id F20,
-# ab_bucket_allocation F21/ML15, domain_extraction F3 — parked one
-# round to make room for the early rejoins, deadline r11). All
-# parked entries re-verified exact-equality green under
-# tools/check.py in the round-9 closing commit (rule R3).
-# Round-10 rotation (52 parked / 50 in-window / 102 registered):
-# The TWENTY-SEVEN entries parked since round 8 hit their R2 deadline
-# this round and ALL rejoin the driver window, plus
-# ngram_jaccard_dedup (parked r9) rejoins with its idf variant per
-# the round-9 ledger's own pledge that both n-gram Jaccard rows
-# rejoin together, and cluster_balanced_sample (parked r9, deadline
-# r11) rejoins EARLY because its implementation changed this round
-# (count() -> parquet-footer sizing) — every query whose code changed
-# in round 10 sits in-window so CORRECTNESS_r10 proves it green
-# post-change (cross_sell_recommendations, ann_lsh_topk,
-# prototypicality_pruning, d4_selection, incremental_neardup_ingest,
-# cluster_balanced_sample). One round-10 newcomer (ann_ivf2_topk —
-# hierarchical two-level IVF, the documented escape past the flat
-# index's centroid-closure ceiling in SCALE.md) enters in its birth
-# round per R1. The 22 remaining round-9 parks stay parked one more
-# round (R2 deadline r11). In exchange THIRTY round-9-driver-green
-# entries park, chosen per R5: (a) family variants whose base / §2
-# sibling is in-window after the rotation (benchmark_decontamination
-# — bloom twin rejoins; bpe_vocab — vocab_construction rejoins;
-# event_sliding_windows — event_sessionization rejoins;
-# order_priority_pivot — sales_rollup_cube rejoins;
-# customers_without_urgent_orders — the semi twin rejoins;
-# embedding_near_dup, cosine_topk_bruteforce, ann_lsh_multitable,
-# ann_ivf_topk, ann_pq_topk, ann_rerank_crossencoder — the ANN
-# family keeps ann_lsh_topk in-window and gains ann_ivf2_topk; none
-# of their plans changed this round); (b) beyond-reference text/
-# quality ops whose composite sibling corpus_curation_report rejoins
-# (pii_redaction, doc_repetition_stats, doc_text_stats,
-# langid_heuristic, token_counting, rolling_hash_fingerprints,
-# unigram_lm_quality); and (c) §2 rows green in round 9, each ONE
-# round only per R2 (blocked_similarity_join — J2 stays via
-# er_match_cascade; normalize_company_names; multi_predicate_filter
-# — filter_projection stays; pagination — topk_per_group stays and
-# global_rank_topn rejoins; join_revenue_by_nation;
-# string_agg_per_group; trend_with_date_spine;
-# distinct_union_nations; customer_order_deltas;
-# grouped_rank_applyinpandas; nation_balance_quantiles;
-# approx_distinct_stats). All parked entries re-verified
-# exact-equality green under tools/check.py in the round-10 closing
-# commit (rule R3).
-# Round-11 rotation (55 parked / 50 in-window / 105 registered):
-# The TWENTY-TWO entries parked since round 9 hit their R2 deadline
-# this round and ALL rejoin the driver window (near_dup_clusters,
-# document_token_ids, bigram_lm_quality, simhash_fingerprints,
-# repeated_span_removal, decontamination_span_removal,
-# document_bpe_ids, stateful_streaming_dedup, event_tumbling_windows,
-# stratified_sample, dataset_temperature_mix, perplexity_filter_by_lang,
-# length_bucketed_batches, semantic_dedup, dsir_importance_weights,
-# dedup_keep_best, leakage_safe_splits, source_overlap_matrix,
-# textrank_keywords, deterministic_pred_id, ab_bucket_allocation,
-# domain_extraction). The THREE round-10-staged suffix-array plans
-# (exact_repeat_stats, exact_repeat_removal, exact_contamination_spans)
-# register this round and enter in their birth round per R1 — the
-# round-10 ledger's own item #1. The 30 round-10 parks stay parked one
-# more round (R2 deadline r12). Every query whose executed plan
-# changes in round 11 sits in-window so CORRECTNESS_r11 proves it
-# green post-change (benchmark_decontamination_bloom,
-# corpus_curation_report, incremental_neardup_ingest, ann_ivf2_topk,
-# bigram_lm_quality, document_bpe_ids, plus the suffix family).
-# In exchange TWENTY-FIVE round-10-driver-green entries park, chosen
-# per R5: (a) family variants whose base / §2 sibling is in-window
-# after the rotation, (b) beyond-reference curation ops, and (c) §2
-# rows green in round 10, each ONE round only (R2 deadline r13). All
-# parked entries re-verified exact-equality green under tools/check.py
-# in the round-11 closing commit (rule R3).
+# Round-12 rotation (55 parked / 50 in-window / 105 registered):
+# The THIRTY entries parked since round 10 hit their R2 deadline and
+# ALL rejoin the driver window. The 25 round-11 parks stay parked one
+# more round (R2 deadline r13). Every query whose executed plan
+# changes in round 12 sits in-window so CORRECTNESS_r12 proves it
+# green post-change (benchmark_decontamination_bloom — probe-position
+# projection; the suffix family — cap-metadata stamping; plus any
+# round-12 performance work: cross_sell_recommendations,
+# bigram_lm_quality, corpus_curation_report). In exchange THIRTY
+# round-11-driver-green entries park per R5 — groups (a)/(b)/(c)
+# annotated inline below; R2 deadline r14.
 _TAIL = (
+    # -- parked round 12 (driver-green r11), per R5; R2 deadline = r14 --
+    # (a) family variants whose base / §2 sibling is in-window:
+    "simhash_fingerprints",  # fingerprint family; rolling_hash_fingerprints rejoins
+    "ann_lsh_topk",  # ANN family; lsh_multitable/ivf/pq/rerank/bruteforce rejoin
+    "ann_ivf2_topk",  # ann_ivf_topk rejoins
+    "document_token_ids",  # tokenizer family; bpe_vocab rejoins
+    "document_bpe_ids",  # tokenizer family; bpe_vocab rejoins
+    "repeated_span_removal",  # span family; exact_repeat_removal stays in-window
+    "event_tumbling_windows",  # ST5; event_sliding_windows rejoins
+    "sales_rollup_cube",  # A5; order_priority_pivot rejoins
+    "customers_with_urgent_orders",  # J7 semi; anti twin rejoins
+    "near_dup_clusters",  # dedup family; embedding_near_dup rejoins
+    "ngram_jaccard_dedup",  # near-dup family keeps embedding_near_dup in-window
+    "weekly_order_rollup",  # A2/F22; daily_order_stats stays in-window
+    # (b) beyond-reference ops green r11:
+    "stratified_sample",
+    "dataset_temperature_mix",
+    "perplexity_filter_by_lang",
+    "length_bucketed_batches",
+    "semantic_dedup",
+    "dsir_importance_weights",
+    "dedup_keep_best",
+    "incremental_neardup_ingest",
+    "leakage_safe_splits",
+    "source_overlap_matrix",
+    "textrank_keywords",
+    "range_join_incidents",
+    "order_value_histogram",
+    "balance_outliers_zscore",  # nation_balance_quantiles rejoins
+    # (c) §2 rows green in round 11, one round only (deadline r14):
+    "deterministic_pred_id",  # F20
+    "ab_bucket_allocation",  # F21/ML15
+    "domain_extraction",  # F3
+    "pricing_summary",  # A3/A7
     # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
     # (a) family variants whose base / §2 sibling is in-window:
-    "ngram_jaccard_dedup_idf",  # idf variant; base stays in-window
-    "repeated_span_stats",  # span family; both removals rejoin and
-    #   the suffix-exact stats sibling enters
-    "event_sessionization",  # ST5; event_tumbling_windows rejoins
-    "stateful_running_totals",  # ST3; stateful_streaming_dedup rejoins
-    "vocab_construction",  # tokenizer family; document_token_ids +
-    #   document_bpe_ids rejoin
-    "dataset_mix_downsample",  # sampling family; stratified_sample +
-    #   dataset_temperature_mix rejoin
-    "dataset_split_assignments",  # leakage_safe_splits rejoins
-    "tfidf_top_terms",  # text-stats family; textrank_keywords +
-    #   bigram_lm_quality rejoin
-    "sequence_packing",  # packing family; length_bucketed_batches rejoins
-    "document_chunks",  # chunking sibling; tokenizer row stays via
-    #   document_token_ids
-    "exact_dedup_documents",  # P9; dedup family keeps near_dup_clusters,
-    #   simhash_fingerprints, semantic_dedup, dedup_keep_best,
-    #   incremental_neardup_ingest in-window
-    "minhash_near_dup",  # dedup family; near_dup_clusters (built on
-    #   the same MinHash bands) rejoins
+    "ngram_jaccard_dedup_idf",  # idf variant
+    "repeated_span_stats",  # span family; suffix-exact stats sibling in-window
+    "event_sessionization",  # ST5
+    "stateful_running_totals",  # ST3; stateful_streaming_dedup stays in-window
+    "vocab_construction",  # tokenizer family; bpe_vocab rejoins
+    "dataset_mix_downsample",  # sampling family
+    "dataset_split_assignments",
+    "tfidf_top_terms",  # text-stats family; unigram_lm_quality rejoins
+    "sequence_packing",  # packing family
+    "document_chunks",  # chunking sibling
+    "exact_dedup_documents",  # P9; dedup family keeps embedding_near_dup
+    "minhash_near_dup",  # dedup family
     # (b) beyond-reference ops green r10:
     "cluster_balanced_sample",
     "prototypicality_pruning",
@@ -222,44 +113,6 @@ _TAIL = (
     "ranking_eval_metrics",  # ML13/W9-10/F23
     "feedback_asof_labels",  # ML14/P11
     "extractive_summary",  # ML16
-    # -- parked round 10 (driver-green r9), per R5; R2 deadline = r12 --
-    # (a) family variants whose base / §2 sibling is in-window after
-    #     the rotation (no plan in this group changed in round 10):
-    "benchmark_decontamination",  # bloom twin rejoins
-    "bpe_vocab",  # vocab_construction rejoins
-    "event_sliding_windows",  # ST5; event_sessionization rejoins
-    "order_priority_pivot",  # A5; sales_rollup_cube rejoins
-    "customers_without_urgent_orders",  # J7 anti; semi twin rejoins
-    "embedding_near_dup",  # ANN/dedup family
-    "cosine_topk_bruteforce",  # quadratic yardstick; ANN family stays
-    "ann_lsh_multitable",  # ann_lsh_topk stays in-window
-    "ann_ivf_topk",  # ann_ivf2_topk enters in-window
-    "ann_pq_topk",  # ANN family
-    "ann_rerank_crossencoder",  # ANN family
-    # (b) beyond-reference text/quality ops; composite sibling
-    #     corpus_curation_report rejoins:
-    "pii_redaction",
-    "doc_repetition_stats",
-    "doc_text_stats",
-    "langid_heuristic",
-    "token_counting",
-    "rolling_hash_fingerprints",
-    "unigram_lm_quality",
-    # (c) §2 rows green in round 9, one round only (R2 deadline r12):
-    "blocked_similarity_join",  # J2/F4/A1 via er_match_cascade
-    "normalize_company_names",  # F1-F2; the normalizer also runs
-    #   inside the in-window ER cascade
-    "multi_predicate_filter",  # P4-P5/S8/J9; filter_projection stays
-    "pagination",  # W3/W5-W6; topk_per_group stays, global_rank_topn
-    #   rejoins
-    "join_revenue_by_nation",  # J6/A4
-    "string_agg_per_group",  # J4/M5
-    "trend_with_date_spine",  # A6
-    "distinct_union_nations",  # SO1/SO4
-    "customer_order_deltas",
-    "grouped_rank_applyinpandas",
-    "nation_balance_quantiles",
-    "approx_distinct_stats",
 )
 
 

@@ -51,39 +51,95 @@ def test_bench_source_matches_mirror():
     assert "s = sum(book[n] for n in both)" in src
 
 
-def test_oracle_pass_guards_per_query():
-    """One failing oracle must not discard later timings: feed
-    oracle_pass a registry stub whose first oracle raises."""
+class _FakeCon:
+    """DuckDB stand-in: raises on the 'BOOM' oracle, succeeds else."""
+
+    def execute(self, sql):
+        if sql == "BOOM":
+            raise RuntimeError("bad oracle")
+
+        class R:
+            def fetchall(self):
+                return []
+
+        return R()
+
+
+class _FakeWriter:
+    def mode(self, _):
+        return self
+
+    def format(self, _):
+        return self
+
+    def save(self):
+        return None
+
+
+class _FakeDF:
+    write = _FakeWriter()
+
+
+class _FakeSpark:
+    """Just enough surface for interleaved_measure's GC barrier."""
+
+    class sparkContext:  # noqa: N801 - mimic pyspark attribute
+        class _jvm:  # noqa: N801
+            class System:  # noqa: N801
+                @staticmethod
+                def gc():
+                    return None
+
+
+def _q(oracle, fn=None):
+    class Q:
+        pass
+
+    q = Q()
+    q.oracle = oracle
+    q.fn = fn or (lambda spark, sf_dir: _FakeDF())
+    return q
+
+
+def test_interleaved_measure_oracle_failure_keeps_spark_walls():
+    """A failing oracle must not discard the spark timings — the
+    ratio is simply absent (d_min None)."""
     import bench
 
-    class Q:
-        def __init__(self, oracle):
-            self.oracle = oracle
+    s, d = bench.interleaved_measure(
+        _FakeSpark(), _FakeCon(), _q("BOOM"), "/nonexistent", runs=1
+    )
+    assert s is not None
+    assert d is None
 
-    class FakeCon:
-        def execute(self, sql):
-            if sql == "BOOM":
-                raise RuntimeError("bad oracle")
 
-            class R:
-                def fetchall(self):
-                    return []
+def test_interleaved_measure_records_both_sides():
+    import bench
 
-            return R()
+    s, d = bench.interleaved_measure(
+        _FakeSpark(), _FakeCon(), _q("SELECT 1"), "/nonexistent", runs=2
+    )
+    assert s is not None and d is not None
 
-    # monkeypatch duck_connect via tools.check import inside oracle_pass
-    import tools.check as check
 
-    real = check.duck_connect
-    check.duck_connect = lambda sf_dir: FakeCon()
-    try:
-        qs = {
-            bench.HEADLINE[0]: Q("BOOM"),
-            bench.HEADLINE[1]: Q("SELECT 1"),
-        }
-        book: dict = {}
-        bench.oracle_pass(book, "/nonexistent", qs, runs=1)
-        assert bench.HEADLINE[0] not in book
-        assert bench.HEADLINE[1] in book
-    finally:
-        check.duck_connect = real
+def test_interleaved_measure_spark_failure_keeps_oracle():
+    """A failing spark run must not block the oracle timing of the
+    same pair (and must not raise)."""
+    import bench
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("bad plan")
+
+    s, d = bench.interleaved_measure(
+        _FakeSpark(), _FakeCon(), _q("SELECT 1", fn=boom), "/nonexistent", runs=1
+    )
+    assert s is None and d is not None
+
+
+def test_interleaved_measure_no_con_no_oracle_timing():
+    import bench
+
+    s, d = bench.interleaved_measure(
+        _FakeSpark(), None, _q("SELECT 1"), "/nonexistent", runs=1
+    )
+    assert s is not None and d is None

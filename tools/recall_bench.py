@@ -224,8 +224,10 @@ def main() -> None:
             ivf2_topk,
         )
 
-        # (4, 2) is the registered query's round-11 default — coarse
-        # probes are the cheap recall lever (extra fine cells only in
+        # (4, 4) is the registered query's round-11 default
+        # (datapipe.py ann_ivf2_topk); (4, 2) is the swept
+        # intermediate that measured worse — coarse probes are the
+        # cheap recall lever (extra fine cells only in
         # already-localized regions), so p1 rises first.
         ivf2_probes = (
             ((2, 2), (4, 2), (4, 4)) if label != "sf1x100" else ((4, 4),)
