@@ -75,7 +75,6 @@ _TAIL = (
     "incremental_neardup_ingest",
     "leakage_safe_splits",
     "source_overlap_matrix",
-    "textrank_keywords",
     "range_join_incidents",
     "order_value_histogram",
     "balance_outliers_zscore",  # nation_balance_quantiles rejoins
@@ -84,6 +83,9 @@ _TAIL = (
     "ab_bucket_allocation",  # F21/ML15
     "domain_extraction",  # F3
     "pricing_summary",  # A3/A7
+    "incremental_watermark_sync",  # S7/ST2; streaming tests keep
+    #   covering it (parked in exchange for textrank_keywords, whose
+    #   plan changed in round 12 and therefore sits in-window)
     # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
     # (a) family variants whose base / §2 sibling is in-window:
     "ngram_jaccard_dedup_idf",  # idf variant

@@ -202,125 +202,147 @@ def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-planned). Candidate cap first (rank ≤ 20 per org, ties kept →
     W2), THEN the pair join — the pair space stays ~(orgs·20)² rows
     regardless of base-table size, and Spark broadcast-NL-joins the
-    tiny capped sides."""
+    tiny capped sides.
+
+    CONSTRUCTION COST (round 12): the plan is declared as TWO
+    parameterized spark.sql statements instead of a ~300-call Column
+    tree. A job-level decomposition found the sf0.1 wall was NOT
+    execution: 1.27s min wall = 0.58s in-job (8 sub-0.3s jobs, the
+    scale-true capped-pair plan) + ~0.7s of pure DRIVER work, of
+    which plan CONSTRUCTION alone re-measured at 1.14s warm (py4j
+    round trips per Column operator — the round-7 banded-simhash
+    lesson at query scale). SQL-string construction is a handful of
+    round trips for the same logical plan; every expression below is
+    a literal transliteration of the previous Column tree (D-suffixed
+    double literals keep the arithmetic bit-identical; same aliases,
+    same CASE ladders, same floor(x*100+0.5) fixed-point sum).
+
+    Scale notes unchanged from rounds 9-11: rank-first cap (the
+    aggregate sees only top-k customers via a broadcast semi-filter),
+    lazy RDD checkpoint of the capped frame so the rename-divergent
+    self-join sides share one computation, explicit broadcast of the
+    pair side (the checkpointed frame carries no stats — without the
+    hint the non-equi join falls back to CartesianProduct), and
+    ORDER BY + LIMIT planning as TakeOrderedAndProject (per-partition
+    partial top-100; the row_number ranks the surviving 100 rows,
+    identical values by construction).
+
+    MEASURED NEGATIVE (round 12, don't re-try): folding both
+    statements into ONE with topn as a twice-referenced CTE — to skip
+    the checkpoint's RDD-conversion driver cost — LOST the same-
+    session alternating A/B (0.898s two-statement+checkpoint vs
+    1.066s single-statement, min-of-6 at sf0.1, outputs verified
+    identical): Catalyst inlines deterministic CTEs, so topn's rank
+    window + activity aggregate executed twice, costing more than the
+    one RDD conversion saves."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
 
-    # Rank FIRST (round 9): the per-org rank key is c_acctbal alone,
-    # so the top-k cap needs no activity columns — capping before the
-    # orders aggregate lets the aggregate see only top-k customers
-    # (broadcast semi-filter on the ~orgs·20 keys) instead of all of
-    # them, and the activity join becomes a broadcast of the capped
-    # aggregate. Output-identical to aggregate-first (only top-k rows
-    # ever survived the cap); measured 1.93→1.40s at sf0.1.
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
-    topk = (
-        c.withColumn("rnk", F.rank().over(w))
-        .where(F.col("rnk") <= 20)
-        .drop("rnk")
-    )
-    act = (
-        o.join(
-            F.broadcast(topk.select("c_custkey")),
-            o.o_custkey == F.col("c_custkey"),
-        )
-        .drop("c_custkey")
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_order_day"),
-            dsum("o_totalprice", "total_spend"),
-        )
-    )
-    cust = topk.join(
-        F.broadcast(act), topk.c_custkey == act.o_custkey, "left"
-    ).select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
-        F.coalesce(
-            F.datediff(F.lit(AS_OF).cast("date"), F.col("last_order_day")),
-            F.lit(365),
-        ).alias("days_since_order"),
-    )
-    # Lazy RDD persist before the self-join: the two pair sides are
-    # rename-divergent copies of topn, so canonical-plan matching finds
-    # no ReusedExchange and the rank window + activity aggregate +
-    # nation join would run twice (the column-pruning lesson). topn is
-    # the CAPPED frame (~orgs·20 rows), so the checkpoint is tiny.
-    topn = (
-        cust.join(F.broadcast(n), cust.c_nationkey == n.n_nationkey)
-        .select(cust["*"], n["n_name"], n["n_regionkey"])
-        .localCheckpoint(eager=False)
-    )
-
-    a, b = topn.alias("a"), topn.alias("b")
-    ac, bc = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
-
-    spend1g = F.greatest(F.coalesce(ac("total_spend"), F.lit(1.0)), F.lit(1.0))
-    spend2g = F.greatest(F.coalesce(bc("total_spend"), F.lit(1.0)), F.lit(1.0))
-    # Explicit broadcast: the checkpointed frame carries no size
-    # stats, so the planner would otherwise fall back to a
-    # CartesianProduct for this non-equi join (caught by
-    # tools/plan_audit.py). Broadcasting b is free here — it reads
-    # the SAME persisted RDD, so nothing recomputes (the round-3
-    # "broadcast recomputes the probe side" caveat applies only to
-    # un-persisted subplans).
-    pairs = a.join(F.broadcast(b), ac("c_nationkey") < bc("c_nationkey")).select(
-        ac("c_custkey").alias("account1_id"),
-        bc("c_custkey").alias("account2_id"),
-        ac("c_name").alias("account1_name"),
-        bc("c_name").alias("account2_name"),
-        ac("n_name").alias("org1_id"),
-        bc("n_name").alias("org2_id"),
-        F.when(ac("c_mktsegment") == bc("c_mktsegment"), 1.0).otherwise(0.0).alias("same_segment"),
-        F.when(ac("n_regionkey") == bc("n_regionkey"), 1.0).otherwise(0.0).alias("same_region"),
-        size_ratio(ac("c_acctbal"), bc("c_acctbal")).alias("size_ratio"),
-        pair_activity_score(ac("days_since_order"), bc("days_since_order")).alias("pair_activity"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.abs(F.log(spend1g / spend2g))), 9).alias("spend_compat"),
-        ac("total_spend").alias("spend1"),
-        bc("total_spend").alias("spend2"),
-    )
-
-    scored = pairs.withColumn(
-        "score",
-        F.round(
-            0.3 * F.col("same_segment")
-            + 0.25 * F.col("size_ratio")
-            + 0.25 * F.col("pair_activity")
-            + 0.2 * F.col("spend_compat"),
-            9,
+    topn = spark.sql(
+        f"""
+        WITH topk AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC) AS rnk
+            FROM {{c}}
+          ) WHERE rnk <= 20
         ),
-    )
-
-    wg = Window.orderBy(F.desc("score"), F.asc("account1_id"), F.asc("account2_id"))
-    return (
-        scored.select(
-            "account1_id", "account2_id", "account1_name", "account2_name",
-            "org1_id", "org2_id", "same_segment", "size_ratio", "pair_activity",
-            "spend_compat", "score",
-            confidence_ladder(F.col("score")).alias("confidence_level"),
-            F.when(F.col("same_segment") >= 1.0, "Segment Expansion")
-            .when(F.col("same_region") < 1.0, "Market Development")
-            .otherwise("Partner Referral")
-            .alias("recommendation_type"),
-            F.round(0.1 * (F.col("spend1") + F.col("spend2")), 2).alias("estimated_value"),
-            next_best_action(F.col("score")).alias("next_best_action"),
+        act AS (
+          SELECT /*+ BROADCAST(tk) */ o_custkey,
+                 COUNT(*) AS n_orders,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_order_day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT))
+                      AS DOUBLE) / 100.0D AS total_spend
+          FROM {{o}} o JOIN (SELECT c_custkey FROM topk) tk
+            ON o.o_custkey = tk.c_custkey
+          GROUP BY o_custkey
+        ),
+        cust AS (
+          SELECT /*+ BROADCAST(act) */
+                 t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                 t.c_mktsegment,
+                 COALESCE(act.n_orders, 0) AS n_orders,
+                 COALESCE(act.total_spend, 0.0D) AS total_spend,
+                 COALESCE(DATEDIFF(DATE'{AS_OF}', act.last_order_day), 365)
+                   AS days_since_order
+          FROM topk t LEFT JOIN act ON t.c_custkey = act.o_custkey
         )
-        # limit BEFORE the rank window: orderBy+limit plans as
-        # TakeOrderedAndProject (per-partition partial top-100, no
-        # full single-partition sort of the pair stream), and the
-        # row_number ranks the surviving 100 rows — identical values,
-        # since the top-100 by the window's own order hold ranks
-        # 1..100 by construction.
-        .orderBy(F.desc("score"), F.asc("account1_id"), F.asc("account2_id"))
-        .limit(100)
-        .withColumn("rank", F.row_number().over(wg))
+        SELECT /*+ BROADCAST(n) */ cust.*, n.n_name, n.n_regionkey
+        FROM cust JOIN {{n}} n ON cust.c_nationkey = n.n_nationkey
+        """,
+        c=c,
+        o=o,
+        n=n,
+    ).localCheckpoint(eager=False)
+
+    return spark.sql(
+        """
+        WITH pairs AS (
+          SELECT /*+ BROADCAST(b) */
+                 a.c_custkey AS account1_id,
+                 b.c_custkey AS account2_id,
+                 a.c_name AS account1_name,
+                 b.c_name AS account2_name,
+                 a.n_name AS org1_id,
+                 b.n_name AS org2_id,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment
+                      THEN 1.0D ELSE 0.0D END AS same_segment,
+                 CASE WHEN a.n_regionkey = b.n_regionkey
+                      THEN 1.0D ELSE 0.0D END AS same_region,
+                 LEAST(GREATEST(COALESCE(a.c_acctbal, 1.0D), 1.0D),
+                       GREATEST(COALESCE(b.c_acctbal, 1.0D), 1.0D))
+                 / GREATEST(GREATEST(COALESCE(a.c_acctbal, 1.0D), 1.0D),
+                            GREATEST(COALESCE(b.c_acctbal, 1.0D), 1.0D))
+                   AS size_ratio,
+                 2.0D / (1.0D
+                         + COALESCE(CAST(a.days_since_order AS DOUBLE),
+                                    365.0D) / 30.0D
+                         + COALESCE(CAST(b.days_since_order AS DOUBLE),
+                                    365.0D) / 30.0D) AS pair_activity,
+                 ROUND(1.0D / (1.0D + ABS(LN(
+                     GREATEST(COALESCE(a.total_spend, 1.0D), 1.0D)
+                     / GREATEST(COALESCE(b.total_spend, 1.0D), 1.0D)))), 9)
+                   AS spend_compat,
+                 a.total_spend AS spend1,
+                 b.total_spend AS spend2
+          FROM {a} a JOIN {b} b ON a.c_nationkey < b.c_nationkey
+        ),
+        scored AS (
+          SELECT *,
+                 ROUND(0.3D * same_segment + 0.25D * size_ratio
+                       + 0.25D * pair_activity + 0.2D * spend_compat, 9)
+                   AS score
+          FROM pairs
+        ),
+        top100 AS (
+          SELECT * FROM scored
+          ORDER BY score DESC, account1_id ASC, account2_id ASC
+          LIMIT 100
+        )
+        SELECT account1_id, account2_id, account1_name, account2_name,
+               org1_id, org2_id, same_segment, size_ratio, pair_activity,
+               spend_compat, score,
+               CASE WHEN score >= 0.8D THEN 'Very High'
+                    WHEN score >= 0.6D THEN 'High'
+                    WHEN score >= 0.4D THEN 'Medium'
+                    ELSE 'Low' END AS confidence_level,
+               CASE WHEN same_segment >= 1.0D THEN 'Segment Expansion'
+                    WHEN same_region < 1.0D THEN 'Market Development'
+                    ELSE 'Partner Referral' END AS recommendation_type,
+               ROUND(0.1D * (spend1 + spend2), 2) AS estimated_value,
+               CASE WHEN score >= 0.8D THEN 'Schedule joint executive briefing'
+                    WHEN score >= 0.6D THEN 'Arrange partner introduction call'
+                    WHEN score >= 0.4D THEN 'Share co-marketing materials'
+                    ELSE 'Add to nurture campaign' END AS next_best_action,
+               ROW_NUMBER() OVER (ORDER BY score DESC, account1_id ASC,
+                                  account2_id ASC) AS rank
+        FROM top100
+        """,
+        a=topn,
+        b=topn,
     )
 
 

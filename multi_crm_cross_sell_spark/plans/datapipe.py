@@ -52,6 +52,22 @@ from ..operators.similarity_search import (
 from ..sources.bronze import load_table
 from .registry import register
 
+# MEASURED NEGATIVE (round 12), recorded so it isn't re-tried: a
+# "layout-adaptive scan spread" — repartition(defaultParallelism)
+# after the documents scan whenever file metadata shows fewer scan
+# splits than half the cores (the sf0.1 testdata is ONE parquet file,
+# so the scan stage and everything codegen fuses into it runs as one
+# task of 32) — was A/B'd same-session, alternating, min-of-6 at
+# sf0.1 on the two heaviest single-task-profiled queries:
+#   bigram_lm_quality          1.349s spread vs 1.369s without
+#   corpus_curation_report     1.034s spread vs 1.030s without
+# Washes both times: warm single-task explode/gram stages are already
+# ~0.2s, and the extra round-robin exchange + stage costs exactly what
+# the 32-way parallelism saves at this input size. The one-shot cold
+# profiles (0.5-0.7s single-task walls) that motivated it were JIT
+# warmup, not steady state. At 100 TB the layout has many splits and
+# the spread would never trigger — so there is nothing to ship.
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments for the md5-based hash family (must mirror
 # operators/dedup.py constants exactly).
@@ -2091,6 +2107,11 @@ def benchmark_decontamination_bloom(
     # sits at the full 32 shuffle partitions, and a checkpoint PINS
     # that, so its materialization would run 32 near-empty tasks;
     # coalesce narrows the exchange's reduce side shuffle-free.
+    # MEASURED (round 12): dropping this checkpoint to save its
+    # materialization job is a NEGATIVE — same-session alternating
+    # min-of-6 at sf0.1 read 1.269s (checkpointed) vs 1.330s (pure
+    # declarative, recompute per consumer); the three consumers'
+    # re-scans cost more than the one checkpoint job.
     bench = (
         grams.where(F.col("doc_id") % _DECON_MOD == 0)
         .select("g")
@@ -2877,6 +2898,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXTRANK_ITERS = 10
 _TEXTRANK_TOPK = 20
+_TEXTRANK_CKPT_EVERY = 5  # lazy-checkpoint cadence (see loop comment)
 
 
 def _textrank_oracle() -> str:
@@ -2964,32 +2986,63 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan/lineage size stays bounded (the connected-components
     discipline); the edge list is checkpointed once and reused by all
     10 joins, and no-in-edge nodes re-attach by union, not join."""
+    # CONSTRUCTION COST (round 12): this query's sf0.1 wall was
+    # dominated by DRIVER-side plan building, not execution —
+    # construct-only re-measured at 4.03s (vs ~4.1s total bench wall):
+    # every PySpark transformation creates an eagerly-ANALYZED
+    # Dataset, so the graph setup's ~20 Datasets and the loop's ~6
+    # Datasets/iteration re-analyzed the growing tree dozens of times
+    # (plus ~200 py4j round trips). The SETUP is now three
+    # parameterized spark.sql statements (one analysis each over the
+    # same logical plan; expressions are literal transliterations, so
+    # the integer fixpoint is bit-identical); the LOOP stays on the
+    # Column API — see the in-loop comment for why sql-formatter
+    # frames cannot be iterated under the checkpoints. Net measured:
+    # 4.03s -> 2.37s min-of-6 at sf0.1.
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    edges0 = spark.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, pos, w
+          FROM {docs} LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+        ),
+        bi AS (
+          SELECT a, b, COUNT(*) AS cnt FROM (
+            SELECT LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS a,
+                   w AS b
+            FROM toks
+          ) WHERE a IS NOT NULL GROUP BY a, b
+        ),
+        sym AS (
+          SELECT a, b, cnt FROM bi
+          UNION ALL
+          SELECT b AS a, a AS b, cnt FROM bi
+        )
+        SELECT a AS src, b AS dst, SUM(cnt) AS cnt FROM sym GROUP BY a, b
+        """,
+        docs=docs,
     )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.select("doc_id", F.lag("w").over(wnd).alias("a"), F.col("w").alias("b"))
-        .where(F.col("a").isNotNull())
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
-    sym = bi.select("a", "b", "cnt").unionByName(
-        bi.select(F.col("b").alias("a"), F.col("a").alias("b"), "cnt")
-    )
-    edges0 = (
-        sym.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    wout = edges0.groupBy("src").agg(F.sum("cnt").alias("wout"))
-    edges = edges0.join(wout, "src").localCheckpoint(eager=False)
-    nodes = (
-        edges0.select(F.col("src").alias("node"))
-        .union(edges0.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = spark.sql(
+        """
+        SELECT e.src, e.dst, e.cnt, w.wout
+        FROM {e} e JOIN (SELECT src, SUM(cnt) AS wout
+                         FROM {e2} GROUP BY src) w
+          ON e.src = w.src
+        """,
+        e=edges0,
+        e2=edges0,
+    ).localCheckpoint(eager=False)
+    nodes = spark.sql(
+        """
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM {e}
+          UNION ALL
+          SELECT dst FROM {e2}
+        )
+        """,
+        e=edges0,
+        e2=edges0,
+    ).localCheckpoint(eager=False)
     # Nodes with NO in-edges rank a constant 150M every iteration, so
     # they are split out ONCE (anti-join) and re-attached per
     # iteration with a shuffle-free UNION — the per-iteration
@@ -2998,6 +3051,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-edge, including acc=0 ones, so the union is exhaustive and
     # the fixpoint is bit-identical (measured 3.15s -> 2.47s at
     # sf0.1).
+    # no_in stays on the Column API (not spark.sql): a formatter-built
+    # frame here carries constraints referencing its temp-VIEW child's
+    # attributes; checkpointing any UNION over the resulting
+    # LogicalRDD then dies in UnionBase.rewriteConstraints with
+    # "key not found: node#N" (measured, not theoretical — both the
+    # in-sql union and the unionByName form hit it).
     no_in = (
         nodes.join(
             edges0.select(F.col("dst").alias("node")).distinct(),
@@ -3015,48 +3074,50 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle shape: ten sequential broadcast-build barriers cost
     # more than the small hash exchanges they replace, and the edge
     # side still re-scans its checkpoint per iteration either way.
+    # The loop body stays on the Column API: the sql-formatter wraps
+    # every {df} argument in a temp-view plan, and iterating
+    # view-wrapped unions of RDD-backed frames breaks the checkpoint's
+    # attribute rewrite ("key not found: node#N") — measured, not
+    # theoretical. Construction stays O(1) per iteration anyway
+    # because of the per-iteration lazy checkpoint below.
     for it in range(_TEXTRANK_ITERS):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(r * cnt) div wout").alias("c"),
-            )
+            .selectExpr("dst AS node", "(r * cnt) div wout AS c")
             .groupBy("node")
             .agg(F.sum("c").alias("acc"))
         )
-        pr = contrib.select(
-            "node",
-            (F.lit(150_000_000) + F.expr("85 * acc div 100"))
-            .cast("bigint")
-            .alias("r"),
+        pr = contrib.selectExpr(
+            "node", "CAST(150000000 + 85 * acc div 100 AS BIGINT) AS r"
         ).unionByName(no_in)
-        # Checkpoint every FIFTH iteration, EXCEPT the last: lineage
-        # stays bounded at five join+agg levels — still a constant-
-        # size guarantee — while the materialization barrier
-        # (one full job submit/schedule round per checkpoint, the
-        # dominant cost of this query on a vocabulary-sized graph:
-        # ~0.25s x 10 at sf0.1 when taken every iteration) is paid
-        # only ONCE: the final five iterations ride into the output
-        # action itself (single consumer, same depth-5 plan bound;
-        # a trailing eager checkpoint only added a redundant
-        # materialization job — measured 3.0s -> 2.3s at sf0.1).
-        # Late round 8: every checkpoint in this query went LAZY
-        # (eager=False) — the setup frames and the mid-stream rank
-        # vector materialize inside the main action instead of as
-        # four separate barrier jobs (A/B'd 3.68s -> 3.30s at sf0.1,
-        # equal mins at 100×). Integer fixpoint, so results are
-        # bit-identical however the iterations are batched.
-        if it % 5 == 4 and it < _TEXTRANK_ITERS - 1:
+        # LAZY checkpoint cadence (all checkpoints here are
+        # eager=False — round 8's measured 3.68→3.30s — so none of
+        # them submits a barrier job; they materialize inside the
+        # main action). Round 12 re-measured the cadence after the
+        # construction-cost finding: per-iteration checkpoints (which
+        # keep each iteration's eager re-ANALYSIS O(1)) still LOSE —
+        # 3.06s vs 2.37s every-5th, alternating min-of-6 at sf0.1 —
+        # because each checkpoint pays a physical planning + RDD
+        # conversion that outweighs the analysis it saves on these
+        # shallow trees. Every FIFTH iteration stays the measured
+        # optimum; the last iteration stays un-checkpointed so the
+        # output action consumes it directly. Integer fixpoint, so
+        # results are bit-identical however the iterations are
+        # batched.
+        if (
+            it % _TEXTRANK_CKPT_EVERY == _TEXTRANK_CKPT_EVERY - 1
+            and it < _TEXTRANK_ITERS - 1
+        ):
             pr = pr.localCheckpoint(eager=False)
-    w_rank = Window.orderBy(F.col("r").desc(), F.col("node"))
-    return (
-        pr.select(
-            F.col("node").alias("word"),
-            F.col("r").alias("rank_micro"),
-            F.row_number().over(w_rank).alias("rnk"),
-        )
-        .where(F.col("rnk") <= _TEXTRANK_TOPK)
+    return spark.sql(
+        f"""
+        SELECT word, rank_micro, rnk FROM (
+          SELECT node AS word, r AS rank_micro,
+                 ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+          FROM {{p}}
+        ) WHERE rnk <= {_TEXTRANK_TOPK}
+        """,
+        p=pr,
     )
 
 

@@ -41,6 +41,26 @@ def main() -> None:
         sc.setJobGroup("idle", "idle")
         tracker = sc.statusTracker()
         jobs = sorted(tracker.getJobIdsForGroup(name))
+        # Per-job wall + description from the UI REST API (the Python
+        # statusTracker exposes neither): attribution for the job-level
+        # floor decompositions in SCALE.md.
+        rest: dict[int, tuple[float, str]] = {}
+        try:
+            store = sc._jsc.sc().statusStore()
+            it = store.jobsList(None).iterator()
+            while it.hasNext():
+                jd = it.next()
+                try:
+                    sub = jd.submissionTime().get().getTime()
+                    comp = jd.completionTime().get().getTime()
+                    rest[jd.jobId()] = (
+                        (comp - sub) / 1000.0,
+                        str(jd.name() or "")[:90],
+                    )
+                except Exception:
+                    continue
+        except Exception:
+            pass
         lines.append(f"== {name}: {wall:.3f}s, {len(jobs)} jobs")
         for j in jobs:
             ji = tracker.getJobInfo(j)
@@ -54,7 +74,9 @@ def main() -> None:
                     continue
                 # skipped stages report 0 active/complete tasks
                 stages.append(f"s{s}:{si.numTasks}t")
-            lines.append(f"  job {j}: {' '.join(stages)}")
+            dur, jname = rest.get(j, (None, ""))
+            extra = f"  [{dur:.3f}s] {jname}" if dur is not None else ""
+            lines.append(f"  job {j}: {' '.join(stages)}{extra}")
     spark.stop()
     out = "\n".join(lines) + "\n"
     sys.stdout.write("\n" + out)
