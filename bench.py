@@ -112,6 +112,8 @@ ANN_INDEX = [
     "ann_rerank_crossencoder",
     # round 10 newcomer (hierarchical two-level IVF), from birth:
     "ann_ivf2_topk",
+    # round 12 newcomer (predicate-filtered exact top-k), from birth:
+    "ann_filtered_topk",
 ]
 
 

@@ -249,6 +249,7 @@ def wide_base(
     vec_col: str = "embedding",
     dim: int = DIM,
     n_rows: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, v_0..v_{dim-1}) — the shared scalar-column frame every
     embedding operator starts from. Unpacks BELOW an explicit
@@ -268,12 +269,16 @@ def wide_base(
     every downstream job re-reads this frame's checkpoint otherwise
     pays 64 tasks per job REGARDLESS of size (measured: 12 jobs × 64
     tasks of scheduling floor ≈ 2s of ann_pq_topk's sf0.1 wall for
-    5k rows)."""
+    5k rows).
+
+    ``extra_cols``: narrow metadata columns (e.g. ``label``) carried
+    through the unpack for filtered-search variants — kept out of the
+    scalar-dim namespace, never part of any wide expression."""
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     if n_rows is not None:
         n_parts = min(n_parts, max(8, -(-n_rows // 2000)))
     return embeddings.selectExpr(
-        f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
+        f"{id_col} AS vec_id", *extra_cols, *unpack_exprs(vec_col, "v", dim)
     ).repartition(n_parts, F.col("vec_id"))
 
 

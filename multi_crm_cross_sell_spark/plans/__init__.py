@@ -38,17 +38,21 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # history"); this comment carries only the policy and the CURRENT
 # round.
 #
-# Round-12 rotation (55 parked / 50 in-window / 105 registered):
+# Round-12 rotation (56 parked / 50 in-window / 106 registered):
 # The THIRTY entries parked since round 10 hit their R2 deadline and
-# ALL rejoin the driver window. The 25 round-11 parks stay parked one
-# more round (R2 deadline r13). Every query whose executed plan
-# changes in round 12 sits in-window so CORRECTNESS_r12 proves it
-# green post-change (benchmark_decontamination_bloom — probe-position
-# projection; the suffix family — cap-metadata stamping; plus any
-# round-12 performance work: cross_sell_recommendations,
-# bigram_lm_quality, corpus_curation_report). In exchange THIRTY
-# round-11-driver-green entries park per R5 — groups (a)/(b)/(c)
-# annotated inline below; R2 deadline r14.
+# ALL rejoin the driver window. The round-11 parks stay parked one
+# more round (R2 deadline r13) EXCEPT ngram_jaccard_dedup_idf, which
+# rejoins EARLY because its shared implementation changed. One
+# round-12 newcomer (ann_filtered_topk — predicate-filtered exact
+# top-k, the filtered-vector-search primitive) enters in its birth
+# round per R1. Every query whose executed plan changes in round 12
+# sits in-window so CORRECTNESS_r12 proves it green post-change
+# (cross_sell_recommendations and textrank_keywords — sql-statement
+# construction; ngram_jaccard_dedup/_idf — footer-metadata count;
+# benchmark_decontamination_bloom — probe-position projection; the
+# suffix family — cap-metadata stamping). In exchange round-11-
+# driver-green entries park per R5 — groups (a)/(b)/(c) annotated
+# inline below; R2 deadline r14.
 _TAIL = (
     # -- parked round 12 (driver-green r11), per R5; R2 deadline = r14 --
     # (a) family variants whose base / §2 sibling is in-window:
@@ -62,7 +66,6 @@ _TAIL = (
     "sales_rollup_cube",  # A5; order_priority_pivot rejoins
     "customers_with_urgent_orders",  # J7 semi; anti twin rejoins
     "near_dup_clusters",  # dedup family; embedding_near_dup rejoins
-    "ngram_jaccard_dedup",  # near-dup family keeps embedding_near_dup in-window
     "weekly_order_rollup",  # A2/F22; daily_order_stats stays in-window
     # (b) beyond-reference ops green r11:
     "stratified_sample",
@@ -86,9 +89,18 @@ _TAIL = (
     "incremental_watermark_sync",  # S7/ST2; streaming tests keep
     #   covering it (parked in exchange for textrank_keywords, whose
     #   plan changed in round 12 and therefore sits in-window)
+    "event_props_json",  # M1/M3 (parked in exchange for
+    #   ngram_jaccard_dedup, whose plan changed in round 12)
+    "event_funnel_metrics",  # A11 (parked in exchange for
+    #   ngram_jaccard_dedup_idf — early rejoin, shared impl changed)
+    "decontamination_span_removal",  # (a) span family — exact_repeat_removal,
+    #   exact_contamination_spans AND both benchmark twins stay
+    #   in-window (parked in exchange for the round-12 newcomer
+    #   ann_filtered_topk, which enters in its birth round per R1)
     # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
     # (a) family variants whose base / §2 sibling is in-window:
-    "ngram_jaccard_dedup_idf",  # idf variant
+    # (ngram_jaccard_dedup_idf rejoined EARLY in round 12: the shared
+    # _ngram_jaccard_impl plan changed — footer-metadata corpus count)
     "repeated_span_stats",  # span family; suffix-exact stats sibling in-window
     "event_sessionization",  # ST5
     "stateful_running_totals",  # ST3; stateful_streaming_dedup stays in-window

@@ -620,6 +620,91 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, v, SQRT({sql_dot('v', 'v')}) AS norm FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
+  FROM norms WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, n.vec_id,
+         ROUND({sql_dot('q.qv', 'n.v')} / (q.qnorm * n.norm), 9) AS cosine
+  FROM q JOIN norms n ON n.label = q.qlabel AND n.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INTEGER)
+           AS rk
+  FROM scored
+) WHERE rk <= 10
+""",
+    tags=("similarity", "ann", "filtered", "beyond-reference"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE-FILTERED exact top-k — the filtered-vector-search
+    primitive (retrieval constrained to a metadata predicate: here
+    "same label as the query", standing in for same-language /
+    same-shard / same-license retrieval in a training-data pipeline).
+
+    PRE-filter, not post-filter: the label equality is a JOIN KEY of
+    the broadcast hash join, so the pair stream is
+    Σ_label |Q_label|·|N_label| — candidates failing the predicate are
+    never materialized, never scored, never ranked. The post-filter
+    formulation (score all Q·N pairs, then drop) both over-pays
+    compute by the selectivity factor AND under-fills top-k when the
+    filter is applied after rank. At 100 TB with an IVF index the
+    same predicate pushes into the cell scan (assign once, filter
+    cells' postings by label before the distance kernel); the exact
+    variant here is the recall-1.0 yardstick the indexed ones are
+    measured against, like cosine_topk_bruteforce is for the
+    unfiltered family.
+
+    Same scalar-column dot discipline as the rest of the ANN family
+    (8 KB JIT cliff; norms inline, never aliased)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..sources.bronze import table_num_rows
+
+    base = wide_base(
+        e,
+        n_rows=table_num_rows(sf_dir, "embeddings"),
+        extra_cols=("label",),
+    )
+    q = base.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id",
+        "label AS qlabel",
+        *rename_exprs("v", "q"),
+    )
+    pairs = F.broadcast(q).join(
+        base,
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"ROUND({dot_cols('q', 'v')}"
+            f" / ({norm_cols('q')} * {norm_cols('v')}), 9)"
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def _ann_oracle() -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN {sql_plane_dot('v', k)} >= 0 THEN {1 << k} ELSE 0 END)"
@@ -895,17 +980,20 @@ def _ngram_jaccard_impl(
         # SINGLE materialization point moves to the per-doc frame
         # (one row per doc), which every downstream consumer shares.
     )
-    # Corpus count for the adaptive band width: COUNT(*) over the raw
-    # parquet table — no projection, no text split, so Spark answers it
-    # from row-group metadata (a ~0.1s job vs ~1s for the filtered
-    # count this replaced; at 100 TB the difference is a full scan).
+    # Corpus count for the adaptive band width: parquet FOOTER
+    # metadata, driver-side, ZERO Spark jobs (round 12 — the previous
+    # COUNT(*) was already metadata-answered but still paid a job
+    # submit/schedule round plus a construction-time sync barrier).
+    # Identical value: footer num_rows == COUNT(*) over the raw table.
     # Known driver-side, the banding computes ONLY the w live bits —
     # 57% less vote work at the w=16 floor and no count-subplan/
     # crossJoin/mask in the plan. The oracle recomputes the same
     # integer-exact w from the same COUNT(*) FROM documents, so both
     # sides always agree; w only sizes the band width, so the handful
     # of <2-word docs it includes merely nudges the adaptive clamp.
-    n_docs = docs.count()
+    from ..sources.bronze import table_num_rows
+
+    n_docs = table_num_rows(sf_dir, "documents")
     if weights == "idf":
         # IDF-weighted votes: weight per gram = bit_length(n // df),
         # integer-exact in both engines (LENGTH(BIN(x)) — never float

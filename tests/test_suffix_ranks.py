@@ -718,3 +718,33 @@ def test_exact_contamination_plan_matches_oracle_and_ngram_flag(spark):
         for r in benchmark_decontamination(spark, sf).collect()
     }
     assert {d: v[2] for d, v in got.items()} == ngram_flags
+
+
+def test_cap_metadata_travels_with_rep_frame(spark):
+    """Round-12 hardening: cross_doc_repeat stamps its cap into the
+    rep column's metadata, so a consumer called WITHOUT the cap kwarg
+    still enforces cap >= flag_words — the kwarg cannot be silently
+    dropped (the pre-change bypass). A contradicting explicit kwarg
+    raises; a matching one passes; an uncapped frame resolves to
+    None."""
+    from multi_crm_cross_sell_spark.operators.suffix import (
+        cross_doc_repeat,
+        exact_repeat_doc_stats,
+    )
+
+    rows = [(0, 0, "a"), (0, 1, "b"), (1, 0, "a"), (1, 1, "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, pos bigint, w string")
+    rep_capped = cross_doc_repeat(df, n_parts=2, cap=4)
+    assert rep_capped.schema["rep"].metadata["suffix_cap"] == 4
+    # kwarg omitted: metadata enforces the precondition anyway
+    with pytest.raises(ValueError, match="cap=4 < flag_words"):
+        exact_repeat_doc_stats(rep_capped, mark_k=2, flag_words=9)
+    # contradicting kwarg: caller bug, loud
+    with pytest.raises(ValueError, match="contradicts"):
+        exact_repeat_doc_stats(rep_capped, mark_k=1, flag_words=2, cap=8)
+    # matching kwarg and metadata: fine
+    exact_repeat_doc_stats(rep_capped, mark_k=1, flag_words=2, cap=4)
+    # uncapped frame: metadata says -1 -> resolves to None, always ok
+    rep_un = cross_doc_repeat(df, n_parts=2)
+    assert rep_un.schema["rep"].metadata["suffix_cap"] == -1
+    exact_repeat_doc_stats(rep_un, mark_k=1, flag_words=50)

@@ -104,23 +104,55 @@ def main() -> None:
     run_pipeline(spark, "/root/testdata/sf0.001").write.mode(
         "overwrite"
     ).format("noop").save()
+    # Per-run JIT/GC attribution (round 12, for the cold-vs-warm
+    # decomposition): snapshot the JVM compilation and GC MXBean
+    # counters around each run — the cold-run delta IS the C2/C1
+    # compile time and collector time that run absorbed.
+    jvm = spark.sparkContext._jvm
+    mf = jvm.java.lang.management.ManagementFactory
+
+    def jit_ms() -> int:
+        return int(mf.getCompilationMXBean().getTotalCompilationTime())
+
+    def gc_ms() -> int:
+        total = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            total += int(it.next().getCollectionTime())
+        return total
+
     for factor in factors:
         sf_dir = SRC if factor == 1 else build_docs(spark, factor)
         best = None
         stor = None
+        walls = []
         for _ in range(runs):
             spark.sparkContext._jvm.System.gc()
+            j0, g0 = jit_ms(), gc_ms()
             t0 = time.time()
             run_pipeline(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
             dt = round(time.time() - t0, 1)
+            walls.append(
+                {
+                    "wall": dt,
+                    "jit_ms": jit_ms() - j0,
+                    "gc_ms": gc_ms() - g0,
+                }
+            )
             # snapshot BEFORE GC clears the run's checkpoints
             stor = storage_info(spark)
             best = dt if best is None or dt < best else best
         print(
             json.dumps(
-                {"factor": factor, "min_sec": best, "runs": runs, **stor}
+                {
+                    "factor": factor,
+                    "min_sec": best,
+                    "runs": runs,
+                    "per_run": walls,
+                    **stor,
+                }
             ),
             flush=True,
         )
