@@ -39,6 +39,59 @@ def base_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
 
 
+# ---------------------------------------------------------------------------
+# SQL-STRING constructors (round 12). Expression-identical to the
+# Column builders below, but assembled as Spark-SQL text: one py4j
+# round trip per selectExpr instead of one per operator. The Column
+# forms cost ~0.8s of pure driver time PER QUERY CONSTRUCTION at 16
+# minhash lambdas + 8 band keys (measured on source_overlap_matrix /
+# incremental_neardup_ingest, whose walls were ~100% construction).
+# Parity: these produce the same analyzed expressions as the Column
+# forms — same lambdas, same literals, same % and conv semantics.
+# ---------------------------------------------------------------------------
+
+
+def base_hash_sql(x: str) -> str:
+    return f"(CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT) % {P})"
+
+
+def word_hashes_sql(text: str) -> str:
+    """``transform(split(text, ' '), x -> base_hash(x))`` as SQL."""
+    return f"transform(split({text}, ' '), x -> {base_hash_sql('x')})"
+
+
+def gram_hashes_sql(wh: str, n: int = SHINGLE) -> str:
+    """Horner n-gram combine over a bound word-hash array, as SQL —
+    transliteration of :func:`gram_hashes_from_words`."""
+    acc = f"element_at({wh}, i)"
+    for j in range(1, n):
+        acc = f"({acc} * {GRAM_K} + element_at({wh}, i + {j})) % {P}"
+    return (
+        f"CASE WHEN size({wh}) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size({wh}) - {n - 1}), i -> {acc}))"
+        f" ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def minhash_sig_sql(h: str) -> list[str]:
+    """``array_min(transform(h, x -> (A_k*x + B_k) % P)) AS mh_k`` for
+    each of the N_HASHES permutations, as SQL."""
+    return [
+        f"array_min(transform({h}, x -> ({A[k]} * x + {B[k]}) % {P})) AS mh{k}"
+        for k in range(N_HASHES)
+    ]
+
+
+def band_keys_sql(prefix: str = "mh") -> list[str]:
+    n_bands = N_HASHES // BAND_ROWS
+    return [
+        "concat_ws('_', "
+        + ", ".join(f"{prefix}{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    ]
+
+
 def shingles(text: Column, n: int = SHINGLE) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
@@ -184,27 +237,26 @@ def near_dup_pairs(
     # md5+gram expression into the Filter node — re-evaluating the
     # word-hash transform inside every element_at, O(words²) md5 per
     # document (measured 20×).
+    # SQL-string projections (round 12): expression-identical to the
+    # Column builders, ~300 fewer py4j round trips per construction
+    # (this pipeline is built by four registered queries; its Column
+    # form alone cost ~0.8s of driver time per construction).
     base = (
         docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
         .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
-        .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
+        .selectExpr(
+            f"{id_col} AS doc_id", f"{word_hashes_sql(text_col)} AS wh"
+        )
+        .selectExpr("doc_id", f"{gram_hashes_sql('wh')} AS sh")
         .repartition(n_parts, F.col("doc_id"))
     )
-    sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
-    banded = sig.select("doc_id", *band_keys())
+    sig = base.selectExpr("doc_id", *minhash_sig_sql("sh"))
+    banded = sig.selectExpr("doc_id", *band_keys_sql())
     n_bands = N_HASHES // BAND_ROWS
-    bands = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    band_arr = ", ".join(f"band{i}" for i in range(n_bands))
+    bands = banded.selectExpr(
+        "doc_id", f"posexplode(array({band_arr})) AS (band_idx, key)"
+    )
 
     # shuffle_hash hint: a broadcast self-join would RECOMPUTE the
     # signature pipeline for the broadcast side; a shuffled join makes
@@ -329,8 +381,10 @@ def incremental_near_dup(
     base = (
         docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
         .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), word_hashes(F.col(text_col)).alias("wh"))
-        .select("doc_id", gram_hashes_from_words(F.col("wh")).alias("sh"))
+        .selectExpr(
+            f"{id_col} AS doc_id", f"{word_hashes_sql(text_col)} AS wh"
+        )
+        .selectExpr("doc_id", f"{gram_hashes_sql('wh')} AS sh")
     )
     # WHERE the one materialization sits is scale-adaptive, because
     # the four consumers (two band-join sides, two verify sides) carry
@@ -356,29 +410,18 @@ def incremental_near_dup(
     #   sf0.1). Bit-identical either way — wall-clock only.
     if small:
         base = base.localCheckpoint(eager=False)
-        sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
-        banded = sig.select("doc_id", *band_keys())
+        sig = base.selectExpr("doc_id", *minhash_sig_sql("sh"))
+        banded = sig.selectExpr("doc_id", *band_keys_sql())
     else:
         base = base.repartition(n_parts, F.col("doc_id"))
-        sig = base.select("doc_id", *minhash_signature_from_hashes(F.col("sh")))
-        banded = sig.select("doc_id", *band_keys()).localCheckpoint(eager=False)
+        sig = base.selectExpr("doc_id", *minhash_sig_sql("sh"))
+        banded = sig.selectExpr("doc_id", *band_keys_sql()).localCheckpoint(
+            eager=False
+        )
     n_bands = N_HASHES // BAND_ROWS
-    bands = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id",
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.key").alias("key"),
+    band_arr = ", ".join(f"band{i}" for i in range(n_bands))
+    bands = banded.selectExpr(
+        "doc_id", f"posexplode(array({band_arr})) AS (band_idx, key)"
     )
     s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))

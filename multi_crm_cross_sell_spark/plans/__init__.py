@@ -41,18 +41,20 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # Round-12 rotation (56 parked / 50 in-window / 106 registered):
 # The THIRTY entries parked since round 10 hit their R2 deadline and
 # ALL rejoin the driver window. The round-11 parks stay parked one
-# more round (R2 deadline r13) EXCEPT ngram_jaccard_dedup_idf, which
-# rejoins EARLY because its shared implementation changed. One
-# round-12 newcomer (ann_filtered_topk — predicate-filtered exact
-# top-k, the filtered-vector-search primitive) enters in its birth
-# round per R1. Every query whose executed plan changes in round 12
-# sits in-window so CORRECTNESS_r12 proves it green post-change
-# (cross_sell_recommendations and textrank_keywords — sql-statement
-# construction; ngram_jaccard_dedup/_idf — footer-metadata count;
-# benchmark_decontamination_bloom — probe-position projection; the
-# suffix family — cap-metadata stamping). In exchange round-11-
-# driver-green entries park per R5 — groups (a)/(b)/(c) annotated
-# inline below; R2 deadline r14.
+# more round (R2 deadline r13) EXCEPT ngram_jaccard_dedup_idf and
+# minhash_near_dup, which rejoin EARLY because their shared
+# implementations changed. One round-12 newcomer (ann_filtered_topk —
+# predicate-filtered exact top-k, the filtered-vector-search
+# primitive) enters in its birth round per R1. Every query whose
+# executed plan changes in round 12 sits in-window so CORRECTNESS_r12
+# proves it green post-change (cross_sell_recommendations and
+# textrank_keywords — sql-statement construction;
+# ngram_jaccard_dedup/_idf — footer-metadata count; the six
+# dedup-family consumers of near_dup_pairs/incremental_near_dup —
+# SQL-string minhash constructors; benchmark_decontamination_bloom —
+# probe-position projection; the suffix family — cap-metadata
+# stamping). In exchange round-11-driver-green entries park per R5 —
+# groups (a)/(b)/(c) annotated inline below; R2 deadline r14.
 _TAIL = (
     # -- parked round 12 (driver-green r11), per R5; R2 deadline = r14 --
     # (a) family variants whose base / §2 sibling is in-window:
@@ -65,8 +67,8 @@ _TAIL = (
     "event_tumbling_windows",  # ST5; event_sliding_windows rejoins
     "sales_rollup_cube",  # A5; order_priority_pivot rejoins
     "customers_with_urgent_orders",  # J7 semi; anti twin rejoins
-    "near_dup_clusters",  # dedup family; embedding_near_dup rejoins
-    "weekly_order_rollup",  # A2/F22; daily_order_stats stays in-window
+    "weekly_order_rollup",  # A2/F22 (daily twin also parks below — both
+    #   one round only per R2, covered by tests/test_relational_queries)
     # (b) beyond-reference ops green r11:
     "stratified_sample",
     "dataset_temperature_mix",
@@ -74,10 +76,6 @@ _TAIL = (
     "length_bucketed_batches",
     "semantic_dedup",
     "dsir_importance_weights",
-    "dedup_keep_best",
-    "incremental_neardup_ingest",
-    "leakage_safe_splits",
-    "source_overlap_matrix",
     "range_join_incidents",
     "order_value_histogram",
     "balance_outliers_zscore",  # nation_balance_quantiles rejoins
@@ -97,6 +95,16 @@ _TAIL = (
     #   exact_contamination_spans AND both benchmark twins stay
     #   in-window (parked in exchange for the round-12 newcomer
     #   ann_filtered_topk, which enters in its birth round per R1)
+    # -- parked in exchange for the six dedup-family queries whose
+    #    shared near_dup_pairs/incremental_near_dup plans changed in
+    #    round 12 (SQL-string constructors) and therefore rejoin:
+    "filter_projection",  # P1/P3/S1-S3/S8; multi_predicate_filter rejoined;
+    #   pushdown stays plan-asserted in tests/test_plan_quality.py
+    "topk_per_group",  # W2; pagination + grouped_rank_applyinpandas rejoined
+    "global_rank_topn",  # W1/W4/W8
+    "label_join",  # J5/A8
+    "daily_order_stats",  # A2/F22
+    "contract_validation_report",  # A9-A10/P10
     # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
     # (a) family variants whose base / §2 sibling is in-window:
     # (ngram_jaccard_dedup_idf rejoined EARLY in round 12: the shared
@@ -111,7 +119,6 @@ _TAIL = (
     "sequence_packing",  # packing family
     "document_chunks",  # chunking sibling
     "exact_dedup_documents",  # P9; dedup family keeps embedding_near_dup
-    "minhash_near_dup",  # dedup family
     # (b) beyond-reference ops green r10:
     "cluster_balanced_sample",
     "prototypicality_pruning",
