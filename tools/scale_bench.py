@@ -135,6 +135,12 @@ QUERIES = [
     # n·(c/c1) ≈ n·√c pairs through a broadcast equi-join: BOTH decades
     # must show the sub-flat-IVF assignment cost the hierarchy claims.
     "ann_ivf2_topk",
+    # Round 12: predicate-filtered exact top-k — the quadratic-within-
+    # label yardstick (pair stream Σ_label |Q_l|·|N_l|, queries ∝ n):
+    # same scaling class as cosine_topk_bruteforce divided by the
+    # label cardinality. The isometric sign-flip replicas preserve
+    # labels verbatim, so per-label structure scales linearly.
+    "ann_filtered_topk",
 ]
 
 
