@@ -97,6 +97,9 @@ CURATION = [
     # Round 9 newcomers, measured from birth:
     "prototypicality_pruning",
     "d4_selection",
+    # Round 12: previously unbenched (the only registered dedup-family
+    # query with no recorded wall) — the label-propagation fixpoint.
+    "near_dup_clusters",
 ]
 
 # Third section (round 9): the ANN INDEX family. ann_lsh_topk has
