@@ -147,10 +147,15 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
 
     Per-run error guards: a failing oracle never discards the spark
     walls (ratio is simply absent); a failing spark run never blocks
-    the remaining pairs. Returns (spark_min, oracle_min) — either may
-    be None."""
+    the remaining pairs. Returns (spark_min, oracle_min, error) —
+    walls may be None; ``error`` carries the LAST exception message
+    from either side (round-12 ADVICE: a query erroring every run must
+    be distinguishable in the output JSON from one that was never
+    benched — a silently vanished wall shrinks section totals and can
+    read as a speedup)."""
     s_min: float | None = None
     d_min: float | None = None
+    err: str | None = None
     for _ in range(runs):
         # GC barrier: each query measured from a comparable heap
         # state, not against previous queries' uncollected garbage.
@@ -166,8 +171,8 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
             dt = round(time.time() - t0, 3)
             if s_min is None or dt < s_min:
                 s_min = dt
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            err = f"spark: {type(e).__name__}: {e}"[:300]
         if con is not None and q.oracle:
             try:
                 t0 = time.time()
@@ -175,9 +180,46 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
                 dt = round(time.time() - t0, 3)
                 if d_min is None or dt < d_min:
                     d_min = dt
+            except Exception as e:  # noqa: BLE001
+                err = f"duckdb: {type(e).__name__}: {e}"[:300]
+    return s_min, d_min, err
+
+
+def epoch_probe(spark, con) -> dict[str, float | None]:
+    """Fixed reference microbenchmark (round-12 verdict item 7): one
+    Spark noop aggregation over a generated range + one DuckDB scan of
+    the same shape, each min-of-3. Run at bench START and END; the two
+    readings let any driver-vs-builder section-ratio gap be attributed
+    to box epoch (steal time hits the JVM 3-6x harder than DuckDB) in
+    one read, without re-running anything."""
+    s_min: float | None = None
+    d_min: float | None = None
+    for _ in range(3):
+        try:
+            t0 = time.time()
+            spark.range(0, 20_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 1) as s"
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            if s_min is None or dt < s_min:
+                s_min = dt
+        except Exception:
+            pass
+        if con is not None:
+            try:
+                t0 = time.time()
+                con.execute(
+                    "SELECT sum(i * 3 + 1) FROM range(20000000) t(i)"
+                ).fetchall()
+                dt = time.time() - t0
+                if d_min is None or dt < d_min:
+                    d_min = dt
             except Exception:
                 pass
-    return s_min, d_min
+    return {
+        "spark": round(s_min, 4) if s_min is not None else None,
+        "duck": round(d_min, 4) if d_min is not None else None,
+    }
 
 
 def main() -> None:
@@ -232,7 +274,9 @@ def main() -> None:
     ann_timings: dict[str, float] = {}
     oracle_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    errors: dict[str, str] = {}
     con = duck_con(sf_dir)
+    epoch_start = epoch_probe(spark, con)
     # One untimed oracle warmup so the first timed duck run measures
     # the query, not catalog/view binding.
     if con is not None and first is not None and first.oracle:
@@ -251,13 +295,16 @@ def main() -> None:
         q = qs.get(name)
         if q is None:
             continue
-        s_min, d_min = interleaved_measure(spark, con, q, sf_dir, n_runs)
+        s_min, d_min, err = interleaved_measure(spark, con, q, sf_dir, n_runs)
         if s_min is not None:
             book[name] = s_min
         if d_min is not None:
             oracle_timings[name] = d_min
         if s_min is not None and d_min is not None and d_min > 0:
             ratios[name] = round(s_min / d_min, 3)
+        if err is not None:
+            errors[name] = err
+    epoch_end = epoch_probe(spark, con)
     total = sum(timings.values())
 
     # Broadcast-payload metric for the decontamination pair: the
@@ -323,6 +370,14 @@ def main() -> None:
             ),
             3,
         ),
+        # Box-epoch scalars (round-12 verdict item 7): identical fixed
+        # microbenchmark at bench start and end. Compare these across
+        # sessions before comparing section ratios.
+        "epoch_spark_start": epoch_start["spark"],
+        "epoch_duck_start": epoch_start["duck"],
+        "epoch_spark_end": epoch_end["spark"],
+        "epoch_duck_end": epoch_end["duck"],
+        "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Big line first (full per-query books for humans and the repo's
@@ -341,6 +396,7 @@ def main() -> None:
                 "ann_index_queries": ann_timings,
                 "oracle_queries": oracle_timings,
                 "ratio_queries": ratios,
+                "errors": errors,
                 "decon_broadcast_payload": payload,
             }
         )

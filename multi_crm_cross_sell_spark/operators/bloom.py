@@ -185,12 +185,18 @@ def bloom_prune_row(
     codegen, no UDF, no Python boundary, and (unlike the list-based
     bloom_prune) no driver round trip anywhere in the pipeline.
 
-    Each probe position is computed ONCE into a projected _p{i}
-    column before the bit tests — the earlier form inlined the full
-    pmod(xxhash64(...)) SQL twice per probe (word index + bit shift)
-    and leaned on codegen subexpression elimination to dedupe 2k hash
-    evaluations per row; the explicit projection makes the
-    evaluate-once shape structural rather than optimizer-dependent."""
+    Each probe position is WRITTEN once as a projected _p{i} column
+    before the bit tests, but the evaluate-once shape does NOT survive
+    optimization (round-12 ADVICE, verified round 13): Catalyst's
+    collapse/pushdown rules substitute the deterministic aliases back
+    into the filter, so the OPTIMIZED plan carries the full
+    pmod(xxhash64(...)) twice per probe (word index + bit shift) —
+    2k inlines, pinned by tests/test_plan_quality.py. Dedup of the 2k
+    hash evaluations per row therefore rests on whole-stage codegen's
+    subexpression elimination (spark.sql.subexpressionElimination.
+    enabled, default true), exactly as the pre-projection form did;
+    the projection documents intent and keeps the SQL text small, it
+    is not a structural guarantee."""
     pos_cols = [
         f"{_position_sql(col_sql, i, '_m')} AS _p{i}" for i in range(k)
     ]

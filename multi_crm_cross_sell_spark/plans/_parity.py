@@ -150,6 +150,36 @@ def sql_dsum(expr: str, alias: str, scale: str = MONEY) -> str:
     )
 
 
+def spark_sql_dsum(expr: str, alias: str, scale: str = MONEY) -> str:
+    """Spark-SQL-dialect twin of :func:`dsum` for spark.sql-statement
+    plans (round-12 ADVICE): the SAME two loud overflow traps as
+    `_guarded_unit_sum`, as a SQL fragment. The round-12 flagship
+    rewrite inlined an UNGUARDED `SUM(CAST(FLOOR(x*100+0.5) AS
+    BIGINT))`, silently trading away the loud-on-both-surfaces
+    contract (NaN → floor gives 0; bigint accumulator wrap is silent
+    under non-ANSI). This fragment restores it: per-row abs/isnan
+    RAISE before the (non-ANSI: saturating) double→bigint cast, then
+    try_sum whose NULL over a non-empty group can only mean
+    accumulator overflow, so it raises too. try_sum is written twice
+    textually but Spark's aggregation planner collapses identical
+    aggregate expressions into one buffer — same physical shape as the
+    Column form. NOT for oracle strings: DuckDB has no try_sum /
+    raise_error and needs no guard (SUM(BIGINT) widens to HUGEINT) —
+    use :func:`sql_dsum` there."""
+    u = _units(scale)
+    thr = (2.0**63) * (1.0 - 2.0**-50) / u
+    row = (
+        f"CASE WHEN ABS({expr}) >= {thr!r}D OR ISNAN({expr}) "
+        f"THEN CAST(RAISE_ERROR('{_OVERFLOW_MSG}') AS BIGINT) "
+        f"ELSE FLOOR(({expr}) * {float(u)}D + 0.5D) END"
+    )
+    return (
+        f"CAST(CASE WHEN TRY_SUM({row}) IS NULL AND COUNT({expr}) > 0 "
+        f"THEN CAST(RAISE_ERROR('{_OVERFLOW_MSG}') AS BIGINT) "
+        f"ELSE TRY_SUM({row}) END AS DOUBLE) / {float(u)}D AS {alias}"
+    )
+
+
 def davg(col: Column | str, alias: str, scale: str = FINE) -> Column:
     """Exact-sum-based average: long-units sum→double, divided by the
     unit factor and the count. Both engines divide identical doubles

@@ -37,7 +37,7 @@ from ..functions.similarity import (
 )
 from ..functions.text import domain_from_url, root_domain
 from ..sources.bronze import load_table
-from ._parity import dsum, sql_dsum
+from ._parity import dsum, spark_sql_dsum, sql_dsum
 from .registry import register
 
 AS_OF = "2001-09-01"  # frozen "now" (SURVEY §7.3: F10 must be parameterized)
@@ -215,7 +215,12 @@ def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trips for the same logical plan; every expression below is
     a literal transliteration of the previous Column tree (D-suffixed
     double literals keep the arithmetic bit-identical; same aliases,
-    same CASE ladders, same floor(x*100+0.5) fixed-point sum).
+    same CASE ladders). The fixed-point spend sum goes through
+    spark_sql_dsum (round 13): the initial SQL rewrite inlined an
+    unguarded FLOOR/SUM, silently dropping the dsum overflow + NaN
+    traps — the guarded fragment restores the loud-on-both-surfaces
+    contract of plans/_parity.py with the same floor(x*100+0.5)
+    integer units.
 
     Scale notes unchanged from rounds 9-11: rank-first cap (the
     aggregate sees only top-k customers via a broadcast semi-filter),
@@ -254,8 +259,7 @@ def cross_sell_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT /*+ BROADCAST(tk) */ o_custkey,
                  COUNT(*) AS n_orders,
                  MAX(CAST(o_orderdate AS DATE)) AS last_order_day,
-                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT))
-                      AS DOUBLE) / 100.0D AS total_spend
+                 {spark_sql_dsum("o_totalprice", "total_spend")}
           FROM {{o}} o JOIN (SELECT c_custkey FROM topk) tk
             ON o.o_custkey = tk.c_custkey
           GROUP BY o_custkey

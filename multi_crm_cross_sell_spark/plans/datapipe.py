@@ -2928,19 +2928,21 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that matters when quantizing 10^11 vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     # The maxabs > 0 guard, expressed on the INPUT side as "any
-    # nonzero NON-NULL element" via non-lambda collection expressions:
+    # nonzero NON-NULL element" ⟺ array_min < 0 OR array_max > 0:
     # a where() on the maxabs alias would be pushed below the
     # projection with the whole transform tree inlined into the Filter
     # node, re-evaluating the lambda interpreted per row (plan_audit
-    # W1). array_compact drops NULL elements (array_remove keeps
-    # them), so a row like [0.0, NULL] is excluded exactly as the
-    # oracle's WHERE maxabs > 0 excludes it (array_max/LIST_MAX skip
-    # NULLs, so its maxabs is 0.0). All three stay codegen'd and
-    # pushdown-safe.
+    # W1) — and the previous array_compact(array_remove(...)) form was
+    # no better, because ArrayCompact is RuntimeReplaceable sugar for
+    # filter(x -> isnotnull(x)), which put a lambda HOF right back
+    # inside the Filter (the one remaining round-12 plan_audit warn).
+    # array_min/array_max skip NULLs and carry no lambda, so a row
+    # like [0.0, NULL] (min 0.0, max 0.0) is excluded exactly as the
+    # oracle's WHERE maxabs > 0 excludes it, and the predicate stays
+    # codegen'd and pushdown-safe with zero HOFs anywhere in the plan.
     with_max = (
         e.where(
-            F.size(F.array_compact(F.array_remove("embedding", F.lit(0.0))))
-            > 0
+            (F.array_min("embedding") < 0) | (F.array_max("embedding") > 0)
         )
         .select(
             "vec_id",

@@ -22,7 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from multi_crm_cross_sell_spark.plans import all_queries
-from multi_crm_cross_sell_spark.plans._parity import dsum
+from multi_crm_cross_sell_spark.plans._parity import dsum, spark_sql_dsum
 
 SF = "/root/testdata/sf0.01"
 
@@ -106,6 +106,34 @@ def test_single_row_cast_saturation_raises_loudly(spark, ansi):
     with _with_ansi(spark, ansi):
         with pytest.raises(Exception, match="long-units overflow"):
             df.agg(dsum("x", "s")).collect()
+
+
+def _sql_dsum_agg(spark, df, scale="decimal(23,2)"):
+    return spark.sql(
+        f"SELECT {spark_sql_dsum('x', 's', scale)} FROM {{df}}", df=df
+    )
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_spark_sql_dsum_matches_column_form_and_raises(spark, ansi):
+    """round-12 ADVICE: the spark.sql-statement flagship must carry
+    the SAME guard contract as the Column form. Pin all three legs on
+    the SQL fragment itself: (1) below the bound it equals dsum
+    bit-for-bit, (2) a synthetic accumulator crossing raises in both
+    ANSI modes, (3) NaN raises instead of flooring to 0."""
+    with _with_ansi(spark, ansi):
+        df = spark.range(5).select((F.col("id") * 1.37 + 0.01).alias("x"))
+        [via_sql] = _sql_dsum_agg(spark, df).collect()
+        [via_col] = df.agg(dsum("x", "s")).collect()
+        assert via_sql.s == via_col.s
+        over = spark.range(3).select(F.lit(4.0e16).alias("x"))
+        with pytest.raises(Exception, match="long-units overflow"):
+            _sql_dsum_agg(spark, over).collect()
+        nan = spark.range(2).select(
+            F.when(F.col("id") == 0, float("nan")).otherwise(1.5).alias("x")
+        )
+        with pytest.raises(Exception, match="long-units overflow"):
+            _sql_dsum_agg(spark, nan).collect()
 
 
 @pytest.mark.parametrize("ansi", ["true", "false"])

@@ -91,6 +91,34 @@ def test_no_hof_expressions_inside_filters(spark):
                 )
 
 
+def test_bloom_probe_hash_inlining_is_bounded(spark):
+    """Round-12 ADVICE verification: the _p{i} projection in
+    bloom_prune_row does NOT survive optimization — Catalyst collapses
+    the deterministic aliases back into the probe predicate, so the
+    optimized plan carries pmod(xxhash64) twice per probe (word index
+    + bit shift) on the probe side plus k on the build side: exactly
+    3k total. Pin that count so (a) the docstring's claim stays
+    honest and (b) a regression that starts inlining the hash MORE
+    than 2x per probe (e.g. a lost collect/alias boundary) fails
+    loudly. Runtime dedup of the 2k probe evaluations rests on
+    codegen subexpression elimination, asserted enabled here."""
+    from multi_crm_cross_sell_spark.operators.bloom import (
+        BLOOM_K,
+        bloom_prune_row,
+        bloom_row,
+    )
+
+    base = spark.range(64).selectExpr("CAST(id AS STRING) AS g")
+    bl = bloom_row(spark.range(32).selectExpr("CAST(id AS STRING) AS g"), "g")
+    out = bloom_prune_row(base, "g", bl)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("xxhash64") == 3 * BLOOM_K, opt
+    assert (
+        spark.conf.get("spark.sql.subexpressionElimination.enabled", "true")
+        == "true"
+    )
+
+
 def test_ngram_gram_pipeline_runs_once(spark):
     """Round-6/7 regression pin: the gram pipeline (scan → explode →
     md5 → window → dedup → composite doc aggregate) must execute
