@@ -421,6 +421,86 @@ def bucket_frame(
     )
 
 
+def bucket_wide_arrow(
+    embeddings: DataFrame,
+    n_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: int = 0,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, bucket, v_0..v_{dim-1}) in ONE Arrow-batched numpy
+    pass over the raw scan — the single-table LSH index frame.
+
+    Why not the JVM expression forms (round 13, measured): the
+    single-expression bucket (bucket_cols) is a ~10 KB expression
+    tree TWICE (index + query side), and at sf0.1 the query's wall
+    was ~65% DRIVER time — every .save() re-runs analysis, the full
+    optimizer, physical planning and codegen-source generation over
+    the ~10k-node tree (0.25s optimize alone, re-paid per action;
+    in-job time was 0.16s of a 1.03s wall). The explode-first
+    bucket_frame avoids the big tree but pays an aggregation job.
+    This kernel gives the optimizer ONE opaque mapInPandas node plus
+    narrow column refs: same-session adjacent A/B min-of-6 at sf0.1,
+    1.047s → 0.519s wall, outputs bit-identical. At 100 TB it is the
+    same design as _assign_cells_arrow: each partition streams its
+    batches through vectorized C once, no shuffle, and the K·dim
+    flops per row are trivially rate-matched to the scan.
+
+    Bit-parity discipline (the _assign_cells_arrow conventions):
+    float32→float64 widening is exact (same as unpack_exprs' CAST);
+    each plane dot accumulates i-ascending with a zeros() start —
+    0.0 + x == x for every x except -0.0, whose sign cannot flip the
+    >= 0.0 sign test — so every intermediate double equals the JVM's
+    left-to-right `v_0*c_0 + v_1*c_1 + ...`; the bucket is an exact
+    integer sum of 2^k terms. Short/null-element rows follow
+    unpack_exprs' COALESCE(x, 0.0) semantics via the padded fallback
+    (contract: embeddings are dense non-null; the fallback only
+    keeps malformed rows loud-free the same way the JVM form did)."""
+    import numpy as np
+
+    P = np.array(
+        [_plane(k, table)[:dim] for k in range(n_planes)], dtype=np.float64
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf[vec_col].to_numpy()
+            try:
+                V = np.stack(arrs).astype(np.float64)
+                if V.ndim != 2 or V.shape[1] != dim:
+                    raise ValueError("ragged")
+            except Exception:
+                V = np.zeros((len(arrs), dim), dtype=np.float64)
+                for r, a in enumerate(arrs):
+                    if a is None:
+                        continue
+                    a = np.nan_to_num(
+                        np.asarray(a, dtype=np.float64)[:dim], nan=0.0
+                    )
+                    V[r, : len(a)] = a
+            n = V.shape[0]
+            bucket = np.zeros(n, dtype=np.int64)
+            for kk in range(n_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    acc += V[:, i] * P[kk, i]
+                bucket += np.where(acc >= 0.0, np.int64(1 << kk), np.int64(0))
+            out = {"vec_id": pdf[id_col].to_numpy(), "bucket": bucket}
+            for i in range(dim):
+                out[f"v_{i}"] = V[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, bucket bigint, " + ", ".join(
+        f"v_{i} double" for i in range(dim)
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -464,23 +544,20 @@ def ann_topk(
             embeddings.count() if n_vectors is None else n_vectors
         )
 
-    if n_tables == 1 and hamming_probes == 0 and n_planes * dim <= 600:
-        # SHALLOW single-table path (the round-6 plan shape, on the
-        # scalar-column layout): one narrow shuffle of the raw rows,
-        # then a single fused stage does unpack → bucket → broadcast
-        # probe → inline cosine. No index frame, no checkpoints, no
-        # dedup (one table ⇒ one bucket per vector ⇒ pairs already
-        # unique) — at small/medium n the unified index path below is
-        # pure planning+scheduling overhead (measured: 1.6s vs 1.0s
-        # at sf0.1 on a 2000-vector corpus whose execution is
-        # trivial). The K·dim ≤ 600 guard keeps the single-projection
-        # bucket ~5 KB of bytecode — under the 8 KB JIT cliff — and
-        # the bucket projection sits directly above the exchange
-        # read, where codegen CAN split expression methods; adaptive
-        # K at the 100x decade exceeds the guard and takes the
-        # explode-first index path instead.
+    if n_tables == 1 and hamming_probes == 0:
+        # SHALLOW single-table path, round-13 form: ONE Arrow pass
+        # (bucket_wide_arrow) builds the (vec_id, bucket, v_*) index
+        # frame; a lazy checkpoint dedupes its two consumers (query
+        # side + probe side), then broadcast-probe → inline cosine →
+        # top-k. The previous JVM form computed the K·dim bucket
+        # expression twice (~10k optimizer nodes) and its sf0.1 wall
+        # was ~65% per-action driver re-planning; the Arrow kernel
+        # collapses that to one opaque node (1.047s → 0.519s adjacent
+        # min-of-6, bit-identical — kernel docstring). No dedup
+        # needed: one table ⇒ one bucket per vector ⇒ pairs unique.
+        # No K·dim codegen guard needed either — the kernel is
+        # vectorized C at any K ≤ MAX_PLANES.
         n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
-        vcols = [f"v_{i}" for i in range(dim)]
         raw = embeddings.selectExpr(
             f"{id_col} AS vec_id", f"{vec_col} AS _vec"
         )
@@ -488,12 +565,13 @@ def ann_topk(
         # probe stage to need multi-core parallelism. The decision
         # prefers the caller-known footer row count (zero py4j /
         # optimizer work); the optimizer's planning-time size
-        # estimate is the fallback. Below the threshold the probe
-        # fuses straight onto the scan — one less exchange and one
-        # less AQE round (measured 0.97s -> 0.79s at sf0.1); above
-        # it (the 100x decade: ~51 MB of vectors in one parquet
-        # split) the explicit hash repartition restores the 32-way
-        # CPU spread the byte-based file splitter would not provide.
+        # estimate is the fallback. Below the threshold everything
+        # after the broadcast build is one fused job; above it (the
+        # 100x decade: ~51 MB of vectors in one parquet split) the
+        # explicit hash repartition restores the 32-way CPU spread
+        # the byte-based file splitter would not provide — placed
+        # BELOW the Arrow kernel so the per-batch numpy work spreads
+        # too.
         if n_vectors is not None:
             nbytes = n_vectors * (dim * 8 + 16)
         else:
@@ -506,28 +584,13 @@ def ann_topk(
         small = nbytes <= 32 * 1024 * 1024
         if not small:
             raw = raw.repartition(n_parts, F.col("vec_id"))
-        bb = raw.selectExpr(
-            "vec_id", *unpack_exprs("_vec", "v", dim)
-        ).selectExpr(
-            "vec_id",
-            *vcols,
-            f"COALESCE({bucket_cols('v', n_planes, 0, dim)}, -1) AS bucket",
-        )
-        # q side: ONE projection renames v_i -> q_i AND computes the
-        # bucket from the v_i inputs (aliases cannot be referenced by
-        # siblings, inputs can) — the former separate rename layer
-        # was a pure parse/analysis tax at plan-build time.
-        q = (
-            embeddings.selectExpr(
-                f"{id_col} AS vec_id", *unpack_exprs(vec_col, "v", dim)
-            )
-            .where(query_pred)
-            .selectExpr(
-                "vec_id AS query_id",
-                *[f"v_{i} AS q_{i}" for i in range(dim)],
-                f"COALESCE({bucket_cols('v', n_planes, 0, dim)}, -1)"
-                " AS qbucket",
-            )
+        bb = bucket_wide_arrow(
+            raw, n_planes, id_col="vec_id", vec_col="_vec", dim=dim
+        ).localCheckpoint(eager=False)
+        q = bb.where(query_pred).selectExpr(
+            "vec_id AS query_id",
+            "bucket AS qbucket",
+            *[f"v_{i} AS q_{i}" for i in range(dim)],
         )
         cosine = F.expr(
             f"ROUND({dot_cols('q', 'v', dim)}"
@@ -546,10 +609,9 @@ def ann_topk(
             # Small corpus: narrow the scored stream to ONE partition
             # so the top-k window's ClusteredDistribution(query_id) is
             # satisfied by SinglePartition — no exchange, no second
-            # AQE round; the whole scan → join → window → filter chain
-            # is one fused job after the broadcast build (4 jobs -> 2
-            # at sf0.1). The big-corpus branch keeps the hash exchange:
-            # there the window's sort volume needs the 32-way spread.
+            # AQE round. The big-corpus branch keeps the hash
+            # exchange: there the window's sort volume needs the
+            # 32-way spread.
             scored = scored.coalesce(1)
         from pyspark.sql import Window
 
