@@ -117,6 +117,9 @@ ANN_INDEX = [
     "ann_ivf2_topk",
     # round 12 newcomer (predicate-filtered exact top-k), from birth:
     "ann_filtered_topk",
+    # round 13 newcomer (indexed filtered ANN — label pushed into the
+    # IVF cell scan), from birth:
+    "ann_ivf_filtered_topk",
 ]
 
 

@@ -903,6 +903,7 @@ def ivf_assign(
     with_vectors: bool = True,
     n_rows: int | None = None,
     with_sim: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF index-build: nearest-centroid cell assignment for
     every vector. Returns ``(base, cents, assigned)`` where ``base``
@@ -910,6 +911,10 @@ def ivf_assign(
     codebook (``cent_id``, ``c_0..c_{dim-1}``, dense ``cent_ix``) and
     ``assigned`` is ``base`` plus the ``cell`` (= winning cent_ix)
     column — or just ``(vec_id, cell)`` when ``with_vectors=False``
+    (``extra_cols``: narrow metadata columns carried through the wide
+    frame — see wide_base; the assignment kernels ignore them, the
+    centroid slice drops them, ``base``/``assigned`` keep them — the
+    filtered-search hook)
     (pq_topk scores candidates against CODES, never raw vectors, so
     the join re-attaching 64 scalar columns would be pure waste).
     Used by :func:`ivf_topk` (ANN probes) and
@@ -955,7 +960,7 @@ def ivf_assign(
     # partition count so every consumer job's task count tracks the
     # corpus, not the core count (see wide_base).
     base = wide_base(
-        embeddings, id_col, vec_col, dim, n_rows=n_rows
+        embeddings, id_col, vec_col, dim, n_rows=n_rows, extra_cols=extra_cols
     ).localCheckpoint(eager=False)
     if centroids == "kmeans":
         cents = _kmeans_cents(base, n_centroids, dim)
@@ -1127,6 +1132,109 @@ def ivf_topk(
     cand = F.broadcast(q).join(
         assigned,
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cosine = F.expr(
+        f"ROUND({dot_cols('q', 'v', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('v', dim)}), 9)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= k)
+    )
+
+
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    label_col: str = "label",
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """INDEXED filtered vector search — the 100 TB path the exact
+    yardstick's docstring (plans/datapipe.ann_filtered_topk) promises:
+    the metadata predicate ("same label as the query") is pushed INTO
+    the IVF cell scan. Assign once (the shared ivf_assign kernel, the
+    label riding the wide frame as a narrow extra column), then the
+    candidate join's equi-key is the COMPOSITE (cell, label): a
+    posting that fails the predicate misses the broadcast hash table
+    and is dropped before the ``dim``-term cosine ever evaluates —
+    pre-filter, not post-filter, at index-probe cost. On a real
+    cluster the same plan reads as: partition postings by
+    (cell, label), probe only matching partitions.
+
+    Cost shape vs the exact yardstick: the yardstick's pair stream is
+    Σ_label |Q_l|·|N_l| (quadratic in n when queries ∝ n — its
+    measured 57× decade factor at 100×); this plan's is
+    Σ_q |probed cells ∩ label| ≈ q·nprobe·n/(c·L) with c = isqrt(n)
+    adaptive — the ivf_topk scaling class. RECALL is vs the filtered
+    ground truth: a same-label neighbor hiding outside the probed
+    cells is missed — measured against the exact yardstick in
+    SCALE.md §ANN recall (the filtered candidate pool per cell is
+    ~1/L of unfiltered, so equal-nprobe recall sits slightly below
+    unfiltered IVF's; raise nprobe to buy it back).
+
+    Determinism: identical ordering contract to ivf_topk
+    (ROUND(sim,9) DESC, id ASC everywhere); the label equality is
+    exact integer/string comparison on both engines."""
+    from pyspark.sql import Window
+
+    impl = "arrow"
+    if n_centroids is None and n_vectors is not None:
+        n_centroids, impl = adaptive_codebook(n_vectors)
+    base, cents, assigned = ivf_assign(
+        embeddings,
+        n_centroids,
+        id_col,
+        vec_col,
+        "first",
+        dim,
+        impl=impl,
+        n_rows=n_vectors,
+        extra_cols=(label_col,),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    sim = F.expr(
+        f"ROUND({dot_cols('q', 'c', dim)}"
+        f" / ({norm_cols('q', dim)} * {norm_cols('c', dim)}), 9)"
+    )
+    qvecs = base.where(query_pred).selectExpr(
+        "vec_id AS query_id",
+        f"{label_col} AS qlabel",
+        *rename_exprs("v", "q", dim),
+    )
+    # Probe rank on the NARROW frame, query vectors re-joined after
+    # the nprobe cut (the ivf_topk round-9 shape — windowing 64
+    # doubles per row through the sort is pure payload).
+    probes = (
+        qvecs.join(F.broadcast(cents), how="cross")
+        .select(
+            "query_id",
+            "cent_id",
+            F.col("cent_ix").alias("qcell"),
+            sim.alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qcell")
+    )
+    q = probes.join(F.broadcast(qvecs), "query_id")
+    # COMPOSITE equi-key (cell, label): the label predicate is part of
+    # the hash-join key itself — failing postings never reach the
+    # cosine projection.
+    cand = F.broadcast(q).join(
+        assigned,
+        (F.col("cell") == F.col("qcell"))
+        & (F.col(label_col) == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
     )
     cosine = F.expr(
         f"ROUND({dot_cols('q', 'v', dim)}"

@@ -705,6 +705,110 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_filtered_oracle(nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of ann_ivf_filtered_topk: the _ivf_oracle CTE
+    pipeline with the label carried through and the candidate join
+    constrained to ``a.label = p.qlabel`` — the same pre-filter the
+    Spark plan pushes into the (cell, label) composite join key."""
+    dd = sql_dot
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS c FROM nn),
+base AS (
+  SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, v, SQRT({dd('v', 'v')}) AS norm FROM base
+),
+cents AS (
+  SELECT cent_id, cv, cnorm FROM (
+    SELECT vec_id AS cent_id, v AS cv, norm AS cnorm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM norms), cc
+  WHERE crn <= cc.c
+),
+sims AS (
+  SELECT n.vec_id, n.label, n.v, n.norm, c.cent_id,
+         ROUND({dd('n.v', 'c.cv')} / (n.norm * c.cnorm), 9) AS cent_sim
+  FROM norms n CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, label, v, norm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id, label, v, norm, cent_id AS cell FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm,
+         cent_id AS qcell
+  FROM ranked WHERE rn <= {nprobe} AND vec_id % 100 = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, p.qnorm, a.v, a.norm
+  FROM probes p JOIN assigned a
+    ON a.cell = p.qcell AND a.label = p.qlabel AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND({dd('qv', 'v')} / (qnorm * norm), 9) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+_IVF_FILTERED_NPROBE = 16
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    oracle=_ivf_filtered_oracle(nprobe=_IVF_FILTERED_NPROBE),
+    tags=("similarity", "ann", "ivf", "filtered-search", "beyond-reference"),
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED predicate-filtered ANN (round-12 verdict item 5): the
+    label predicate pushed into the IVF cell scan — assign once, then
+    the candidate join's COMPOSITE equi-key (cell, label) drops
+    failing postings before the distance kernel (operator docstring:
+    operators/similarity_search.ivf_filtered_topk). The exact
+    yardstick (ann_filtered_topk, this file) is the recall-1.0
+    baseline; its pair stream is quadratic when queries ∝ n (the
+    measured 57× decade factor) while this plan inherits ivf_topk's
+    q·nprobe·n/(c·L) scaling (L = label cardinality).
+
+    nprobe=16, NOT the unfiltered ivf_topk's 2: the label filter
+    thins every probed cell's candidate pool to ~1/L (L = 10 here),
+    so filtered search needs proportionally more probes for the same
+    effective pool — the standard filtered-ANN amplification. The
+    measured sf0.1 curve vs the exact yardstick (recall@10 at
+    nprobe 2/4/8/16 = 0.130/0.220/0.320/0.535, walls flat 1.3–2.0s,
+    SCALE.md §Round 13) picks 16; candidates stay
+    q·16·(n/c)/L — tiny next to the yardstick's Σ|Q_l|·|N_l|.
+    Same adaptive c = max(16, isqrt(n)) from the parquet footer;
+    oracle mirrors it from COUNT(*)."""
+    from ..operators.similarity_search import ivf_filtered_topk
+    from ..sources.bronze import table_num_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    return ivf_filtered_topk(
+        e,
+        F.col("vec_id") % 100 == 0,
+        label_col="label",
+        k=10,
+        n_centroids=None,
+        nprobe=_IVF_FILTERED_NPROBE,
+        n_vectors=n,
+    )
+
+
 def _ann_oracle() -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN {sql_plane_dot('v', k)} >= 0 THEN {1 << k} ELSE 0 END)"

@@ -141,6 +141,11 @@ QUERIES = [
     # label cardinality. The isometric sign-flip replicas preserve
     # labels verbatim, so per-label structure scales linearly.
     "ann_filtered_topk",
+    # Round 13: the INDEXED filtered variant — inherits ivf_topk's
+    # q·nprobe·n/(c·L) scaling; its whole reason to exist is beating
+    # the exact yardstick's quadratic decade factor, so both decades
+    # are the graded claim.
+    "ann_ivf_filtered_topk",
 ]
 
 
