@@ -38,37 +38,33 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # history"); this comment carries only the policy and the CURRENT
 # round.
 #
-# Round-12 rotation (56 parked / 50 in-window / 106 registered):
-# The THIRTY entries parked since round 10 hit their R2 deadline and
-# ALL rejoin the driver window. The round-11 parks stay parked one
-# more round (R2 deadline r13) EXCEPT ngram_jaccard_dedup_idf and
-# minhash_near_dup, which rejoin EARLY because their shared
-# implementations changed. One round-12 newcomer (ann_filtered_topk —
-# predicate-filtered exact top-k, the filtered-vector-search
-# primitive) enters in its birth round per R1. Every query whose
-# executed plan changes in round 12 sits in-window so CORRECTNESS_r12
-# proves it green post-change (cross_sell_recommendations and
-# textrank_keywords — sql-statement construction;
-# ngram_jaccard_dedup/_idf — footer-metadata count; the six
-# dedup-family consumers of near_dup_pairs/incremental_near_dup —
-# SQL-string minhash constructors; benchmark_decontamination_bloom —
-# probe-position projection; the suffix family — cap-metadata
-# stamping). In exchange round-11-driver-green entries park per R5 —
-# groups (a)/(b)/(c) annotated inline below; R2 deadline r14.
+# Round-13 rotation (57 parked / 50 in-window / 107 registered):
+# The TWENTY-THREE round-11 parks hit their R2 deadline and ALL
+# rejoin the driver window. The round-12 parks stay parked one more
+# round (R2 deadline r14) EXCEPT ann_lsh_topk, which rejoins EARLY
+# because its plan changed (Arrow bucket kernel, SCALE.md §Round 13).
+# One round-13 newcomer (ann_ivf_filtered_topk — the indexed
+# filtered-search path) enters in its birth round per R1. Every query
+# whose executed plan changes in round 13 sits in-window so
+# CORRECTNESS_r13 proves it green post-change:
+# cross_sell_recommendations (guarded spark_sql_dsum fragment),
+# embedding_int8_quantize (HOF-free maxabs guard — also an r11-park
+# deadline rejoin), ann_lsh_topk. In exchange round-12-driver-green
+# entries park per R5 — groups (a)/(b)/(c) annotated inline below;
+# R2 deadline r15.
 _TAIL = (
     # -- parked round 12 (driver-green r11), per R5; R2 deadline = r14 --
+    # (ann_lsh_topk rejoined EARLY in round 13: plan changed)
     # (a) family variants whose base / §2 sibling is in-window:
-    "simhash_fingerprints",  # fingerprint family; rolling_hash_fingerprints rejoins
-    "ann_lsh_topk",  # ANN family; lsh_multitable/ivf/pq/rerank/bruteforce rejoin
-    "ann_ivf2_topk",  # ann_ivf_topk rejoins
-    "document_token_ids",  # tokenizer family; bpe_vocab rejoins
-    "document_bpe_ids",  # tokenizer family; bpe_vocab rejoins
-    "repeated_span_removal",  # span family; exact_repeat_removal stays in-window
-    "event_tumbling_windows",  # ST5; event_sliding_windows rejoins
-    "sales_rollup_cube",  # A5; order_priority_pivot rejoins
-    "customers_with_urgent_orders",  # J7 semi; anti twin rejoins
-    "weekly_order_rollup",  # A2/F22 (daily twin also parks below — both
-    #   one round only per R2, covered by tests/test_relational_queries)
+    "simhash_fingerprints",  # fingerprint family
+    "ann_ivf2_topk",  # ann_ivf_topk stays in-window
+    "document_token_ids",  # tokenizer family; vocab_construction rejoins
+    "document_bpe_ids",  # tokenizer family; vocab_construction rejoins
+    "repeated_span_removal",  # span family; repeated_span_stats rejoins
+    "event_tumbling_windows",  # ST5; event_sliding_windows stays
+    "sales_rollup_cube",  # A5; order_priority_pivot stays
+    "customers_with_urgent_orders",  # J7 semi; anti twin stays
+    "weekly_order_rollup",  # A2/F22
     # (b) beyond-reference ops green r11:
     "stratified_sample",
     "dataset_temperature_mix",
@@ -78,62 +74,57 @@ _TAIL = (
     "dsir_importance_weights",
     "range_join_incidents",
     "order_value_histogram",
-    "balance_outliers_zscore",  # nation_balance_quantiles rejoins
-    # (c) §2 rows green in round 11, one round only (deadline r14):
+    "balance_outliers_zscore",
+    # (c) §2 rows green r11, parked r12+r13 (deadline r14):
     "deterministic_pred_id",  # F20
     "ab_bucket_allocation",  # F21/ML15
     "domain_extraction",  # F3
     "pricing_summary",  # A3/A7
-    "incremental_watermark_sync",  # S7/ST2; streaming tests keep
-    #   covering it (parked in exchange for textrank_keywords, whose
-    #   plan changed in round 12 and therefore sits in-window)
-    "event_props_json",  # M1/M3 (parked in exchange for
-    #   ngram_jaccard_dedup, whose plan changed in round 12)
-    "event_funnel_metrics",  # A11 (parked in exchange for
-    #   ngram_jaccard_dedup_idf — early rejoin, shared impl changed)
-    "decontamination_span_removal",  # (a) span family — exact_repeat_removal,
-    #   exact_contamination_spans AND both benchmark twins stay
-    #   in-window (parked in exchange for the round-12 newcomer
-    #   ann_filtered_topk, which enters in its birth round per R1)
-    # -- parked in exchange for the six dedup-family queries whose
-    #    shared near_dup_pairs/incremental_near_dup plans changed in
-    #    round 12 (SQL-string constructors) and therefore rejoin:
-    "filter_projection",  # P1/P3/S1-S3/S8; multi_predicate_filter rejoined;
-    #   pushdown stays plan-asserted in tests/test_plan_quality.py
-    "topk_per_group",  # W2; pagination + grouped_rank_applyinpandas rejoined
+    "incremental_watermark_sync",  # S7/ST2; streaming tests cover it
+    "event_props_json",  # M1/M3
+    "event_funnel_metrics",  # A11
+    "decontamination_span_removal",  # (a) span family
+    "filter_projection",  # P1/P3/S1-S3/S8; pushdown plan-asserted in
+    #   tests/test_plan_quality.py
+    "topk_per_group",  # W2; pagination + grouped_rank_applyinpandas stay
     "global_rank_topn",  # W1/W4/W8
     "label_join",  # J5/A8
     "daily_order_stats",  # A2/F22
     "contract_validation_report",  # A9-A10/P10
-    # -- parked round 11 (driver-green r10), per R5; R2 deadline = r13 --
+    # -- parked round 13 (driver-green r12), per R5; R2 deadline = r15
+    #    (exchanged for the 23 R2-deadline rejoins, the newcomer
+    #    ann_ivf_filtered_topk and the early ann_lsh_topk rejoin) --
     # (a) family variants whose base / §2 sibling is in-window:
-    # (ngram_jaccard_dedup_idf rejoined EARLY in round 12: the shared
-    # _ngram_jaccard_impl plan changed — footer-metadata corpus count)
-    "repeated_span_stats",  # span family; suffix-exact stats sibling in-window
-    "event_sessionization",  # ST5
-    "stateful_running_totals",  # ST3; stateful_streaming_dedup stays in-window
-    "vocab_construction",  # tokenizer family; bpe_vocab rejoins
-    "dataset_mix_downsample",  # sampling family
-    "dataset_split_assignments",
-    "tfidf_top_terms",  # text-stats family; unigram_lm_quality rejoins
-    "sequence_packing",  # packing family
-    "document_chunks",  # chunking sibling
-    "exact_dedup_documents",  # P9; dedup family keeps embedding_near_dup
-    # (b) beyond-reference ops green r10:
-    "cluster_balanced_sample",
-    "prototypicality_pruning",
-    "d4_selection",
-    "embedding_int8_quantize",
-    "multimodal_features",
-    # (c) §2 rows green in round 10, one round only (deadline r13):
-    "account_features",  # P2/P8/F7-14; ladder also runs in flagship
-    "jaro_winkler_pairs",  # F5
-    "token_jaccard_pairs",  # SO2-3/F6; also inside er_match_cascade
-    "score_explanations",  # ML9/F16-19; ladders stay via flagship
-    "er_threshold_sweep",  # ML12
-    "ranking_eval_metrics",  # ML13/W9-10/F23
-    "feedback_asof_labels",  # ML14/P11
-    "extractive_summary",  # ML16
+    "minhash_near_dup",  # dedup family; near_dup_clusters +
+    #   ngram_jaccard_dedup + exact_dedup_documents stay/rejoin
+    "ngram_jaccard_dedup_idf",  # base ngram_jaccard_dedup stays
+    "embedding_near_dup",  # ANN family fully in-window (lsh/ivf/
+    #   bruteforce/filtered pair)
+    "dedup_keep_best",  # dedup family
+    "incremental_neardup_ingest",  # dedup family
+    "leakage_safe_splits",  # splits sibling dataset_split_assignments rejoins
+    "source_overlap_matrix",  # dedup-family diagnostic
+    "benchmark_decontamination_bloom",  # exact twin stays in-window;
+    #   crossover analysis recorded in SCALE.md §Round 13
+    "bigram_lm_quality",  # unigram twin stays in-window
+    "bpe_vocab",  # tokenizer family; vocab_construction rejoins
+    "ann_lsh_multitable",  # single-table ann_lsh_topk rejoins (plan
+    #   changed); the deep multitable path is untouched
+    "ann_pq_topk",  # IVF family; ann_ivf_topk + the filtered newcomer stay
+    "ann_rerank_crossencoder",  # retrieval tier sibling in-window
+    "exact_repeat_stats",  # suffix family; anchor-gram span stats rejoin
+    "exact_repeat_removal",  # suffix family
+    "exact_contamination_spans",  # suffix family
+    # (b) beyond-reference ops green r12:
+    "doc_repetition_stats",
+    "doc_text_stats",
+    "langid_heuristic",
+    "pii_redaction",
+    "rolling_hash_fingerprints",
+    "token_counting",
+    "corpus_curation_report",
+    "approx_distinct_stats",
+    "nation_balance_quantiles",
 )
 
 

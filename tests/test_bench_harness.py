@@ -103,43 +103,50 @@ def _q(oracle, fn=None):
 
 def test_interleaved_measure_oracle_failure_keeps_spark_walls():
     """A failing oracle must not discard the spark timings — the
-    ratio is simply absent (d_min None)."""
+    ratio is simply absent (d_min None) — and the failure must be
+    RECORDED in the error slot (round-12 ADVICE: a silently vanished
+    wall is indistinguishable from an unbenched query)."""
     import bench
 
-    s, d = bench.interleaved_measure(
+    s, d, err = bench.interleaved_measure(
         _FakeSpark(), _FakeCon(), _q("BOOM"), "/nonexistent", runs=1
     )
     assert s is not None
     assert d is None
+    assert err is not None and err.startswith("duckdb:")
 
 
 def test_interleaved_measure_records_both_sides():
     import bench
 
-    s, d = bench.interleaved_measure(
+    s, d, err = bench.interleaved_measure(
         _FakeSpark(), _FakeCon(), _q("SELECT 1"), "/nonexistent", runs=2
     )
     assert s is not None and d is not None
+    assert err is None
 
 
 def test_interleaved_measure_spark_failure_keeps_oracle():
     """A failing spark run must not block the oracle timing of the
-    same pair (and must not raise)."""
+    same pair (and must not raise) — and must surface in the error
+    slot so the bench JSON can carry it."""
     import bench
 
     def boom(spark, sf_dir):
         raise RuntimeError("bad plan")
 
-    s, d = bench.interleaved_measure(
+    s, d, err = bench.interleaved_measure(
         _FakeSpark(), _FakeCon(), _q("SELECT 1", fn=boom), "/nonexistent", runs=1
     )
     assert s is None and d is not None
+    assert err is not None and err.startswith("spark:")
+    assert "bad plan" in err
 
 
 def test_interleaved_measure_no_con_no_oracle_timing():
     import bench
 
-    s, d = bench.interleaved_measure(
+    s, d, err = bench.interleaved_measure(
         _FakeSpark(), None, _q("SELECT 1"), "/nonexistent", runs=1
     )
-    assert s is not None and d is None
+    assert s is not None and d is None and err is None
