@@ -379,15 +379,27 @@ def blocked_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(block²) instead of O(n²) — the same reason the reference blocks,
     but as a shuffle-partitioned hash join instead of a dict of
     nested loops."""
+    n_parts = spark.sparkContext.defaultParallelism * 2
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
-    )
+    ).repartition(n_parts, F.col("block_key"), F.col("p_size"))
+    # EXPLICIT repartition on the join keys (round 13): AQE's
+    # coalescer sizes partitions by shuffle BYTES, and 20k narrow
+    # part rows are ~1 MB — it folded the probe to ONE partition, so
+    # all ~500k candidate pairs ran their Levenshtein DP on one core
+    # (the round-1 coalescer lesson, found here by job decomposition:
+    # one 1.62s task was 85% of the wall). REPARTITION_BY_NUM is
+    # exempt from coalescing; same-session adjacent A/B min-of-6 at
+    # sf0.1: 1.794s → 0.576s, outputs exact-equal — the query now
+    # BEATS its DuckDB oracle (~1.0s). The explicit spread is also
+    # the 100 TB shape: pair-generation cost is per-block CPU, not
+    # bytes, so the partitioner must key on the block, not the size.
     # shuffle_hash, not broadcast: both sides are the IDENTICAL
     # scan+block-key projection, so the shuffled join computes that
     # subplan once and reuses the exchange; an AQE broadcast would
     # re-run the projection to build the hash relation (round-1
-    # lesson, re-measured this round: ~0.2s at sf0.1).
+    # lesson, re-measured round 3: ~0.2s at sf0.1).
     a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     sim = levenshtein_similarity(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -431,11 +443,21 @@ def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entity_resolution.py:157-164; product-set overlap
     pipeline.py:126-133) via array_intersect/array_union — set algebra
     stays JVM-side."""
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    # Repartition on the equi-key before the join (round 13): AQE's
+    # byte-based coalescer folded the 20k-row input to one partition,
+    # so ~8M candidate probes (25 brand blocks × C(800,2) pairs, theta
+    # evaluated per probe) ran on one core — a 3.9s single task.
+    # p_brand has 25 distinct values, so the spread is 25-way
+    # (adjacent A/B min-of-6 at sf0.1: 4.929s → 0.846s, outputs
+    # exact-equal). At 100 TB a brand-cardinality block key would
+    # need salting or a composite key; here the block count IS the
+    # reference's blocking design.
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size",
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
-    )
-    a, b = p.alias("a"), p.alias("b")
+    ).repartition(n_parts, F.col("p_brand"))
+    a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     return (
         a.join(
             b,
@@ -723,12 +745,21 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's jaro core. Neither engine's builtin implements the
     reference's odd-transposition behavior, which is exactly why F5
     is a UDF."""
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    # Repartition the INPUT on the join keys, not the joined pairs
+    # (round 13): the post-join repartition both shuffled the ~25×
+    # larger pair stream AND left the probe itself on the ONE
+    # partition AQE's byte-based coalescer folded the 20k-row input
+    # to — a ~4s single task generated every candidate pair before
+    # any spread happened (same defect as blocked_similarity_join,
+    # same fix; adjacent A/B min-of-6 at sf0.1: 4.525s → 1.427s,
+    # outputs exact-equal). The pre-join spread also distributes the
+    # pandas-UDF stage without any extra exchange.
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
-    )
-    a, b = p.alias("a"), p.alias("b")
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    ).repartition(n_parts, F.col("block_key"), F.col("p_size"))
+    a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     pairs = (
         a.join(
             b,
@@ -736,7 +767,6 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_size") == F.col("b.p_size"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
-        .repartition(n_parts)
         .select(
             F.col("a.p_partkey").alias("id1"),
             F.col("b.p_partkey").alias("id2"),
