@@ -192,6 +192,60 @@ class TestIvf:
             assert two[key] >= cos1
 
 
+class TestIvfFiltered:
+    def test_results_respect_the_label_predicate(self, spark, sf_dir):
+        """The filtered variant's whole contract: every returned
+        candidate shares the query's label (pre-filter, not a lossy
+        post-rank drop), ranks are dense per query, and the candidate
+        set is exactly the label-restricted subset of what the same
+        probes would return unfiltered — checked against the plain
+        ivf_topk at identical nprobe/codebook."""
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf_filtered_topk,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+        pred = F.col("vec_id") % 50 == 0
+        out = ivf_filtered_topk(e, pred, k=5, n_centroids=16, nprobe=4).collect()
+        assert len(out) > 0
+        by_q = {}
+        for r in out:
+            assert labels[r.vec_id] == labels[r.query_id], (
+                f"candidate {r.vec_id} label {labels[r.vec_id]} != "
+                f"query {r.query_id} label {labels[r.query_id]}"
+            )
+            assert r.vec_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            ranks = sorted(r.rk for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+
+    def test_extra_cols_ride_ivf_assign(self, spark, sf_dir):
+        """extra_cols contract: the metadata column survives into
+        base/assigned untouched, and the centroid slice drops it."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            ivf_assign,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base, cents, assigned = ivf_assign(
+            e, n_centroids=16, extra_cols=("label",)
+        )
+        assert "label" in base.columns and "label" in assigned.columns
+        assert "label" not in cents.columns
+        orig = dict(
+            (r.vec_id, r.label) for r in e.select("vec_id", "label").collect()
+        )
+        got = dict(
+            (r.vec_id, r.label)
+            for r in assigned.select("vec_id", "label").collect()
+        )
+        assert got == orig
+
+
 class TestAdaptivePlanes:
     def test_more_planes_give_pair_subset(self, spark, sf_dir):
         """Plane k is seed-determined, so a K+1-bit bucket refines the
