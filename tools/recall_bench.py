@@ -281,6 +281,74 @@ def main() -> None:
                     n_vectors=n,
                 ),
             )
+        # FILTERED search (round 13): recall vs the FILTERED exact
+        # ground truth (same-label brute force — the ann_filtered_topk
+        # yardstick shape), NOT the unfiltered truth above: the
+        # filtered task's ideal answer set is different. The filtered
+        # pool per probed cell is ~1/L (L = label cardinality), so
+        # the nprobe ladder extends past the unfiltered family's —
+        # the amplification the registered nprobe=16 default encodes.
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            dot_cols,
+            ivf_filtered_topk,
+            norm_cols,
+            rename_exprs,
+            wide_base,
+        )
+
+        fbase = wide_base(e, extra_cols=("label",)).localCheckpoint(
+            eager=False
+        )
+        fq = fbase.where(pred).selectExpr(
+            "vec_id AS query_id", "label AS qlabel", *rename_exprs("v", "q")
+        )
+        fscored = (
+            F.broadcast(fq)
+            .join(
+                fbase,
+                (F.col("label") == F.col("qlabel"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                F.expr(
+                    f"{dot_cols('q', 'v')} / ({norm_cols('q')} * {norm_cols('v')})"
+                ).alias("cosine"),
+            )
+        )
+        fw = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        ftruth = {
+            (r.query_id, r.vec_id)
+            for r in fscored.withColumn("rk", F.row_number().over(fw))
+            .where(F.col("rk") <= K_EVAL)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        filt_probes = (2, 4, 8, 16) if label != "sf1x100" else (16,)
+        for nprobe in filt_probes:
+            t0 = time.time()
+            got = {
+                (r.query_id, r.vec_id)
+                for r in ivf_filtered_topk(
+                    e, pred, k=K_EVAL, nprobe=nprobe, n_vectors=n
+                ).collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "scale": label,
+                        "n_vectors": n,
+                        "config": f"ivf_filtered_first_adaptive_p{nprobe}",
+                        "recall_at_10_vs_filtered_truth": round(
+                            len(got & ftruth) / len(ftruth), 4
+                        ),
+                        "ann_sec": round(time.time() - t0, 3),
+                    }
+                )
+            )
     spark.stop()
 
 
