@@ -321,12 +321,16 @@ def bucket_cols(
 ) -> str:
     """K-bit LSH bucket over SCALAR columns as one SQL string. At
     ~10 bytecode bytes per multiply-add term this stays JIT-safe for
-    K·dim up to ~600 terms (the shallow single-table path guards on
-    exactly that); beyond it use bucket_frame's explode-first form.
-    Wrapped in COALESCE(..., -1) at use sites so the join key is
-    non-nullable — otherwise inner-join constraint inference pushes
-    an isnotnull(bucket) filter containing the full K·dim expression
-    down to the scan (the round-3 inlined-expression lesson)."""
+    K·dim up to ~600 terms, but as of round 13 no execution path uses
+    it: the single-table path computes buckets in bucket_wide_arrow
+    (the JVM expression's real cost was per-ACTION optimizer walks of
+    the ~2000-node tree, not execution — SCALE.md §Round 13) and the
+    multitable path uses bucket_frame's explode-first form. Kept,
+    with bucket_id, as the JVM semantic spec the oracle SQL mirrors.
+    If it returns to a join key, wrap in COALESCE(..., -1) so the key
+    is non-nullable — otherwise inner-join constraint inference
+    pushes an isnotnull(bucket) filter containing the full K·dim
+    expression down to the scan (the round-3 lesson)."""
     terms = " + ".join(
         f"(CASE WHEN {plane_dot_cols(prefix, k, table, dim)} >= 0.0"
         f" THEN {1 << k} ELSE 0 END)"
