@@ -35,8 +35,18 @@ def main() -> None:
         sc.setJobGroup(name, name)
         sc._jvm.System.gc()
         time.sleep(0.3)
+        # Wall = CONSTRUCT (q.fn alone: py4j round trips + eager
+        # analysis; the round-12 discovery that this dominated several
+        # sub-2s floors) + in-job (summed below) + driver GAPS
+        # (per-action re-planning: every save() builds a fresh
+        # QueryExecution, so analyzer/optimizer/codegen re-run even
+        # when the DataFrame's own plans were pre-computed — the
+        # round-13 ann_lsh_topk finding). Measure all three before
+        # touching any plan shape.
         t0 = time.time()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = q.fn(spark, sf_dir)
+        t_construct = time.time() - t0
+        df.write.mode("overwrite").format("noop").save()
         wall = time.time() - t0
         sc.setJobGroup("idle", "idle")
         tracker = sc.statusTracker()
@@ -61,7 +71,14 @@ def main() -> None:
                     continue
         except Exception:
             pass
-        lines.append(f"== {name}: {wall:.3f}s, {len(jobs)} jobs")
+        injob = sum(
+            rest[j][0] for j in jobs if j in rest and rest[j][0] is not None
+        )
+        lines.append(
+            f"== {name}: {wall:.3f}s, {len(jobs)} jobs | "
+            f"construct={t_construct:.3f}s injob={injob:.3f}s "
+            f"gaps={max(0.0, wall - t_construct - injob):.3f}s"
+        )
         for j in jobs:
             ji = tracker.getJobInfo(j)
             if ji is None:
