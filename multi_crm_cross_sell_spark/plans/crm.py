@@ -613,18 +613,26 @@ def er_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize per PART (20k rows) before the join, not per PAIR
     # (500k at sf0.1): the join carries small token arrays instead of
     # re-splitting both names for every pair.
+    n_parts = spark.sparkContext.defaultParallelism * 2
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
-    )
-    # Repartition the LEFT side before the broadcast self-join: the
-    # pair explosion and all per-pair math then run in n_parts tasks
-    # map-side, with no exchange of the 25×-larger pair stream at all.
-    # (Repartitioning the join OUTPUT instead means one task generates
-    # every pair and shuffles ~100 MB before the parallelism kicks in.)
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    a, b = p.repartition(n_parts).alias("a"), F.broadcast(p).alias("b")
+    ).repartition(n_parts, F.col("block_key"), F.col("p_size"))
+    # shuffle_hash self-join on the key-repartitioned input (round 13
+    # — replaces the earlier broadcast(p) form): the broadcast side
+    # was the WHOLE part table, a payload that grows with the corpus
+    # (200k rows with token arrays at the 10× decade, ~2M rows / ~1 GB
+    # at 100× — a hard ceiling), and the round-13 relational decade
+    # sweep caught it as 7-27s variance at 10× (broadcast build + GC
+    # churn). With both sides the identical key-partitioned subplan,
+    # the shuffled join computes the projection once (ReusedExchange)
+    # and nothing corpus-sized ships to every task. Adjacent A/B
+    # min-of-4: sf0.1 0.95s (broadcast) vs 0.99s (shuffle) — a tie;
+    # 10× decade 3.03 vs 2.61s — outputs exact-equal. The explicit
+    # key repartition is the AQE byte-coalescer guard every pair
+    # generator now carries (blocked_similarity_join comment).
+    a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     pairs = a.join(
         b,
         (F.col("a.block_key") == F.col("b.block_key"))

@@ -146,6 +146,24 @@ QUERIES = [
     # the exact yardstick's quadratic decade factor, so both decades
     # are the graded claim.
     "ann_ivf_filtered_topk",
+    # Round 13: the relational/CRM family joins the decade sweep for
+    # the first time (replica design in build_scaled — pair structure
+    # exactly linear; nation dimension fixed so the flagship's
+    # candidate cap is invariant by construction).
+    "blocked_similarity_join",
+    "token_jaccard_pairs",
+    "er_match_cascade",
+    "er_threshold_sweep",
+    "cross_sell_recommendations",
+    # jaro_winkler_pairs runs LAST: its pandas-UDF pair stage
+    # permanently degrades LATER JVM-side pair queries in the same
+    # session (measured at the 10x decade: er_match_cascade 5.0s
+    # fresh -> 34.5s after ONE jaro run, still 26s on the next run —
+    # the round-6 call-site profile pollution, now with a specific
+    # measured pair). Ordering the Python-stage query after the
+    # JVM-only ones keeps every query's sweep number comparable to
+    # its isolated floor.
+    "jaro_winkler_pairs",
 ]
 
 
@@ -230,10 +248,88 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
     for p in ev_parts[1:]:
         scaled_evs = scaled_evs.unionByName(p)
 
+    # Relational/CRM family (round 13): replicas that keep the PAIR
+    # structure exactly linear, so the blocked joins and the flagship
+    # are stressed the way corpus growth would stress them:
+    # - part: every p_name word AND p_brand get an r{k} prefix —
+    #   block_key (first name word), word2 labels, token sets and
+    #   brand blocks are all replica-disjoint, so no cross-replica
+    #   candidate pair can ever form and true pair counts scale
+    #   exactly ×k (keeping p_brand unprefixed would grow each brand
+    #   block ×k and the pair count ×k² — the wrong stress);
+    # - customer/orders: keys shift into disjoint ranges with
+    #   referential integrity (o_custkey shifts with its customer);
+    #   c_nationkey is KEPT — nation is a fixed dimension, so the
+    #   flagship's per-nation top-20 cap (and thus its pair space)
+    #   stays invariant while the rank/aggregate stages grow ×k:
+    #   exactly the capped-candidate scale claim, now measurable;
+    # - nation: copied unchanged (dimension table).
+    prefix_words = lambda col, k: F.array_join(  # noqa: E731
+        F.transform(
+            F.split(col, " "), lambda w: F.concat(F.lit(f"r{k}"), w)
+        ),
+        " ",
+    )
+    part = spark.read.parquet(f"{src}/part.parquet")
+    n_part = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+    part_parts = []
+    for k in range(factor):
+        pp = part
+        if k > 0:
+            pp = part.select(
+                (F.col("p_partkey") + F.lit(k * n_part)).alias("p_partkey"),
+                prefix_words(F.col("p_name"), k).alias("p_name"),
+                F.concat(F.lit(f"r{k}"), F.col("p_brand")).alias("p_brand"),
+                "p_type",
+                "p_size",
+                "p_retailprice",
+            )
+        part_parts.append(pp)
+    scaled_part = part_parts[0]
+    for pp in part_parts[1:]:
+        scaled_part = scaled_part.unionByName(pp)
+
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    n_cust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    cust_parts, ord_parts = [], []
+    for k in range(factor):
+        cc, oo = cust, orders
+        if k > 0:
+            cc = cust.select(
+                (F.col("c_custkey") + F.lit(k * n_cust)).alias("c_custkey"),
+                prefix_words(F.col("c_name"), k).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+            oo = orders.select(
+                (F.col("o_orderkey") + F.lit(k * n_ord)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(k * n_cust)).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        cust_parts.append(cc)
+        ord_parts.append(oo)
+    scaled_cust = cust_parts[0]
+    for cc in cust_parts[1:]:
+        scaled_cust = scaled_cust.unionByName(cc)
+    scaled_ord = ord_parts[0]
+    for oo in ord_parts[1:]:
+        scaled_ord = scaled_ord.unionByName(oo)
+    scaled_nation = spark.read.parquet(f"{src}/nation.parquet")
+
     for name, df in (
         ("documents", scaled_docs),
         ("embeddings", scaled_embs),
         ("events", scaled_evs),
+        ("part", scaled_part),
+        ("customer", scaled_cust),
+        ("orders", scaled_ord),
+        ("nation", scaled_nation),
     ):
         tmp = f"{out}/_{name}_dir"
         df.coalesce(max(4, factor // 2)).write.mode("overwrite").parquet(tmp)
@@ -260,7 +356,14 @@ def main() -> None:
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if rebuild or not os.path.exists(f"{OUT}/events.parquet"):
+    # part.parquet is the round-13 addition — an OUT dir built by an
+    # earlier round has the doc/embedding/event tables but not the
+    # relational ones, so its absence also triggers a (re)build.
+    if (
+        rebuild
+        or not os.path.exists(f"{OUT}/events.parquet")
+        or not os.path.exists(f"{OUT}/part.parquet")
+    ):
         t0 = time.time()
         build_scaled(spark, SRC, OUT, FACTOR)
         print(f"# built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
