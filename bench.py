@@ -49,10 +49,17 @@ HEADLINE = [
     "embedding_near_dup",
     "rolling_hash_fingerprints",
     "token_counting",
-    "extractive_summary",
     "er_match_cascade",
     "event_tumbling_windows",
     "event_sessionization",
+    # Python-stage-last ordering rule (round 14, from
+    # tools/scale_bench.py): queries that spin up Python workers run
+    # at the SECTION TAIL, because the round-13 JVM profile-pollution
+    # measurement showed one pandas-UDF query degrading a LATER
+    # JVM-only pair query 5.0→34.5s in the same session. Section
+    # totals are order-independent (same query set), so this only
+    # de-risks the JVM queries' walls.
+    "extractive_summary",
 ]
 
 # Second, separately-totaled section (round 7): the curation /
@@ -122,6 +129,21 @@ ANN_INDEX = [
     "ann_ivf_filtered_topk",
 ]
 
+# Fourth section (round 14, verdict item 6): the CRM pair-generator
+# family. These sat in NO bench section while carrying a 4-8x
+# single-core AQE-coalescer defect for rounds (the decade harness
+# caught it, not the bench) — now they get recorded walls + ratios
+# every round. Runs LAST of all sections, with the pandas-UDF query
+# (jaro_winkler_pairs — the measured JVM-profile polluter,
+# SCALE.md §Round 13) at the very end per the Python-stage-last
+# ordering rule, so its profile pollution cannot touch any other
+# timed query.
+PAIRGEN = [
+    "token_jaccard_pairs",
+    "er_threshold_sweep",
+    "jaro_winkler_pairs",
+]
+
 
 def duck_con(sf_dir: str):
     """DuckDB connection for the oracle side, or None when the oracle
@@ -152,13 +174,18 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
     walls (ratio is simply absent); a failing spark run never blocks
     the remaining pairs. Returns (spark_min, oracle_min, error) —
     walls may be None; ``error`` carries the LAST exception message
-    from either side (round-12 ADVICE: a query erroring every run must
-    be distinguishable in the output JSON from one that was never
-    benched — a silently vanished wall shrinks section totals and can
-    read as a speedup)."""
+    per SIDE, with that side's failure count, and a side's error is
+    CLEARED when a later run of the same side succeeds (round-13
+    ADVICE: a transient run-1 failure followed by valid walls must
+    not land in the errors map as if the query errored every run —
+    n_errors distinguishes 'erroring now' from 'never benched', not
+    'hiccuped once')."""
     s_min: float | None = None
     d_min: float | None = None
-    err: str | None = None
+    s_err: str | None = None
+    d_err: str | None = None
+    s_fail = 0
+    d_fail = 0
     for _ in range(runs):
         # GC barrier: each query measured from a comparable heap
         # state, not against previous queries' uncollected garbage.
@@ -174,8 +201,10 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
             dt = round(time.time() - t0, 3)
             if s_min is None or dt < s_min:
                 s_min = dt
+            s_err = None  # a later success clears a transient failure
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-            err = f"spark: {type(e).__name__}: {e}"[:300]
+            s_fail += 1
+            s_err = f"spark({s_fail}/{runs} runs failed): {type(e).__name__}: {e}"[:300]
         if con is not None and q.oracle:
             try:
                 t0 = time.time()
@@ -183,8 +212,11 @@ def interleaved_measure(spark, con, q, sf_dir: str, runs: int):
                 dt = round(time.time() - t0, 3)
                 if d_min is None or dt < d_min:
                     d_min = dt
+                d_err = None
             except Exception as e:  # noqa: BLE001
-                err = f"duckdb: {type(e).__name__}: {e}"[:300]
+                d_fail += 1
+                d_err = f"duckdb({d_fail}/{runs} runs failed): {type(e).__name__}: {e}"[:300]
+    err = "; ".join(x for x in (s_err, d_err) if x) or None
     return s_min, d_min, err
 
 
@@ -251,7 +283,7 @@ def main() -> None:
     # expression/codegen paths so the timed pass measures steady-state
     # throughput, not first-call compilation.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + CURATION + ANN_INDEX:
+    for name in HEADLINE + CURATION + ANN_INDEX + PAIRGEN:
         q = qs.get(name)
         if q is None:
             continue
@@ -275,6 +307,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cur_timings: dict[str, float] = {}
     ann_timings: dict[str, float] = {}
+    pair_timings: dict[str, float] = {}
     oracle_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -287,9 +320,11 @@ def main() -> None:
             con.execute(first.oracle).fetchall()
         except Exception:
             pass
-    for name in HEADLINE + CURATION + ANN_INDEX:
+    for name in HEADLINE + CURATION + ANN_INDEX + PAIRGEN:
         book = (
-            ann_timings
+            pair_timings
+            if name in PAIRGEN
+            else ann_timings
             if name in ANN_INDEX
             else cur_timings
             if name in CURATION
@@ -336,6 +371,7 @@ def main() -> None:
     head_oracle, head_ratio = _sec_totals(HEADLINE, timings)
     cur_oracle, cur_ratio = _sec_totals(CURATION, cur_timings)
     ann_oracle, ann_ratio = _sec_totals(ANN_INDEX, ann_timings)
+    pair_oracle, pair_ratio = _sec_totals(PAIRGEN, pair_timings)
 
     def _median_ratio(names: list[str]):
         # Median of the per-query adjacent-min ratios: robust to the
@@ -365,6 +401,10 @@ def main() -> None:
         "ann_index_oracle_total": ann_oracle,
         "ann_index_ratio": ann_ratio,
         "ann_index_ratio_median": _median_ratio(ANN_INDEX),
+        "pairgen_total": round(sum(pair_timings.values()), 3),
+        "pairgen_oracle_total": pair_oracle,
+        "pairgen_ratio": pair_ratio,
+        "pairgen_ratio_median": _median_ratio(PAIRGEN),
         "curation_total_r7_subset": round(
             sum(
                 cur_timings[n]
@@ -397,6 +437,7 @@ def main() -> None:
                 "queries": timings,
                 "curation_queries": cur_timings,
                 "ann_index_queries": ann_timings,
+                "pairgen_queries": pair_timings,
                 "oracle_queries": oracle_timings,
                 "ratio_queries": ratios,
                 "errors": errors,

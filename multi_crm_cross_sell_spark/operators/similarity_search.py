@@ -475,18 +475,32 @@ def bucket_wide_arrow(
                 continue
             arrs = pdf[vec_col].to_numpy()
             try:
-                V = np.stack(arrs).astype(np.float64)
+                V = np.stack(arrs)
+                if V.dtype == object:
+                    # clean-SHAPED rows with None elements: astype
+                    # would silently turn None into NaN; the per-row
+                    # path below applies COALESCE 0.0 instead.
+                    raise ValueError("non-numeric elements")
+                V = V.astype(np.float64)
                 if V.ndim != 2 or V.shape[1] != dim:
                     raise ValueError("ragged")
             except Exception:
+                # Per-ROW fallback (round 14, per ADVICE): one
+                # malformed row must not change its batch neighbors'
+                # semantics. Only None/null elements map to 0.0
+                # (unpack_exprs' COALESCE); NaN values PROPAGATE
+                # through the dot exactly as they do on the JVM
+                # path, so an edge row's bucket no longer depends on
+                # which batch it landed in.
                 V = np.zeros((len(arrs), dim), dtype=np.float64)
                 for r, a in enumerate(arrs):
                     if a is None:
                         continue
-                    a = np.nan_to_num(
-                        np.asarray(a, dtype=np.float64)[:dim], nan=0.0
+                    row = np.asarray(
+                        [0.0 if x is None else x for x in list(a)[:dim]],
+                        dtype=np.float64,
                     )
-                    V[r, : len(a)] = a
+                    V[r, : len(row)] = row
             n = V.shape[0]
             bucket = np.zeros(n, dtype=np.int64)
             for kk in range(n_planes):

@@ -854,14 +854,28 @@ def er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold; nothing is rescanned per threshold."""
     from ..ml.entity_resolution import evaluate_matches
 
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    # shuffle_hash self-join on the key-repartitioned input (round 14
+    # — replaces the earlier broadcast(p) form, the same corpus-sized
+    # broadcast the round-13 decade sweep caught in er_match_cascade:
+    # the build side was the WHOLE part projection with token arrays,
+    # a payload that grows linearly with the corpus — ~1 GB at the
+    # 100× decade, a hard ceiling, with broadcast-build/GC variance
+    # well before that). Both sides are the identical key-partitioned
+    # subplan, so the shuffled join computes the projection once
+    # (ReusedExchange) and nothing corpus-sized ships to every task;
+    # the explicit (block_key, p_size) repartition is the AQE
+    # byte-coalescer guard every pair generator carries. The reference
+    # sweep (entity_resolution.py:554-613) iterates blocked pairs with
+    # no broadcast semantics to preserve. Adjacent A/B + 10× decade in
+    # SCALE.md §Round 14.
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_key"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
-    )
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    a, b = p.repartition(n_parts).alias("a"), F.broadcast(p).alias("b")
+    ).repartition(n_parts, F.col("block_key"), F.col("p_size"))
+    a, b = p.alias("a").hint("shuffle_hash"), p.alias("b")
     pairs = a.join(
         b,
         (F.col("a.block_key") == F.col("b.block_key"))
