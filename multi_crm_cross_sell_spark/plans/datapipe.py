@@ -764,7 +764,7 @@ SELECT query_id, vec_id, cosine, rk FROM (
 """
 
 
-_IVF_FILTERED_NPROBE = 16
+_IVF_FILTERED_NPROBE = 32
 
 
 @register(
@@ -783,14 +783,20 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 57× decade factor) while this plan inherits ivf_topk's
     q·nprobe·n/(c·L) scaling (L = label cardinality).
 
-    nprobe=16, NOT the unfiltered ivf_topk's 2: the label filter
+    nprobe=32, NOT the unfiltered ivf_topk's 2: the label filter
     thins every probed cell's candidate pool to ~1/L (L = 10 here),
     so filtered search needs proportionally more probes for the same
     effective pool — the standard filtered-ANN amplification. The
-    measured sf0.1 curve vs the exact yardstick (recall@10 at
-    nprobe 2/4/8/16 = 0.130/0.220/0.320/0.535, walls flat 1.3–2.0s,
-    SCALE.md §Round 13) picks 16; candidates stay
-    q·16·(n/c)/L — tiny next to the yardstick's Σ|Q_l|·|N_l|.
+    round-14 extended curve vs the exact yardstick (recall@10 at
+    nprobe 16/24/32/48 = 0.535/0.705/0.835/1.0 at sf0.1, and
+    16 vs 32 = 0.415/0.605 at 10×, 0.345/0.47 at 100×; walls FALL
+    as nprobe rises at every scale — more candidates mean fewer
+    empty per-query windows, the ann_ivf2_topk round-11 finding —
+    100× 5.6s vs the yardstick's 36.2s, SCALE.md §Round 14) moves
+    the registered point from 16 to 32: above the unfiltered
+    family's recall-parity band (flat IVF nprobe=2 ≈ 0.295) at
+    every measured scale, at equal-or-lower wall. Candidates stay
+    q·32·(n/c)/L — tiny next to the yardstick's Σ|Q_l|·|N_l|.
     Same adaptive c = max(16, isqrt(n)) from the parquet footer;
     oracle mirrors it from COUNT(*)."""
     from ..operators.similarity_search import ivf_filtered_topk

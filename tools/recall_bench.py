@@ -327,7 +327,13 @@ def main() -> None:
             .select("query_id", "vec_id")
             .collect()
         }
-        filt_probes = (2, 4, 8, 16) if label != "sf1x100" else (16,)
+        # Round 14: ladder extended past 16 — walls FALL as nprobe
+        # rises (fewer empty per-query windows), so the registered
+        # point moved to 32 (recall 0.835 sf0.1 / 0.605 10x / 0.47
+        # 100x, all above the unfiltered family's nprobe=2 parity
+        # band). 48 probes every cell at sf0.1 (c ~= 44): recall 1.0
+        # there is exhaustiveness, not index quality.
+        filt_probes = (2, 4, 8, 16, 24, 32, 48) if label != "sf1x100" else (16, 32)
         for nprobe in filt_probes:
             t0 = time.time()
             got = {
