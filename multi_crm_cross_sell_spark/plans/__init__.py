@@ -38,81 +38,80 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # history"); this comment carries only the policy and the CURRENT
 # round.
 #
-# Round-13 rotation (57 parked / 50 in-window / 107 registered):
-# The TWENTY-THREE round-11 parks hit their R2 deadline and ALL
-# rejoin the driver window. The round-12 parks stay parked one more
-# round (R2 deadline r14) EXCEPT ann_lsh_topk, which rejoins EARLY
-# because its plan changed (Arrow bucket kernel, SCALE.md §Round 13).
-# One round-13 newcomer (ann_ivf_filtered_topk — the indexed
-# filtered-search path) enters in its birth round per R1. Every query
-# whose executed plan changes in round 13 sits in-window so
-# CORRECTNESS_r13 proves it green post-change:
-# cross_sell_recommendations (guarded spark_sql_dsum fragment),
-# embedding_int8_quantize (HOF-free maxabs guard — also an r11-park
-# deadline rejoin), ann_lsh_topk. In exchange round-12-driver-green
-# entries park per R5 — groups (a)/(b)/(c) annotated inline below;
-# R2 deadline r15.
+# Round-14 rotation (57 parked / 50 in-window / 107 registered):
+# The THIRTY-TWO round-12 parks hit their R2 deadline and ALL rejoin
+# the driver window (the round-13 verdict's demand list, verbatim).
+# The round-13 parks stay parked one more round (R2 deadline r15).
+# No newcomer this round (growth-discipline demand: registry stays
+# 107). Every query whose executed plan changes in round 14 sits
+# in-window so CORRECTNESS_r14 proves it green post-change:
+# er_threshold_sweep (broadcast → shuffle_hash self-join),
+# ann_ivf_filtered_topk (nprobe 16 → 32, oracle mirrored),
+# vocab_construction (TakeOrdered cap before the rank window),
+# document_token_ids (literal-map narrow-projection rewrite — also a
+# deadline rejoin), ann_lsh_topk (bucket_wide_arrow per-row fallback
+# per ADVICE). In exchange round-13-driver-green entries park per R5
+# — groups (a)/(b)/(c) annotated inline below; R2 deadline r16.
 _TAIL = (
-    # -- parked round 12 (driver-green r11), per R5; R2 deadline = r14 --
-    # (ann_lsh_topk rejoined EARLY in round 13: plan changed)
+    # -- parked round 14 (driver-green r13), per R5; R2 deadline = r16 --
     # (a) family variants whose base / §2 sibling is in-window:
-    "simhash_fingerprints",  # fingerprint family
-    "ann_ivf2_topk",  # ann_ivf_topk stays in-window
-    "document_token_ids",  # tokenizer family; vocab_construction rejoins
-    "document_bpe_ids",  # tokenizer family; vocab_construction rejoins
-    "repeated_span_removal",  # span family; repeated_span_stats rejoins
-    "event_tumbling_windows",  # ST5; event_sliding_windows stays
-    "sales_rollup_cube",  # A5; order_priority_pivot stays
-    "customers_with_urgent_orders",  # J7 semi; anti twin stays
-    "weekly_order_rollup",  # A2/F22
-    # (b) beyond-reference ops green r11:
-    "stratified_sample",
-    "dataset_temperature_mix",
-    "perplexity_filter_by_lang",
-    "length_bucketed_batches",
-    "semantic_dedup",
-    "dsir_importance_weights",
-    "range_join_incidents",
-    "order_value_histogram",
-    "balance_outliers_zscore",
-    # (c) §2 rows green r11, parked r12+r13 (deadline r14):
-    "deterministic_pred_id",  # F20
-    "ab_bucket_allocation",  # F21/ML15
-    "domain_extraction",  # F3
-    "pricing_summary",  # A3/A7
-    "incremental_watermark_sync",  # S7/ST2; streaming tests cover it
-    "event_props_json",  # M1/M3
-    "event_funnel_metrics",  # A11
-    "decontamination_span_removal",  # (a) span family
-    "filter_projection",  # P1/P3/S1-S3/S8; pushdown plan-asserted in
-    #   tests/test_plan_quality.py
-    "topk_per_group",  # W2; pagination + grouped_rank_applyinpandas stay
-    "global_rank_topn",  # W1/W4/W8
-    "label_join",  # J5/A8
-    "daily_order_stats",  # A2/F22
-    "contract_validation_report",  # A9-A10/P10
+    "order_priority_pivot",  # A5; sales_rollup_cube rejoins
+    "customers_without_urgent_orders",  # J7 anti; semi twin rejoins
+    "event_sliding_windows",  # ST5; event_tumbling_windows rejoins
+    "event_sessionization",  # ST5; event_tumbling_windows rejoins
+    "repeated_span_stats",  # span family; removal + decon rejoin
+    "ann_ivf_topk",  # IVF family; ann_ivf2_topk rejoins,
+    #   ann_ivf_filtered_topk stays (plan changed)
+    "grouped_rank_applyinpandas",  # W2; topk_per_group rejoins
+    "er_match_cascade",  # ML10/J2; blocked_similarity_join stays,
+    #   er_threshold_sweep stays (plan changed, same pair plan family)
+    "token_jaccard_pairs",  # SO2-SO3 sibling in er_threshold_sweep's
+    #   jaccard; now benched every round in the PAIRGEN section
+    "jaro_winkler_pairs",  # F5 pandas UDF; benched in PAIRGEN
+    "near_dup_clusters",  # dedup family; exact_dedup_documents stays
+    "cosine_topk_bruteforce",  # ANN family; lsh/ivf2/filtered in-window
+    "ann_filtered_topk",  # exact yardstick; indexed twin stays
+    # (b) beyond-reference ops green r13:
+    "extractive_summary",
+    "multimodal_features",
+    "dataset_mix_downsample",
+    "dataset_split_assignments",
+    "sequence_packing",
+    "benchmark_decontamination",
+    "unigram_lm_quality",
+    "tfidf_top_terms",
+    "document_chunks",
+    "embedding_int8_quantize",
+    "textrank_keywords",
+    "cluster_balanced_sample",
+    "prototypicality_pruning",
+    "d4_selection",
+    # (c) §2 rows green r13, first parked round:
+    "account_features",  # P2/F7-F14; flagship exercises the ladder
+    "normalize_company_names",  # F1-F2
+    "score_explanations",  # ML9
+    "ranking_eval_metrics",  # W9-W10/ML13/F23
+    "feedback_asof_labels",  # P11/ML14
     # -- parked round 13 (driver-green r12), per R5; R2 deadline = r15
-    #    (exchanged for the 23 R2-deadline rejoins, the newcomer
-    #    ann_ivf_filtered_topk and the early ann_lsh_topk rejoin) --
+    #    (second consecutive parked round — ALL must rejoin in r15) --
     # (a) family variants whose base / §2 sibling is in-window:
-    "minhash_near_dup",  # dedup family; near_dup_clusters +
-    #   ngram_jaccard_dedup + exact_dedup_documents stay/rejoin
+    "minhash_near_dup",  # dedup family; exact_dedup_documents stays
     "ngram_jaccard_dedup_idf",  # base ngram_jaccard_dedup stays
-    "embedding_near_dup",  # ANN family fully in-window (lsh/ivf/
-    #   bruteforce/filtered pair)
+    "embedding_near_dup",  # ANN family in-window (lsh/ivf2/filtered)
     "dedup_keep_best",  # dedup family
     "incremental_neardup_ingest",  # dedup family
-    "leakage_safe_splits",  # splits sibling dataset_split_assignments rejoins
+    "leakage_safe_splits",  # splits sibling dataset_split_assignments
+    #   was in-window r13
     "source_overlap_matrix",  # dedup-family diagnostic
-    "benchmark_decontamination_bloom",  # exact twin stays in-window;
-    #   crossover analysis recorded in SCALE.md §Round 13
-    "bigram_lm_quality",  # unigram twin stays in-window
-    "bpe_vocab",  # tokenizer family; vocab_construction rejoins
-    "ann_lsh_multitable",  # single-table ann_lsh_topk rejoins (plan
-    #   changed); the deep multitable path is untouched
-    "ann_pq_topk",  # IVF family; ann_ivf_topk + the filtered newcomer stay
-    "ann_rerank_crossencoder",  # retrieval tier sibling in-window
-    "exact_repeat_stats",  # suffix family; anchor-gram span stats rejoin
+    "benchmark_decontamination_bloom",  # crossover analysis recorded
+    #   in SCALE.md §Round 13
+    "bigram_lm_quality",  # re-scoped r12, tripwire holds
+    "bpe_vocab",  # tokenizer family; re-scoped r14 (SCALE.md §Round
+    #   14), document_token_ids + document_bpe_ids rejoin
+    "ann_lsh_multitable",  # single-table ann_lsh_topk stays
+    "ann_pq_topk",  # IVF family
+    "ann_rerank_crossencoder",  # retrieval tier
+    "exact_repeat_stats",  # suffix family
     "exact_repeat_removal",  # suffix family
     "exact_contamination_spans",  # suffix family
     # (b) beyond-reference ops green r12:

@@ -52,6 +52,19 @@ def test_minhash_band_join_reuses_exchange(spark):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def test_er_sweep_pair_join_never_broadcasts_corpus(spark):
+    # round-14 fix (r13 verdict item 2): the threshold sweep's blocked
+    # self-join must be the shuffle_hash form on the key-repartitioned
+    # input — its build side is the WHOLE part projection, which grows
+    # with the corpus (~1 GB at the 100x decade), so a broadcast here
+    # is a scale ceiling regardless of sf0.001's size.
+    df = all_queries()["er_threshold_sweep"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_flagship_pair_join_is_capped_cross_join(spark):
     plan = _plan(spark, "cross_sell_recommendations")
     # the pair space is top-k capped BEFORE the cross join: both rank
