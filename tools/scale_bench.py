@@ -75,6 +75,12 @@ QUERIES = [
     # binned range join's true pair count scales exactly linearly.
     "range_join_incidents",
     "document_chunks",
+    # Round 14: the rewritten tokenizer-encode pair (literal-map
+    # narrow projection / TakeOrdered-capped rank window) joins the
+    # sweep so the bounded-collect + map-literal design has measured
+    # decades, not just the sf0.1 A/B.
+    "document_token_ids",
+    "vocab_construction",
     "bigram_lm_quality",
     # Round 8: the semantic members of the curation family. The
     # isometric sign-flip replicas preserve within-replica cosines
