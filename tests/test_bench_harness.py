@@ -113,7 +113,8 @@ def test_interleaved_measure_oracle_failure_keeps_spark_walls():
     )
     assert s is not None
     assert d is None
-    assert err is not None and err.startswith("duckdb:")
+    assert err is not None and err.startswith("duckdb(")
+    assert "1/1 runs failed" in err
 
 
 def test_interleaved_measure_records_both_sides():
@@ -139,8 +140,30 @@ def test_interleaved_measure_spark_failure_keeps_oracle():
         _FakeSpark(), _FakeCon(), _q("SELECT 1", fn=boom), "/nonexistent", runs=1
     )
     assert s is None and d is not None
-    assert err is not None and err.startswith("spark:")
+    assert err is not None and err.startswith("spark(")
+    assert "1/1 runs failed" in err
     assert "bad plan" in err
+
+
+def test_interleaved_measure_transient_failure_clears_on_success():
+    """Round-13 ADVICE: a side that fails on run 1 but succeeds on a
+    later run must NOT land in the errors map — n_errors means
+    'erroring now', not 'hiccuped once'."""
+    import bench
+
+    calls = {"n": 0}
+
+    def flaky(spark, sf_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return _FakeDF()
+
+    s, d, err = bench.interleaved_measure(
+        _FakeSpark(), _FakeCon(), _q("SELECT 1", fn=flaky), "/nonexistent", runs=2
+    )
+    assert s is not None and d is not None
+    assert err is None
 
 
 def test_interleaved_measure_no_con_no_oracle_timing():
