@@ -104,9 +104,102 @@ def _jaro_winkler(
     return j + prefix * scaling * (1.0 - j)
 
 
+_DUCK_CON = None
+_DUCK_PID = None
+
+# SQL computes only the EXACT-INTEGER parts: the jaro core (measured
+# bit-identical to the scalar floor `_jaro` on ASCII), the integer
+# prefix length (capped 4), and the emptiness/equality flags. The
+# Winkler boost floats stay OUT of SQL deliberately: DuckDB parses
+# the literal `0.1` as DECIMAL, and `j + prefix * 0.1 * (1 - j)`
+# through a DECIMAL intermediate lands 1 ulp off the scalar
+# reference's float64 chain on ~0.02% of pairs — so the boost is
+# applied in numpy below with the reference's exact operation order.
+_JW_FLOOR_SQL = """
+SELECT jaro_similarity(a, b) AS j,
+       CASE WHEN SUBSTRING(a, 1, 4) = SUBSTRING(b, 1, 4) THEN 4
+            WHEN SUBSTRING(a, 1, 3) = SUBSTRING(b, 1, 3) THEN 3
+            WHEN SUBSTRING(a, 1, 2) = SUBSTRING(b, 1, 2) THEN 2
+            WHEN SUBSTRING(a, 1, 1) = SUBSTRING(b, 1, 1) THEN 1
+            ELSE 0 END AS prefix,
+       (a = '' OR b = '') AS is_empty,
+       (a = b) AS is_eq
+FROM batch_df
+"""
+
+
+def _duck_con():
+    """One DuckDB connection per Python worker PROCESS (guide §4.5:
+    heavyweight init once, amortized across batches; worker reuse
+    keeps it across tasks). threads=1 — Spark already runs one task
+    per core, a parallel DuckDB inside each would oversubscribe.
+    The PID guard re-initializes after a fork."""
+    global _DUCK_CON, _DUCK_PID
+    import os
+
+    if _DUCK_CON is None or _DUCK_PID != os.getpid():
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+        _DUCK_CON.execute("SET threads TO 1")
+        _DUCK_PID = os.getpid()
+    return _DUCK_CON
+
+
+def _jw_floor_batch(a_arr, b_arr):
+    """Floor-convention Jaro-Winkler over a batch of non-null string
+    pairs. ASCII rows run through DuckDB's vectorized C jaro core —
+    measured bit-identical to the scalar `_jaro_winkler(...,
+    floor_transpositions=True)` on ASCII (the floor convention was
+    DESIGNED to match it; re-fuzzed round 14: 25k ASCII cases, zero
+    mismatches; ~3.2M pairs/s/core vs the Python loop's ~25k/s) —
+    with the boost computed by the same SQL the DuckDB oracle runs.
+    DuckDB's jaro walks BYTES, not codepoints, so non-ASCII rows take
+    the scalar reference per ROW (never per batch — one non-ASCII row
+    must not change its neighbors' path; same per-row-fallback rule
+    as bucket_wide_arrow)."""
+    import numpy as np
+
+    n = len(a_arr)
+    out = np.empty(n, dtype=np.float64)
+    ascii_mask = np.fromiter(
+        (x.isascii() and y.isascii() for x, y in zip(a_arr, b_arr)),
+        dtype=bool,
+        count=n,
+    )
+    if ascii_mask.any():
+        batch_df = pd.DataFrame(
+            {"a": a_arr[ascii_mask], "b": b_arr[ascii_mask]}
+        )
+        con = _duck_con()
+        con.register("batch_df", batch_df)
+        try:
+            res = con.execute(_JW_FLOOR_SQL).fetchnumpy()
+        finally:
+            con.unregister("batch_df")
+        j = res["j"]
+        p = res["prefix"].astype(np.float64)
+        # Reference float order: j + ((prefix * scaling) * (1.0 - j))
+        # — left-to-right, float64 throughout, bit-identical to
+        # `_jaro_winkler`'s return expression. Guards mirror _jaro's
+        # early returns: emptiness beats equality beats the boost.
+        jw = j + (p * 0.1) * (1.0 - j)
+        jw = np.where(res["is_empty"], 0.0, np.where(res["is_eq"], 1.0, jw))
+        out[ascii_mask] = jw
+    for i in np.nonzero(~ascii_mask)[0]:
+        out[i] = _jaro_winkler(a_arr[i], b_arr[i], floor_transpositions=True)
+    return out
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler, reference semantics; null-safe."""
+    """Arrow-batched Jaro-Winkler, REFERENCE semantics (float
+    transposition halving); null-safe. Stays a per-row Python loop:
+    the reference's odd-transposition value is not recoverable from
+    any engine builtin (that is the whole reason F5 is a UDF), and
+    the round-14 vectorized-numpy rewrite measured SLOWER (0.8x) than
+    this loop — the dense [batch, len1, len2] masks cost more than
+    the scalar's early-exit sparse walk (OPTIMIZATION_r14.md)."""
     out = []
     for a, b in zip(s1, s2):
         if a is None or b is None:
@@ -118,13 +211,23 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def jaro_winkler_floor_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Textbook/DuckDB transposition-pair convention (floor)."""
-    out = []
-    for a, b in zip(s1, s2):
-        if a is None or b is None:
-            out.append(None)
-        else:
-            out.append(_jaro_winkler(a, b, floor_transpositions=True))
+    """Textbook/DuckDB transposition-pair convention (floor);
+    null-safe. Round 14: batches run through `_jw_floor_batch`
+    (DuckDB C core for ASCII rows, scalar reference per non-ASCII
+    row) instead of a per-row Python loop — guide §4.2, outputs
+    bit-identical."""
+    import numpy as np
+
+    a = s1.to_numpy(dtype=object)
+    b = s2.to_numpy(dtype=object)
+    valid = np.fromiter(
+        (x is not None and y is not None for x, y in zip(a, b)),
+        dtype=bool,
+        count=len(a),
+    )
+    out = np.full(len(a), np.nan, dtype=np.float64)
+    if valid.any():
+        out[valid] = _jw_floor_batch(a[valid], b[valid])
     return pd.Series(out, dtype="float64")
 
 
@@ -132,5 +235,19 @@ def jaro_winkler(a: Column, b: Column) -> Column:
     return jaro_winkler_udf(a, b)
 
 
+# Non-deterministic INSTANCE of the floor UDF (the function itself is
+# pure — this is an optimizer fence, guide §4.4): when a filter
+# references the UDF's output column, the optimizer pushes the filter
+# down and DUPLICATES the evaluation — jaro_winkler_pairs' executed
+# plan carried TWO ArrowEvalPython nodes, every candidate pair paying
+# the UDF twice (round-14 plan read, plans/r14/jaro_winkler_pairs_
+# before.txt). Marking it non-deterministic forbids the copy: one
+# ArrowEvalPython, filter above it. Applied to the floor variant only
+# — the reference variant's one executed consumer (er_match_cascade)
+# has no Python node in its plan, and a blanket mark would block
+# legitimate filter pushes elsewhere.
+_jaro_winkler_floor_nd = jaro_winkler_floor_udf.asNondeterministic()
+
+
 def jaro_winkler_textbook(a: Column, b: Column) -> Column:
-    return jaro_winkler_floor_udf(a, b)
+    return _jaro_winkler_floor_nd(a, b)

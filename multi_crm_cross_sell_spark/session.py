@@ -71,7 +71,25 @@ def _ship_package(spark: SparkSession) -> None:
         stamp = os.path.join(
             tempfile.gettempdir(), "multi_crm_cross_sell_spark_pkg"
         )
-        if not os.path.exists(stamp + ".zip"):
+        # Rebuild when any package source is newer than the cached
+        # zip (round 14): a zip cached by an EARLIER session otherwise
+        # ships stale UDF code to the Python workers — cloudpickle
+        # serializes pandas-UDF closures by reference, so the worker
+        # resolves module attributes against the zip's old copy and
+        # dies with AttributeError (or, worse, silently runs old
+        # logic) after any edit to a UDF-referenced module.
+        src_mtime = 0.0
+        pkg_dir = os.path.join(root, "multi_crm_cross_sell_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    src_mtime = max(
+                        src_mtime, os.path.getmtime(os.path.join(dirpath, fn))
+                    )
+        if (
+            not os.path.exists(stamp + ".zip")
+            or os.path.getmtime(stamp + ".zip") <= src_mtime
+        ):
             shutil.make_archive(
                 stamp,
                 "zip",

@@ -173,3 +173,34 @@ def test_interleaved_measure_no_con_no_oracle_timing():
         _FakeSpark(), None, _q("SELECT 1"), "/nonexistent", runs=1
     )
     assert s is not None and d is None and err is None
+
+
+def test_ship_package_rebuilds_stale_zip(spark, tmp_path, monkeypatch):
+    """Round 14: the worker package zip is rebuilt when any package
+    source is NEWER than the cached zip. A zip cached by an earlier
+    session otherwise ships stale UDF code to Python workers
+    (cloudpickle serializes pandas-UDF closures by reference — the
+    worker resolves module attributes against the zip's old copy and
+    dies with AttributeError after any UDF-module edit)."""
+    import os
+    import tempfile
+    import zipfile
+
+    from multi_crm_cross_sell_spark import session as sess
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    stamp = os.path.join(str(tmp_path), "multi_crm_cross_sell_spark_pkg")
+
+    sess._ship_package(spark)
+    assert os.path.exists(stamp + ".zip")
+
+    # Make the cached zip look older than the sources: next call must
+    # rebuild (mtime strictly advances past the planted stale value).
+    os.utime(stamp + ".zip", (1.0, 1.0))
+    sess._ship_package(spark)
+    assert os.path.getmtime(stamp + ".zip") > 1.0
+    with zipfile.ZipFile(stamp + ".zip") as z:
+        src = z.read(
+            "multi_crm_cross_sell_spark/functions/similarity.py"
+        ).decode()
+    assert "_jw_floor_batch" in src  # current source, not a stale copy

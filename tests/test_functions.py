@@ -145,6 +145,86 @@ class TestJaroWinklerConventions:
         assert _jaro_winkler("", "x") == 0.0
 
 
+class TestJaroWinklerFloorBatchKernel:
+    """Round-14 optimization: the floor-variant pandas UDF computes
+    batches through `_jw_floor_batch` (DuckDB C jaro core for ASCII
+    rows + scalar reference per non-ASCII row) instead of a per-row
+    Python loop. The contract is BIT-IDENTICAL output (== on float64,
+    not approx): the query filters on jw >= 0.9 and rounds to 9
+    digits, so any ulp drift could flip a boundary row."""
+
+    def _fuzz_cases(self):
+        import random
+        import string
+
+        rng = random.Random(20260817)
+        alpha = string.ascii_lowercase + " &.,-"
+        uni = "αβγמしé漢ü"
+        cases = [
+            ("", ""),
+            ("", "x"),
+            ("same", "same"),
+            ("MARTHA", "MARHTA"),
+            ("dabebe", "abdab"),
+            ("ab\x00c", "ab\x00c"),  # embedded NUL: byte-safe path
+            ("müller gmbh", "muller gmbh"),  # non-ASCII -> scalar row
+        ]
+        for _ in range(2000):
+            pool = alpha if rng.random() < 0.8 else alpha + uni
+            cases.append(
+                (
+                    "".join(pool[rng.randrange(len(pool))] for _ in range(rng.randint(0, 40))),
+                    "".join(pool[rng.randrange(len(pool))] for _ in range(rng.randint(0, 40))),
+                )
+            )
+        # transposition-heavy permutations: the odd/even t boundary
+        for _ in range(800):
+            a = "".join("abcd"[rng.randrange(4)] for _ in range(rng.randint(1, 14)))
+            cases.append((a, "".join(rng.sample(a, len(a)))))
+        return cases
+
+    def test_batch_kernel_bit_identical_to_scalar(self):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.functions.similarity import (
+            _jw_floor_batch,
+        )
+
+        cases = self._fuzz_cases()
+        s1 = np.array([c[0] for c in cases], dtype=object)
+        s2 = np.array([c[1] for c in cases], dtype=object)
+        got = _jw_floor_batch(s1, s2)
+        for i, (a, b) in enumerate(cases):
+            exp = _jaro_winkler(a, b, floor_transpositions=True)
+            assert got[i] == exp, (a, b, got[i], exp)
+
+    def test_floor_udf_null_and_nonascii_rows(self, spark):
+        from multi_crm_cross_sell_spark.functions.similarity import (
+            jaro_winkler_textbook,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("MARTHA", "MARHTA"),
+                (None, "x"),
+                ("müller", "muller"),  # non-ASCII row inside an ASCII batch
+                ("acme corp", "acme corp"),
+            ],
+            ["a", "b"],
+        )
+        rows = df.select(
+            jaro_winkler_textbook(F.col("a"), F.col("b")).alias("jw")
+        ).collect()
+        assert rows[0]["jw"] == _jaro_winkler(
+            "MARTHA", "MARHTA", floor_transpositions=True
+        )
+        assert rows[1]["jw"] is None
+        assert rows[2]["jw"] == _jaro_winkler(
+            "müller", "muller", floor_transpositions=True
+        )
+        assert rows[3]["jw"] == 1.0
+
+
 class TestPiiRedaction:
     """functions/redaction.py: crafted-string contracts for the PII
     scrub (patterns restricted to Java-regex ∩ RE2 syntax)."""

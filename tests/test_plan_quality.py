@@ -65,6 +65,19 @@ def test_er_sweep_pair_join_never_broadcasts_corpus(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_jaro_pairs_udf_evaluated_once(spark):
+    # round-14 (guide §4.4): the jw >= 0.9 filter references the UDF's
+    # output column, and a deterministic UDF gets DUPLICATED by filter
+    # pushdown — two ArrowEvalPython nodes, every candidate pair paying
+    # the kernel twice. The floor UDF instance is marked
+    # non-deterministic as an optimizer fence; exactly ONE Python
+    # evaluation node may remain.
+    df = all_queries()["jaro_winkler_pairs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_eval = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_eval == 1, plan
+
+
 def test_flagship_pair_join_is_capped_cross_join(spark):
     plan = _plan(spark, "cross_sell_recommendations")
     # the pair space is top-k capped BEFORE the cross join: both rank
