@@ -519,6 +519,98 @@ def bucket_wide_arrow(
     return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
 
 
+def buckets_multi_arrow(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, b_0..b_{L-1}, v_0..v_{dim-1}) in ONE Arrow-batched
+    numpy pass over the raw scan — the MULTI-table LSH index frame
+    (round 14). The multitable path previously built wide_base +
+    bucket_frame (explode over the L·K plane-literal array + integer
+    re-aggregation) behind TWO lazy checkpoints; at sf0.1 ~63% of
+    ann_lsh_multitable's wall was driver-side construction/planning of
+    that tree (job_profile: construct 0.874 s of a 1.387 s wall). One
+    opaque kernel node computing every table's bucket in the same
+    batch sweep removes the explode/agg subplan and one checkpoint:
+    adjacent A/B min-of-4 at sf0.1 1.687 → 1.069 s, outputs
+    bit-identical.
+
+    Bit-parity discipline — identical to :func:`bucket_wide_arrow`
+    (the single-table kernel, round 13): i-ascending accumulation per
+    plane dot (every intermediate double equals the JVM's
+    left-to-right chain), sign test ``>= 0.0``, bucket as an exact
+    integer sum of 2^k terms; the plane matrix of table ``t`` is
+    ``_plane(k, t)`` — the same constants bucket_frame's literal array
+    carries. Fully-null and ragged rows take the per-ROW
+    COALESCE(x, 0.0) fallback (one bad row never changes its batch
+    neighbors' path — the round-14 ADVICE rule); a null ELEMENT inside
+    a full-length vector arrives as NaN at the Arrow boundary
+    (null/NaN collapse for float lists) and propagates through the
+    dense path — outside the dense-non-null embeddings contract, and
+    the same edge behavior as :func:`bucket_wide_arrow`."""
+    import numpy as np
+
+    PS = [
+        np.array(
+            [_plane(k, t)[:dim] for k in range(n_planes)], dtype=np.float64
+        )
+        for t in range(n_tables)
+    ]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf[vec_col].to_numpy()
+            try:
+                V = np.stack(arrs)
+                if V.dtype == object:
+                    raise ValueError("non-numeric elements")
+                V = V.astype(np.float64)
+                if V.ndim != 2 or V.shape[1] != dim:
+                    raise ValueError("ragged")
+            except Exception:
+                V = np.zeros((len(arrs), dim), dtype=np.float64)
+                for r, a in enumerate(arrs):
+                    if a is None:
+                        continue
+                    row = np.asarray(
+                        [0.0 if x is None else x for x in list(a)[:dim]],
+                        dtype=np.float64,
+                    )
+                    V[r, : len(row)] = row
+            n = V.shape[0]
+            out = {"vec_id": pdf[id_col].to_numpy()}
+            for t in range(n_tables):
+                P = PS[t]
+                bucket = np.zeros(n, dtype=np.int64)
+                for kk in range(n_planes):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for i in range(dim):
+                        acc += V[:, i] * P[kk, i]
+                    bucket += np.where(
+                        acc >= 0.0, np.int64(1 << kk), np.int64(0)
+                    )
+                out[f"b_{t}"] = bucket
+            for i in range(dim):
+                out[f"v_{i}"] = V[:, i]
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id bigint, "
+        + ", ".join(f"b_{t} bigint" for t in range(n_tables))
+        + ", "
+        + ", ".join(f"v_{i} double" for i in range(dim))
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -640,19 +732,52 @@ def ann_topk(
             F.col("rk") <= k
         )
 
-    # Lazy RDD-level persist on the two shared frames: `base` feeds
-    # four consumers (index build, query-id broadcast, query vectors,
-    # candidate re-rank) and `buck` two (query buckets, candidate
-    # side). Column pruning specializes each consumer's copy, the
-    # canonical subplans diverge, and ReusedExchange does NOT fire
-    # (the round-7 ngram lesson) — without the checkpoint the scan +
-    # 64-column unpack + repartition re-ran up to 3x (measured: 3
-    # parquet scans in the executed plan at sf0.1; 1 after).
-    base = wide_base(
-        embeddings, id_col, vec_col, dim, n_rows=n_vectors
+    # DEEP path (L tables and/or multi-probe), round-14 form: ONE
+    # Arrow pass (buckets_multi_arrow) computes every table's bucket
+    # AND the scalar-column layout together; a single lazy checkpoint
+    # dedupes all consumers (narrow index view, query vectors,
+    # candidate re-rank — column pruning would otherwise specialize
+    # each copy and re-run the kernel, the round-7 lesson). The
+    # previous form (wide_base + bucket_frame behind TWO checkpoints)
+    # spent ~63% of the sf0.1 wall on driver-side construction/
+    # planning of the explode-over-plane-literal subplan
+    # (job_profile: construct 0.874 s / 1.387 s wall); the kernel
+    # collapses it to one opaque node — adjacent A/B min-of-4 at
+    # sf0.1 1.687 → 1.069 s, outputs bit-identical (same per-plane
+    # accumulation order, same sign test, same COALESCE fallback —
+    # kernel docstring). Same size gate as the shallow branch: below
+    # ~32 MB of vectors everything after the broadcast build is one
+    # fused job; above it the explicit hash repartition BELOW the
+    # kernel spreads both the numpy batches and the downstream joins
+    # (REPARTITION_BY_NUM — exempt from AQE byte-coalescing).
+    raw = embeddings.selectExpr(f"{id_col} AS vec_id", f"{vec_col} AS _vec")
+    if n_vectors is not None:
+        nbytes = n_vectors * (dim * 8 + 16)
+    else:
+        try:
+            nbytes = int(
+                raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            nbytes = 1 << 60
+    if nbytes > 32 * 1024 * 1024:
+        n_parts = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+        if n_vectors is not None:
+            n_parts = min(n_parts, max(8, -(-n_vectors // 2000)))
+        raw = raw.repartition(n_parts, F.col("vec_id"))
+    bb = buckets_multi_arrow(
+        raw, n_planes, n_tables, id_col="vec_id", vec_col="_vec", dim=dim
     ).localCheckpoint(eager=False)
-    buck = bucket_frame(base, n_planes, n_tables, dim).localCheckpoint(
-        eager=False
+    base = bb.select("vec_id", *[f"v_{i}" for i in range(dim)])
+    # Narrow (vec_id, t, bucket) index view: posexplode over the tiny
+    # L-element bucket array — Generate with already-computed integer
+    # children (the harmless shape per the round-6 Generate rule); no
+    # re-aggregation job, unlike bucket_frame's explode-first build.
+    buck = bb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"b_{t}") for t in range(n_tables)])
+        ).alias("t", "bucket"),
     )
     # Query ids come from the RAW frame, column-pruned to the id —
     # routing them through `base` would block the broadcast build on

@@ -555,6 +555,79 @@ class TestPointerDoubling:
         assert len(out) == 61
 
 
+class TestMultiTableBucketKernel:
+    """Round-14 optimization: the multitable deep path computes every
+    table's bucket in ONE Arrow pass (buckets_multi_arrow) instead of
+    wide_base + bucket_frame's explode/re-aggregate build. The
+    contract is BIT-IDENTICAL buckets — bucket_frame stays in the
+    module as the JVM semantic spec, and this pin holds the kernel to
+    it (same accumulation order, same >= 0.0 sign test, same
+    COALESCE(x, 0.0) null-element semantics)."""
+
+    def test_kernel_matches_bucket_frame_spec(self, spark):
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            DIM,
+            bucket_frame,
+            buckets_multi_arrow,
+            wide_base,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        spec = {
+            (r.vec_id, r.t): r.bucket
+            for r in bucket_frame(
+                wide_base(e), n_planes=10, n_tables=3, dim=DIM
+            ).collect()
+        }
+        got = {}
+        for r in buckets_multi_arrow(e, n_planes=10, n_tables=3).collect():
+            for t in range(3):
+                got[(r.vec_id, t)] = r[f"b_{t}"]
+        assert got == spec
+
+    def test_kernel_malformed_rows_match_coalesce(self, spark):
+        """A fully-null vector takes the per-ROW fallback and must
+        bucket exactly as unpack_exprs' COALESCE(x, 0.0) row does
+        (all-zero vector -> every sign bit set) — without disturbing
+        its batch neighbors. Ragged arrays are NOT spec-comparable:
+        the JVM form's embedding[i] THROWS under ANSI for short
+        arrays, so the kernel's zero-padding is its loud-free
+        extension (same as bucket_wide_arrow). Null ELEMENTS inside a
+        full-length vector are also not covered: the Arrow boundary
+        delivers them as NaN (null/NaN collapse for float lists), so
+        they propagate through the dense path — outside the
+        dense-non-null embeddings contract either way."""
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            DIM,
+            bucket_frame,
+            buckets_multi_arrow,
+            wide_base,
+        )
+
+        rows = []
+        for vid in range(6):
+            vec = [((vid * 31 + i * 7) % 13 - 6) / 7.0 for i in range(DIM)]
+            if vid == 3:
+                vec = None  # whole-vector null -> all-zero row
+            rows.append((vid, vec))
+        e = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        spec = {
+            (r.vec_id, r.t): r.bucket
+            for r in bucket_frame(
+                wide_base(e), n_planes=8, n_tables=2, dim=DIM
+            ).collect()
+        }
+        got = {}
+        for r in buckets_multi_arrow(e, n_planes=8, n_tables=2).collect():
+            for t in range(2):
+                got[(r.vec_id, t)] = r[f"b_{t}"]
+        assert got == spec
+        # the batch's clean rows are unaffected by their null neighbor
+        assert all(spec[(v, t)] == got[(v, t)] for v in (0, 1, 2, 4, 5) for t in (0, 1))
+
+
 class TestMultiProbe:
     """Multi-probe LSH (hamming_probes=1): probing the K one-bit-flip
     buckets is a pure candidate-superset of the exact-bucket probe, so

@@ -55,6 +55,10 @@ QUERIES = [
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "ann_lsh_topk",
+    # Round 14: the multitable/multi-probe deep path joins the sweep
+    # after its one-pass Arrow bucket rewrite (buckets_multi_arrow) —
+    # same adaptive-occupancy claim class as the single-table kernel.
+    "ann_lsh_multitable",
     # Round 7: the IVF path joins the 100x decade sweep — same
     # adaptive-candidate claim class as LSH, same measurement bar.
     "ann_ivf_topk",
