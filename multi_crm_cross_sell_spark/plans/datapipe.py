@@ -2590,7 +2590,15 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in benchmark_decontamination; quality as pure projection)
     joined back on doc_id. At 100 TB the fingerprint window is the
     only corpus-sized shuffle, and it moves 16-byte hashes + ids, not
-    text."""
+    text — VERIFIED against the physical plan in round 14: the
+    pre-exchange projection already read (doc_id, quality_score,
+    md5(text)) — Catalyst collapsed the md5/quality expressions below
+    the window's exchange on its own, even though the source wrote
+    quality above it. Round 14 makes that narrow shuffle STRUCTURAL
+    (the explicit projection below; guide §2.3) so it no longer
+    depends on an optimizer rule firing; plans before/after are
+    node-identical (plans/r14/corpus_curation_report_*.txt — only
+    alias names differ), so no wall change is claimed."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
 
@@ -2614,7 +2622,6 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_contaminated", F.lit(True))
     )
 
-    w_fp = Window.partitionBy(F.md5(F.col("text")))
     t = words
     n_tokens = F.size(t)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -2630,10 +2637,23 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (F.lit(1.0) - stop_ratio)
         + 0.4 * ttr
     )
-    base = docs.select(
+    # Narrow projection BELOW the fingerprint window (round 14):
+    # structural form of what the optimizer was already doing — the
+    # executed plan's pre-exchange projection read (doc_id,
+    # quality_score, md5(text)) even when the source computed quality
+    # above the window. Writing the projection explicitly pins the
+    # narrow shuffle instead of relying on CollapseProject/pruning;
+    # plans are node-identical before/after (no wall claim).
+    narrow = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        quality.alias("quality_score"),
+    )
+    w_fp = Window.partitionBy("fp")
+    base = narrow.select(
         "doc_id",
         F.min("doc_id").over(w_fp).alias("canonical"),
-        quality.alias("quality_score"),
+        "quality_score",
     )
     holdout = F.col("doc_id") % _DECON_MOD == 0
     is_dup = F.col("canonical") != F.col("doc_id")
@@ -4142,9 +4162,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trick the paper uses to run at web scale. Scale notes +
     skew/AQE story in the operator docstring."""
     from ..operators.similarity_search import semantic_dedup_frame
+    from ..sources.bronze import table_num_rows
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_frame(e, threshold=_SEMDEDUP_TAU, n_centroids=None)
+    # n_rows from the parquet footer (round 14): the adaptive-c /
+    # impl-crossover count comes for free — previously this was the
+    # one registered embedding query still paying a count() JOB for
+    # it (d4_selection and the ann_* family already ride the footer).
+    return semantic_dedup_frame(
+        e,
+        threshold=_SEMDEDUP_TAU,
+        n_centroids=None,
+        n_rows=table_num_rows(sf_dir, "embeddings"),
+    )
 
 
 _DSIR_BUCKETS = 512
