@@ -69,9 +69,22 @@ DIM = 64
 # kernel and a call site while the SQL oracles (which state it
 # independently as GREATEST(16, FLOOR(SQRT(n)))) keep checking it.
 MIN_CENTROIDS = 16
-BNLJ_ASSIGN_MAX_N = 8_000  # below: JVM packed-long BNLJ argmax wins;
-#   above: the BNLJ's row materialization dominates and the Arrow
-#   pass wins (A/B measurements in ivf_assign / semantic_dedup_frame)
+# RETIRED GATE (round 14): BNLJ_ASSIGN_MAX_N = 8_000 used to route
+# small corpora (n < 8k) through the JVM packed-long BNLJ argmax, from
+# an early-round full-query A/B at n=2k (1.26s bnlj vs 1.62s arrow).
+# Re-measured round 14 across EVERY registered consumer (ann_ivf_topk,
+# ann_pq_topk, ann_rerank_crossencoder, ann_ivf2_topk,
+# ann_ivf_filtered_topk, semantic_dedup, cluster_balanced_sample,
+# prototypicality_pruning, d4_selection; interleaved min-of-5,
+# outputs identical): at n=5000 the Arrow kernel wins ALL NINE
+# (family total 11.36 -> 9.46s; e.g. d4 2.06 -> 1.41s), and at n=500
+# it is a wash (mixed ±0.1s, sum still favors arrow). The early
+# reading predates the warm-worker amortization the per-PID state
+# and the other kernels now provide. One code path — the 100 TB
+# path — at every scale; the "bnlj" impl stays forceable for parity
+# tests and A/B (ivf_assign(impl="bnlj")). Tables in SCALE.md
+# §Round 14.
+BNLJ_ASSIGN_MAX_N = 0
 
 
 def adaptive_codebook(n: int) -> tuple[int, str]:
@@ -1080,16 +1093,14 @@ def ivf_assign(
 
     if n_centroids is None:
         n = embeddings.count()
-        # The adaptive branch also picks the assignment impl (the
-        # semantic_dedup_frame gate, shared via adaptive_codebook so
-        # ivf_topk/pq_topk inherit it): below BNLJ_ASSIGN_MAX_N the
-        # n·isqrt(n) pair stream is a few hundred-k rows and the JVM
-        # BNLJ argmax beats the Arrow pass's Python-worker round
-        # trip; above, the BNLJ's row materialization dominates (A/B
-        # in semantic_dedup_frame's comment; impls bit-identical,
-        # pinned by test). Callers that size the codebook themselves
-        # (n_centroids given) keep their impl choice — the gate rides
-        # the adaptive branch only.
+        # The adaptive branch also picks the assignment impl (shared
+        # via adaptive_codebook so ivf_topk/pq_topk inherit it) —
+        # since round 14 that is the Arrow kernel at every n (the
+        # BNLJ gate is retired; nine-consumer A/B at the
+        # BNLJ_ASSIGN_MAX_N definition; impls bit-identical, pinned
+        # by test). Callers that size the codebook themselves
+        # (n_centroids given) keep their impl choice — the auto pick
+        # rides the adaptive branch only.
         n_centroids, auto_impl = adaptive_codebook(n)
         if impl == "arrow":
             impl = auto_impl
@@ -1764,14 +1775,12 @@ def semantic_dedup_frame(
             impl = "arrow" if n >= 50_000 else "join"
         # Third adaptive switch off the same count: the ASSIGNMENT
         # implementation (adaptive_codebook, shared with ivf_assign's
-        # own adaptive branch). Below BNLJ_ASSIGN_MAX_N the n·isqrt(n)
-        # pair stream is a few hundred-k rows and the JVM packed-long
-        # BNLJ argmax beats the Arrow pass's Python-worker round trip
-        # (same-session A/B: 1.26s vs 1.62s full-query at n=2k);
-        # by n=20k the BNLJ's row-materialization cost dominates
-        # (3.7s vs 1.8s) — the two impls are bit-identical
-        # (test_ivf_assign_arrow_matches_bnlj), so the switch is
-        # wall-only.
+        # own adaptive branch) — since round 14 this resolves to the
+        # Arrow kernel at every n (the BNLJ gate is retired; the
+        # round-14 nine-consumer A/B and the history live at the
+        # BNLJ_ASSIGN_MAX_N definition). The two impls are
+        # bit-identical (test_ivf_assign_arrow_matches_bnlj), so the
+        # gate was wall-only.
         auto_c, auto_impl = adaptive_codebook(n)
         if n_centroids is None:
             n_centroids = auto_c
