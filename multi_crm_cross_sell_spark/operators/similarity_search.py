@@ -1402,6 +1402,143 @@ def ivf_filtered_topk(
     )
 
 
+def _ivf2_labels_np(Cf, f_ids, Cc, c_ids, c_cix, self_pairs: bool):
+    """Fine→coarse labels as one numpy argmax — bit-identical to the
+    JVM ``lab_packed`` form (pk = ((round(sim·1e9) + 1e9)·2 + self)
+    · 2^21 + (2^20 − co_ix), max per fine centroid): dots and norms
+    accumulate i-ascending (per-step IEEE rounding identical to
+    dot_cols/norm_cols), HALF_UP nanos via :func:`_half_up_exact`,
+    the self bit only in "first" mode (coarse ids are fine ids there;
+    trained codebooks are disjoint point sets). The c×c1 matrix is
+    driver-tiny at every decade (√n × n^¼). Returns the winning
+    co_ix per fine centroid, in fine cent_ix order."""
+    import numpy as np
+
+    dim = Cf.shape[1]
+    facc = np.zeros(Cf.shape[0])
+    oacc = np.zeros(Cc.shape[0])
+    for i in range(dim):
+        facc += Cf[:, i] * Cf[:, i]
+        oacc += Cc[:, i] * Cc[:, i]
+    fnorm, onorm = np.sqrt(facc), np.sqrt(oacc)
+    accd = np.zeros((Cf.shape[0], Cc.shape[0]))
+    for i in range(dim):
+        accd += Cf[:, i : i + 1] * Cc[None, :, i]
+    sim = accd / (fnorm[:, None] * onorm[None, :])
+    nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+    self_term = (
+        (f_ids[:, None] == c_ids[None, :]).astype(np.int64)
+        if self_pairs
+        else np.int64(0)
+    )
+    pk = ((nanos + 1_000_000_000) * 2 + self_term) * 2_097_152 + (
+        1_048_576 - c_cix
+    )[None, :]
+    return (1_048_576 - pk.max(axis=1) % 2_097_152).astype(np.int64)
+
+
+def _ivf2_assign_arrow(
+    base: DataFrame,
+    Cf,
+    f_cix,
+    flab,
+    Cc,
+    c_cix,
+    dim: int,
+    cblock: int = 1024,
+) -> DataFrame:
+    """FUSED two-level IVF assignment: ONE Arrow-batched numpy pass
+    computes each vector's coarse cell (vs the c1 coarse centroids)
+    and then its fine cell among ONLY the fine centroids labeled with
+    that coarse cell — replacing the old stage-2 dataflow (base ⋈ vco
+    on vec_id → ⋈ broadcast(fine_lab) on the coarse label → packed
+    argmax groupBy(vec_id) → base ⋈ cells on vec_id again), i.e. two
+    n-row joins and one n-row exchange, with zero extra passes: the
+    kernel emits ``base``'s columns plus ``cell`` directly.
+
+    Scale story UNCHANGED from the broadcast-join form it replaces:
+    the flops are the same n·c1·dim (stage 1) + n·(c/c1)·dim average
+    (stage 2 — each vector is scored against its coarse group's fine
+    centroids only, never all c), and the full fine codebook already
+    shipped to every executor as the fine_lab BROADCAST hash relation
+    (c·dim doubles); here the same bytes ride the task binary instead
+    (TorrentBroadcast, once per executor per stage). Per-group skew
+    is the codebook's own balance (c/c1 average), and centroid
+    chunking (``cblock``) bounds the per-batch temporaries exactly as
+    in :func:`_assign_cells_arrow`.
+
+    Bit-parity discipline identical to :func:`_assign_cells_arrow`
+    (i-ascending accumulation, HALF_UP nanos, packed tie-break toward
+    the lowest cent_ix); every coarse cell a vector can win is
+    guaranteed non-empty (self bit in "first" mode; valid-cell DROP in
+    trained mode), so the group lookup is total — a missing group
+    would raise, not mis-assign."""
+    import numpy as np
+
+    cacc = np.zeros(Cc.shape[0])
+    for i in range(dim):
+        cacc += Cc[:, i] * Cc[:, i]
+    cnorm = np.sqrt(cacc)
+    facc = np.zeros(Cf.shape[0])
+    for i in range(dim):
+        facc += Cf[:, i] * Cf[:, i]
+    fnorm = np.sqrt(facc)
+    groups = {int(g): np.nonzero(flab == g)[0] for g in np.unique(flab)}
+    vcols = [f"v_{i}" for i in range(dim)]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = pdf[vcols].to_numpy(dtype=np.float64)
+            m = V.shape[0]
+            accn = np.zeros(m)
+            for i in range(dim):
+                accn += V[:, i] * V[:, i]
+            vnorm = np.sqrt(accn)[:, None]
+            best = None
+            for s in range(0, Cc.shape[0], cblock):
+                Cb = Cc[s : s + cblock]
+                accd = np.zeros((m, Cb.shape[0]))
+                for i in range(dim):
+                    accd += V[:, i : i + 1] * Cb[None, :, i]
+                sim = accd / (vnorm * cnorm[None, s : s + cblock])
+                nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+                pk = (nanos + 1_000_000_000) * 2_097_152 + (
+                    1_048_576 - c_cix[s : s + cblock]
+                )[None, :]
+                bb = pk.max(axis=1)
+                best = bb if best is None else np.maximum(best, bb)
+            vco = 1_048_576 - (best % 2_097_152)
+            cell = np.empty(m, dtype=np.int64)
+            for g in np.unique(vco):
+                rows = np.nonzero(vco == g)[0]
+                idx = groups[int(g)]
+                Vg = V[rows]
+                ng = rows.shape[0]
+                bestg = None
+                for s in range(0, idx.shape[0], cblock):
+                    ib = idx[s : s + cblock]
+                    Cb = Cf[ib]
+                    accd = np.zeros((ng, ib.shape[0]))
+                    for i in range(dim):
+                        accd += Vg[:, i : i + 1] * Cb[None, :, i]
+                    sim = accd / (vnorm[rows] * fnorm[None, ib])
+                    nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+                    pk = (nanos + 1_000_000_000) * 2_097_152 + (
+                        1_048_576 - f_cix[ib]
+                    )[None, :]
+                    bb = pk.max(axis=1)
+                    bestg = bb if bestg is None else np.maximum(bestg, bb)
+                cell[rows] = 1_048_576 - (bestg % 2_097_152)
+            yield pdf.assign(cell=cell)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+    return base.mapInPandas(fn, schema=schema + ", cell bigint")
+
+
 def ivf2_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -1430,18 +1567,20 @@ def ivf2_topk(
       best fine cells among them, then exact-cosine re-ranks the
       vectors of those fine cells.
 
-    Scale shape: stage 1 is the measured ivf_assign kernel against
-    only c1 centroids (per-task state c1·dim·8 B = √c of the flat
-    matrix); stage 2 streams n·(c/c1) ≈ n·√c (vector, fine-centroid)
-    pairs through a broadcast join + packed-long argmax with map-side
-    combine — vs the flat index's n·c pair stream, a √c reduction in
-    BOTH closure bytes and assignment pairs (at n = 10¹⁰: 10⁵ fine
-    cells, 316 coarse; stage 1 + stage 2 ≈ 2·n·√c = 6×10¹² pair-terms
-    vs the flat 10¹⁵). The probe tail is the ivf_topk shape on the
-    fine-cell int key. Recall sits below the flat index at equal
-    (p1·p2) because a near neighbor can hide across a coarse boundary
-    — the standard two-level trade, measured next to the flat curve
-    in SCALE.md.
+    Scale shape: BOTH assignment stages run in one fused Arrow pass
+    (:func:`_ivf2_assign_arrow`, round 14 — it replaced a stage-2
+    broadcast join + packed-argmax groupBy plus two n-row vec_id
+    joins): each vector is scored against the c1 coarse centroids,
+    then against ONLY its coarse cell's fine centroids — n·c1·dim +
+    n·(c/c1)·dim ≈ 2·n·√c·dim flops, vs the flat index's n·c·dim (at
+    n = 10¹⁰: 10⁵ fine cells, 316 coarse; ≈ 6×10¹² pair-terms vs the
+    flat 10¹⁵). The fine codebook rides the task binary (c·dim
+    doubles — the SAME bytes the replaced form broadcast to every
+    executor as the fine_lab hash relation, minus the hash overhead).
+    The probe tail is the ivf_topk shape on the fine-cell int key.
+    Recall sits below the flat index at equal (p1·p2) because a near
+    neighbor can hide across a coarse boundary — the standard
+    two-level trade, measured next to the flat curve in SCALE.md.
 
     Determinism ("first" mode, the oracle-pinned default): lowest-id
     centroids at both levels, all similarity ranks ordered
@@ -1462,38 +1601,72 @@ def ivf2_topk(
     (test_ivf2_fine_labels_cover_every_coarse_cell / _kmeans)."""
     from pyspark.sql import Window
 
+    import numpy as np
+
     n = embeddings.count() if n_vectors is None else n_vectors
-    c, impl = adaptive_codebook(n)
+    c, _impl = adaptive_codebook(n)
     c1 = adaptive_coarse(c)
 
+    # Checkpointed scalar-column layout (same construction ivf_assign
+    # uses); consumed by the fused assignment kernel and the query
+    # probe frames.
+    base = wide_base(embeddings, id_col, vec_col, dim, n_rows=n).localCheckpoint(
+        eager=False
+    )
     cw = Window.orderBy("cent_id")
     if centroids == "kmeans":
-        base = wide_base(
-            embeddings, id_col, vec_col, dim, n_rows=n
-        ).localCheckpoint(eager=False)
         coarse = _kmeans_cents(base, c1, dim).withColumn(
             "cent_ix", F.row_number().over(cw) - 1
         )
         fine = _kmeans_cents(base, c, dim).withColumn(
             "cent_ix", F.row_number().over(cw) - 1
         )
-        vco = None  # assigned below, against the VALID coarse set only
-    else:
-        # Stage 1 (vector -> coarse cell): the shared ivf_assign kernel
-        # with the c1-sized codebook; base is its checkpointed wide
-        # frame, reused by every stage below.
-        base, coarse, vco = ivf_assign(
-            embeddings, n_centroids=c1, id_col=id_col, vec_col=vec_col,
-            dim=dim, impl=impl, n_rows=n, with_vectors=False,
+        frows = sorted(fine.collect(), key=lambda r: r["cent_ix"])
+        Cf = np.array(
+            [[r[f"c_{i}"] for i in range(dim)] for r in frows], dtype=np.float64
         )
+        f_ids = np.array([r["cent_id"] for r in frows], dtype=np.int64)
+        crows = sorted(coarse.collect(), key=lambda r: r["cent_ix"])
+        Cc = np.array(
+            [[r[f"c_{i}"] for i in range(dim)] for r in crows], dtype=np.float64
+        )
+        c_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+        self_pairs = False
+    else:
         # Fine codebook: first c lowest-id vectors, dense cent_ix (same
-        # construction as ivf_assign's).
+        # construction as ivf_assign's); coarse = the c1-prefix of the
+        # SAME lowest-id ordering, so ONE bounded collect (c rows, the
+        # exact payload _assign_cells_arrow collects on the flat path)
+        # serves both codebook levels of the fused kernel.
         fine = (
             base.orderBy("vec_id")
             .limit(c)
             .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
             .withColumn("cent_ix", F.row_number().over(cw) - 1)
         )
+        coarse = (
+            base.orderBy("vec_id")
+            .limit(c1)
+            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+            .withColumn("cent_ix", F.row_number().over(cw) - 1)
+        )
+        rows = sorted(
+            base.orderBy("vec_id").limit(c).collect(), key=lambda r: r["vec_id"]
+        )
+        Cf = np.array(
+            [[r[f"v_{i}"] for i in range(dim)] for r in rows], dtype=np.float64
+        )
+        f_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        Cc, c_ids = Cf[:c1], f_ids[:c1]
+        self_pairs = True
+    f_cix = np.arange(Cf.shape[0], dtype=np.int64)
+    c_cix = np.arange(Cc.shape[0], dtype=np.int64)
+    # Fine→coarse labels, computed ONCE in numpy for the kernel —
+    # bit-identical to the JVM lab_packed argmax below (parity pinned
+    # by test_ivf2_numpy_labels_match_jvm); the JVM labels frame
+    # remains the probe side's source so the executed probe plan is
+    # unchanged.
+    flab = _ivf2_labels_np(Cf, f_ids, Cc, c_ids, c_cix, self_pairs)
     # Coarse centroids in o_-prefixed layout for joins against frames
     # that already carry c_-named fine centroids or v_-named vectors.
     co = coarse.selectExpr(
@@ -1555,43 +1728,19 @@ def ivf2_topk(
             "cent_ix AS co_ix",
             *[f"c_{i} AS o_{i}" for i in range(dim)],
         )
-        # Stage 1 against the valid coarse set (the measured Arrow
-        # kernel — trained mode is the at-scale path, no BNLJ gate).
-        vco = _assign_cells_arrow(base, coarse_valid, dim)
-    # Lazy RDD persist: fine_lab fans out to THREE broadcast builds
-    # (stage-2 assignment, query fine probes) whose column-pruned
-    # copies are canonically different — without it each build re-runs
-    # the TakeOrdered + label argmax chain (the column-pruning lesson).
-    fine_lab = fine.join(F.broadcast(labels), "cent_ix").localCheckpoint(
-        eager=False
-    )
-    # Stage 2 (vector -> fine cell WITHIN its coarse cell): broadcast
-    # the labeled fine codebook, join on the coarse label, packed
-    # argmax with map-side combine — the n·(c/c1) pair stream.
-    s2_raw = (
-        f"{dot_cols('v', 'c', dim)}"
-        f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
-    )
-    s2_packed = F.expr(
-        f"(CAST(ROUND(({s2_raw}) * 1000000000) AS BIGINT) + 1000000000L)"
-        f" * 2097152L + (1048576L - cent_ix)"
-    )
-    vlab = vco.selectExpr("vec_id", "cell AS vco")
-    cells2 = (
-        base.join(vlab, "vec_id")
-        .join(F.broadcast(fine_lab), F.col("co_ix") == F.col("vco"))
-        .select("vec_id", s2_packed.alias("pk"))
-        .groupBy("vec_id")
-        .agg(F.max("pk").alias("pk"))
-        .select(
-            "vec_id",
-            (
-                F.lit(1048576).cast("bigint")
-                - F.pmod(F.col("pk"), F.lit(2097152))
-            ).alias("cell"),
-        )
-    )
-    assigned = base.join(cells2, "vec_id")
+        valid = np.unique(flab)
+        keep = np.isin(c_cix, valid)
+        Cc_a, c_cix_a = Cc[keep], c_cix[keep]
+    else:
+        Cc_a, c_cix_a = Cc, c_cix
+    # Labeled fine codebook for the QUERY probe side only (the fused
+    # kernel below owns both assignment stages); single consumer, so
+    # no checkpoint — one broadcast build.
+    fine_lab = fine.join(F.broadcast(labels), "cent_ix")
+    # Both assignment stages (vector → coarse cell → fine cell within
+    # that coarse cell) run in ONE Arrow pass; the kernel emits base's
+    # columns + cell directly, so no join re-attaches the vectors.
+    assigned = _ivf2_assign_arrow(base, Cf, f_cix, flab, Cc_a, c_cix_a, dim)
 
     # Query probes: top-p1 coarse cells, then top-p2 fine cells among
     # the fine centroids of those coarse cells. The query set is small

@@ -408,6 +408,128 @@ def test_ivf2_fine_labels_cover_every_coarse_cell(spark):
         assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
 
 
+def test_ivf2_fused_assignment_matches_jvm(spark):
+    """The round-14 fused two-level assignment kernel
+    (_ivf2_labels_np + _ivf2_assign_arrow) must be bit-identical to
+    the JVM dataflow it replaced: lab_packed label argmax, stage-1
+    _assign_cells_arrow vs the coarse codebook, stage-2 broadcast
+    join + packed argmax restricted to the vector's coarse cell.
+    Corpus: the sf0.001 embeddings PLUS a duplicated row pair (vec 0
+    re-appended under a new id) so 1.0-cosine label/assignment ties
+    exercise the packed tie-break toward the lowest cent_ix."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from multi_crm_cross_sell_spark.operators.similarity_search import (
+        _assign_cells_arrow,
+        _ivf2_assign_arrow,
+        _ivf2_labels_np,
+        adaptive_coarse,
+        adaptive_codebook,
+        dot_cols,
+        norm_cols,
+        rename_exprs,
+        wide_base,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = e.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    e = e.unionByName(dup)
+    n = e.count()
+    dim = 64
+    c, _ = adaptive_codebook(n)
+    c1 = adaptive_coarse(c)
+    base = wide_base(e, "vec_id", "embedding", dim, n_rows=n).localCheckpoint(
+        eager=False
+    )
+    cw = Window.orderBy("cent_id")
+    fine = (
+        base.orderBy("vec_id")
+        .limit(c)
+        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+        .withColumn("cent_ix", F.row_number().over(cw) - 1)
+    )
+    coarse = (
+        base.orderBy("vec_id")
+        .limit(c1)
+        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+        .withColumn("cent_ix", F.row_number().over(cw) - 1)
+    )
+    co = coarse.selectExpr(
+        "cent_id AS co_id",
+        "cent_ix AS co_ix",
+        *[f"c_{i} AS o_{i}" for i in range(dim)],
+    )
+    # numpy side
+    rows = sorted(
+        base.orderBy("vec_id").limit(c).collect(), key=lambda r: r["vec_id"]
+    )
+    Cf = np.array([[r[f"v_{i}"] for i in range(dim)] for r in rows])
+    f_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Cc, c_ids = Cf[:c1], f_ids[:c1]
+    f_cix = np.arange(c, dtype=np.int64)
+    c_cix = np.arange(c1, dtype=np.int64)
+    flab = _ivf2_labels_np(Cf, f_ids, Cc, c_ids, c_cix, True)
+    # JVM labels (the lab_packed form ivf2_topk still uses for probes)
+    lab_raw = (
+        f"{dot_cols('c', 'o', dim)}"
+        f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
+    )
+    lab_packed = F.expr(
+        f"((CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L) * 2"
+        f" + (CASE WHEN cent_id = co_id THEN 1L ELSE 0L END))"
+        f" * 2097152L + (1048576L - co_ix)"
+    )
+    labels = (
+        fine.join(F.broadcast(co), how="cross")
+        .select("cent_ix", lab_packed.alias("pk"))
+        .groupBy("cent_ix")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "cent_ix",
+            (
+                F.lit(1048576).cast("bigint")
+                - F.pmod(F.col("pk"), F.lit(2097152))
+            ).alias("co_ix"),
+        )
+    )
+    jvm_lab = {r["cent_ix"]: r["co_ix"] for r in labels.collect()}
+    assert jvm_lab == {int(i): int(flab[i]) for i in range(c)}
+    # JVM stage-2 (the replaced dataflow), restricted to the coarse cell
+    fine_lab = fine.join(F.broadcast(labels), "cent_ix")
+    vco = _assign_cells_arrow(base, coarse, dim)
+    s2_raw = (
+        f"{dot_cols('v', 'c', dim)}"
+        f" / ({norm_cols('v', dim)} * {norm_cols('c', dim)})"
+    )
+    s2_packed = F.expr(
+        f"(CAST(ROUND(({s2_raw}) * 1000000000) AS BIGINT) + 1000000000L)"
+        f" * 2097152L + (1048576L - cent_ix)"
+    )
+    cells2 = (
+        base.join(vco.selectExpr("vec_id", "cell AS vco"), "vec_id")
+        .join(F.broadcast(fine_lab), F.col("co_ix") == F.col("vco"))
+        .select("vec_id", s2_packed.alias("pk"))
+        .groupBy("vec_id")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "vec_id",
+            (
+                F.lit(1048576).cast("bigint")
+                - F.pmod(F.col("pk"), F.lit(2097152))
+            ).alias("cell"),
+        )
+    )
+    jvm_cells = {r["vec_id"]: r["cell"] for r in cells2.collect()}
+    fused = _ivf2_assign_arrow(base, Cf, f_cix, flab, Cc, c_cix, dim)
+    fused_cells = {r["vec_id"]: r["cell"] for r in fused.select("vec_id", "cell").collect()}
+    assert fused_cells == jvm_cells
+
+
 def test_ivf2_kmeans_mode_covers_every_vector(spark):
     """Trained-codebook mode: coarse/fine KMeans codebooks are
     disjoint point sets (no self bit possible), so validity comes from
