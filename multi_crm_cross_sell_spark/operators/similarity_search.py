@@ -2191,6 +2191,75 @@ def pq_encode(
     return base.mapInPandas(fn, schema="vec_id bigint, pq_code bigint")
 
 
+def _pq_assign_encode_arrow(
+    base: DataFrame,
+    C,
+    c_cix,
+    Cpq,
+    dim: int,
+    n_sub: int,
+    ks: int,
+    cblock: int = 1024,
+) -> DataFrame:
+    """FUSED IVF-cell assignment + PQ encode: ONE Arrow pass emits
+    (vec_id, cell, pq_code) — the cell argmax bit-identical to
+    :func:`_assign_cells_arrow` (same chunked packed-long max, same
+    HALF_UP nanos, same i-ascending accumulation) and the packed code
+    bit-identical to :func:`pq_encode`'s kernel (same
+    :func:`_pq_dn_block`, same packed-min tie-break). Replaces TWO
+    passes over the checkpointed base plus the n-row codes join that
+    re-attached pq_code to the candidate stream (which the planner
+    satisfied by BROADCASTING the full n-row codes frame — fine at
+    bench scale, a corpus-sized broadcast at 100 TB). Both codebooks
+    ride the task closure: c·dim + M·ks·ds doubles — the flat
+    assignment closure plus 4 KB."""
+    import numpy as np
+
+    cacc = np.zeros(C.shape[0])
+    for i in range(dim):
+        cacc += C[:, i] * C[:, i]
+    cnorm = np.sqrt(cacc)
+    ds = dim // n_sub
+    shifts = np.arange(n_sub, dtype=np.int64) * 5
+    cidx = np.arange(ks, dtype=np.int64)[None, :]
+    vcols = [f"v_{i}" for i in range(dim)]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = pdf[vcols].to_numpy(dtype=np.float64)
+            m = V.shape[0]
+            accn = np.zeros(m)
+            for i in range(dim):
+                accn += V[:, i] * V[:, i]
+            vnorm = np.sqrt(accn)[:, None]
+            best = None
+            for s in range(0, C.shape[0], cblock):
+                Cb = C[s : s + cblock]
+                accd = np.zeros((m, Cb.shape[0]))
+                for i in range(dim):
+                    accd += V[:, i : i + 1] * Cb[None, :, i]
+                sim = accd / (vnorm * cnorm[None, s : s + cblock])
+                nanos = _half_up_exact(sim * 1e9).astype(np.int64)
+                pk = (nanos + 1_000_000_000) * 2_097_152 + (
+                    1_048_576 - c_cix[s : s + cblock]
+                )[None, :]
+                bb = pk.max(axis=1)
+                best = bb if best is None else np.maximum(best, bb)
+            cell = 1_048_576 - (best % 2_097_152)
+            code = np.zeros(m, dtype=np.int64)
+            for mi in range(n_sub):
+                dn = _pq_dn_block(V[:, mi * ds : (mi + 1) * ds], Cpq[mi], ds)
+                cm = (dn * 32 + cidx).min(axis=1) % 32
+                code += cm << shifts[mi]
+            yield pdf[["vec_id"]].assign(cell=cell, pq_code=code)
+
+    return base.mapInPandas(
+        fn, schema="vec_id bigint, cell bigint, pq_code bigint"
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -2229,19 +2298,53 @@ def pq_topk(
     adaptive codebook."""
     from pyspark.sql import Window
 
-    impl = "arrow"
-    if n_centroids is None and n_vectors is not None:
-        n_centroids, impl = adaptive_codebook(n_vectors)
-    base, cents, assigned = ivf_assign(
-        embeddings, n_centroids, id_col, vec_col, "first", dim, impl=impl,
-        with_vectors=False, n_rows=n_vectors,
+    import numpy as np
+
+    if n_centroids is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        n_centroids, _ = adaptive_codebook(n_vectors)
+    base = wide_base(
+        embeddings, id_col, vec_col, dim, n_rows=n_vectors
+    ).localCheckpoint(eager=False)
+    cw = Window.orderBy("cent_id")
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+        .withColumn("cent_ix", F.row_number().over(cw) - 1)
     )
     ds = dim // n_sub
-    pcs = pq_literals_from_base(base, dim, n_sub, ks)
-    if not pcs:
+    # ONE bounded collect serves BOTH codebooks: the IVF centroids are
+    # the max(c, ks) lowest-id rows' vectors and the PQ codebook is
+    # the ks-prefix's subvectors (pq_literals_from_base's construction
+    # over the same rows — c = max(16, isqrt(n)) ≥ ks at the adaptive
+    # default, so the prefix is free).
+    rows = sorted(
+        base.orderBy("vec_id").limit(max(n_centroids, ks)).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not rows:
         raise ValueError("pq_topk: empty corpus")
-    ks = min(ks, 1 + max(c for (_, c) in pcs))  # graceful tiny corpora
-    codes = pq_encode(base, pcs, dim, n_sub, ks)
+    C = np.array(
+        [[r[f"v_{i}"] for i in range(dim)] for r in rows[:n_centroids]],
+        dtype=np.float64,
+    )
+    c_cix = np.arange(C.shape[0], dtype=np.int64)
+    ks = min(ks, len(rows))  # graceful tiny corpora
+    Cpq = np.array(
+        [
+            [[rows[c][f"v_{m * ds + j}"] for j in range(ds)] for c in range(ks)]
+            for m in range(n_sub)
+        ],
+        dtype=np.float64,
+    )
+    # Fused assignment + encode: one Arrow pass emits
+    # (vec_id, cell, pq_code) — no separate codes frame, no n-row
+    # join/broadcast re-attaching codes to candidates.
+    assigned = _pq_assign_encode_arrow(
+        base, C, c_cix, Cpq, dim, n_sub, ks
+    )
 
     # Query probes: nearest nprobe cells, narrow output (the ivf_topk
     # probe block minus the wide payload — ADC needs only the qdist
@@ -2267,10 +2370,13 @@ def pq_topk(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qcell")
     )
+    # The candidate stream carries pq_code straight out of the fused
+    # kernel — the old form's codes frame (and the n-row broadcast
+    # join re-attaching it) no longer exists.
     cand = F.broadcast(probes).join(
-        assigned.select("vec_id", "cell"),
+        assigned,
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id", "pq_code")
 
     # Per-query distance table: exact query subvectors vs every PQ
     # centroid, as ONE array<bigint> of M·ks integer-nano entries per
@@ -2278,9 +2384,6 @@ def pq_topk(
     # uses (one implementation ⇒ the data-side and query-side nanos
     # cannot drift), emitting the flat array instead of the argmin.
     # n_q · M·ks · 8 bytes broadcasts.
-    import numpy as np
-
-    C = _pq_cb_matrix(pcs, n_sub, ks)
     vcols = [f"v_{i}" for i in range(dim)]
 
     def qfn(batches):
@@ -2289,7 +2392,7 @@ def pq_topk(
                 continue
             V = pdf[vcols].to_numpy(dtype=np.float64)
             blocks = [
-                _pq_dn_block(V[:, m * ds : (m + 1) * ds], C[m], ds)
+                _pq_dn_block(V[:, m * ds : (m + 1) * ds], Cpq[m], ds)
                 for m in range(n_sub)
             ]
             qdn = np.concatenate(blocks, axis=1)  # (n, M·ks), m-major
@@ -2314,10 +2417,8 @@ def pq_topk(
         f" + pmod(shiftright(pq_code, {5 * m}), 32) AS INT))"
         for m in range(n_sub)
     )
-    scored = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qtab), "query_id")
-        .selectExpr("query_id", "vec_id", f"({adc}) AS adc_nanos")
+    scored = cand.join(F.broadcast(qtab), "query_id").selectExpr(
+        "query_id", "vec_id", f"({adc}) AS adc_nanos"
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("adc_nanos"), F.asc("vec_id")

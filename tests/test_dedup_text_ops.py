@@ -753,6 +753,71 @@ class TestPq:
         }
         assert got == want
 
+    def test_fused_assign_encode_matches_separate_paths(self, spark, sf_dir):
+        """The round-14 fused kernel (_pq_assign_encode_arrow) must be
+        bit-identical to the two passes it replaced: the IVF cell from
+        _assign_cells_arrow and the packed code from pq_encode, on the
+        same codebooks."""
+        import numpy as np
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from multi_crm_cross_sell_spark.operators.similarity_search import (
+            PQ_KS,
+            PQ_M,
+            _assign_cells_arrow,
+            _pq_assign_encode_arrow,
+            adaptive_codebook,
+            pq_encode,
+            pq_literals_from_base,
+            rename_exprs,
+            wide_base,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        c, _ = adaptive_codebook(n)
+        base = wide_base(e, "vec_id", "embedding", 64, n_rows=n).localCheckpoint(
+            eager=False
+        )
+        cw = Window.orderBy("cent_id")
+        cents = (
+            base.orderBy("vec_id")
+            .limit(c)
+            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", 64))
+            .withColumn("cent_ix", F.row_number().over(cw) - 1)
+        )
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in _assign_cells_arrow(base, cents, 64).collect()
+        }
+        pcs = pq_literals_from_base(base, 64, PQ_M, PQ_KS)
+        ks = min(PQ_KS, 1 + max(cc for (_, cc) in pcs))
+        codes = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(base, pcs, 64, PQ_M, ks).collect()
+        }
+        rows = sorted(
+            base.orderBy("vec_id").limit(max(c, PQ_KS)).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        ds = 64 // PQ_M
+        C = np.array(
+            [[r[f"v_{i}"] for i in range(64)] for r in rows[:c]]
+        )
+        Cpq = np.array(
+            [
+                [[rows[cc][f"v_{m * ds + j}"] for j in range(ds)] for cc in range(ks)]
+                for m in range(PQ_M)
+            ]
+        )
+        fused = {
+            r["vec_id"]: (r["cell"], r["pq_code"])
+            for r in _pq_assign_encode_arrow(
+                base, C, np.arange(c, dtype=np.int64), Cpq, 64, PQ_M, ks
+            ).collect()
+        }
+        assert fused == {i: (cells[i], codes[i]) for i in cells}
+
     def test_pq_literals_paths_agree(self, spark, sf_dir):
         """The TakeOrdered fast path (pq_literals_from_base, the one
         pq_topk uses) yields the exact floats of the codebook-frame
