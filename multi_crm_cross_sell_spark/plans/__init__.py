@@ -41,7 +41,6 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # Round-14 rotation (57 parked / 50 in-window / 107 registered):
 # The THIRTY-TWO round-12 parks hit their R2 deadline and ALL rejoin
 # the driver window (the round-13 verdict's demand list, verbatim).
-# The round-13 parks stay parked one more round (R2 deadline r15).
 # No newcomer this round (growth-discipline demand: registry stays
 # 107). Every query whose executed plan changes in round 14 sits
 # in-window so CORRECTNESS_r14 proves it green post-change:
@@ -50,8 +49,17 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # vocab_construction (TakeOrdered cap before the rank window),
 # document_token_ids (literal-map narrow-projection rewrite — also a
 # deadline rejoin), ann_lsh_topk (bucket_wide_arrow per-row fallback
-# per ADVICE). In exchange round-13-driver-green entries park per R5
-# — groups (a)/(b)/(c) annotated inline below; R2 deadline r16.
+# per ADVICE), and — from the later-session plan changes —
+# jaro_winkler_pairs (single ArrowEvalPython + DuckDB-core batch
+# kernel), ann_lsh_multitable (one-pass multi-table bucket kernel),
+# ann_ivf2_topk (fused two-level assignment — also a deadline
+# rejoin), ann_pq_topk (fused assignment+encode), and the BNLJ-gate
+# retirement consumers whose executed assignment node changed
+# (ann_ivf_topk, ann_rerank_crossencoder, cluster_balanced_sample,
+# prototypicality_pruning, d4_selection; semantic_dedup and
+# ann_ivf_filtered_topk were already in-window). In exchange,
+# round-13-driver-green UNCHANGED entries park per R5 — groups
+# (a)/(b)/(c) annotated inline below; R2 deadline r16.
 _TAIL = (
     # -- parked round 14 (driver-green r13), per R5; R2 deadline = r16 --
     # (a) family variants whose base / §2 sibling is in-window:
@@ -60,17 +68,18 @@ _TAIL = (
     "event_sliding_windows",  # ST5; event_tumbling_windows rejoins
     "event_sessionization",  # ST5; event_tumbling_windows rejoins
     "repeated_span_stats",  # span family; removal + decon rejoin
-    "ann_ivf_topk",  # IVF family; ann_ivf2_topk rejoins,
-    #   ann_ivf_filtered_topk stays (plan changed)
     "grouped_rank_applyinpandas",  # W2; topk_per_group rejoins
     "er_match_cascade",  # ML10/J2; blocked_similarity_join stays,
     #   er_threshold_sweep stays (plan changed, same pair plan family)
     "token_jaccard_pairs",  # SO2-SO3 sibling in er_threshold_sweep's
     #   jaccard; now benched every round in the PAIRGEN section
-    "jaro_winkler_pairs",  # F5 pandas UDF; benched in PAIRGEN
     "near_dup_clusters",  # dedup family; exact_dedup_documents stays
     "cosine_topk_bruteforce",  # ANN family; lsh/ivf2/filtered in-window
     "ann_filtered_topk",  # exact yardstick; indexed twin stays
+    "ngram_jaccard_dedup",  # dedup family; exact_dedup_documents
+    #   stays; idf variant parked r13
+    "customer_order_deltas",  # W family; topk_per_group,
+    #   global_rank_topn rejoin
     # (b) beyond-reference ops green r13:
     "extractive_summary",
     "multimodal_features",
@@ -83,20 +92,25 @@ _TAIL = (
     "document_chunks",
     "embedding_int8_quantize",
     "textrank_keywords",
-    "cluster_balanced_sample",
-    "prototypicality_pruning",
-    "d4_selection",
-    # (c) §2 rows green r13, first parked round:
+    # (c) §2 rows green r13, first parked round (unchanged plans —
+    # the plan-changed IVF/pair members that previously sat here
+    # rejoined the window instead):
     "account_features",  # P2/F7-F14; flagship exercises the ladder
     "normalize_company_names",  # F1-F2
     "score_explanations",  # ML9
     "ranking_eval_metrics",  # W9-W10/ML13/F23
     "feedback_asof_labels",  # P11/ML14
+    "multi_predicate_filter",  # P4-P5/J9; filter_projection rejoins
+    "pagination",  # W3/W5-W7; global_rank_topn + topk_per_group rejoin
+    "join_revenue_by_nation",  # J6/A4; pricing_summary rejoins (A3/A7)
+    "string_agg_per_group",  # J4/M5
+    "trend_with_date_spine",  # A6
+    "distinct_union_nations",  # SO1/SO4
     # -- parked round 13 (driver-green r12), per R5; R2 deadline = r15
     #    (second consecutive parked round — ALL must rejoin in r15) --
     # (a) family variants whose base / §2 sibling is in-window:
     "minhash_near_dup",  # dedup family; exact_dedup_documents stays
-    "ngram_jaccard_dedup_idf",  # base ngram_jaccard_dedup stays
+    "ngram_jaccard_dedup_idf",  # dedup family
     "embedding_near_dup",  # ANN family in-window (lsh/ivf2/filtered)
     "dedup_keep_best",  # dedup family
     "incremental_neardup_ingest",  # dedup family
@@ -108,9 +122,6 @@ _TAIL = (
     "bigram_lm_quality",  # re-scoped r12, tripwire holds
     "bpe_vocab",  # tokenizer family; re-scoped r14 (SCALE.md §Round
     #   14), document_token_ids + document_bpe_ids rejoin
-    "ann_lsh_multitable",  # single-table ann_lsh_topk stays
-    "ann_pq_topk",  # IVF family
-    "ann_rerank_crossencoder",  # retrieval tier
     "exact_repeat_stats",  # suffix family
     "exact_repeat_removal",  # suffix family
     "exact_contamination_spans",  # suffix family
