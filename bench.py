@@ -424,12 +424,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Big line first (full per-query books for humans and the repo's
-    # own tooling), then a SHORT totals-only line LAST: the driver
-    # keeps only the final ~2000 output characters, which truncated
-    # the big line mid-stream in rounds 9 AND 10 ("parsed": null in
-    # BENCH_r09/r10) — totals-first merely moved the scalars into the
-    # part that gets cut. A complete, small JSON object at the very
-    # end always survives a tail capture intact.
+    # own tooling), then a SHORT line LAST: the driver keeps only the
+    # final ~2000 output characters, which truncated the big line
+    # mid-stream in rounds 9 AND 10 ("parsed": null in BENCH_r09/r10)
+    # — totals-first merely moved the scalars into the part that gets
+    # cut. A complete, small JSON object at the very end always
+    # survives a tail capture intact.
     print(
         json.dumps(
             {
@@ -445,8 +445,65 @@ def main() -> None:
             }
         )
     )
-    print(json.dumps(totals))
+    print(
+        compact_final_line(
+            totals, timings, ratios, ann_timings, pair_timings, cur_timings
+        )
+    )
     spark.stop()
+
+
+# Byte budget for the FINAL one-line JSON: the driver records (and
+# parses) only the last ~2000 characters of stdout, so the final line
+# must be complete inside that window or the whole bench reads as
+# "parsed": null (rounds 9/10). 1950 leaves headroom for the trailing
+# newline plus any stray shutdown output.
+FINAL_LINE_BUDGET = 1950
+
+
+def compact_final_line(
+    totals: dict,
+    timings: dict[str, float],
+    ratios: dict[str, float],
+    ann_timings: dict[str, float],
+    pair_timings: dict[str, float],
+    cur_timings: dict[str, float],
+) -> str:
+    """Final one-line JSON: section totals PLUS as much per-query data
+    as fits the driver's tail-capture budget (round-15, verdict item
+    1 — PERF's per_query/geomean/scaling blocks were EMPTY for two
+    rounds because the totals-only final line carried no per-query
+    walls and the big detail line is truncated past recovery).
+
+    Additions-only: every totals key is unchanged; the per-query
+    books are ADDED greedily in priority order — headline walls (the
+    driver contract's "queries" map), headline ratios, then the other
+    sections' walls — each block only if the whole line still
+    serializes under FINAL_LINE_BUDGET bytes (measured: totals ≈610 B
+    compact; headline walls+ratios ≈1.2 kB; all four sections ≈2.4 kB
+    do NOT fit, which is why this is greedy rather than exhaustive).
+    Values are rounded to 2 decimals in this line only; the preceding
+    big line keeps the full 3-decimal books. Compact separators, no
+    whitespace."""
+
+    def _r2(book: dict[str, float]) -> dict[str, float]:
+        return {n: round(v, 2) for n, v in book.items()}
+
+    short = dict(totals)
+    blocks = [
+        ("queries", _r2(timings)),
+        ("ratio_queries", _r2({n: ratios[n] for n in timings if n in ratios})),
+        ("ann_index_queries", _r2(ann_timings)),
+        ("pairgen_queries", _r2(pair_timings)),
+        ("curation_queries", _r2(cur_timings)),
+    ]
+    for key, book in blocks:
+        if not book:
+            continue
+        cand = {**short, key: book}
+        if len(json.dumps(cand, separators=(",", ":"))) <= FINAL_LINE_BUDGET:
+            short = cand
+    return json.dumps(short, separators=(",", ":"))
 
 
 if __name__ == "__main__":

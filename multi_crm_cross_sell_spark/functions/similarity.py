@@ -115,8 +115,12 @@ _DUCK_PID = None
 # through a DECIMAL intermediate lands 1 ulp off the scalar
 # reference's float64 chain on ~0.02% of pairs — so the boost is
 # applied in numpy below with the reference's exact operation order.
+# ``rid`` rides through the SQL and the results are SCATTERED back by
+# it (round-15 ADVICE fix): correctness no longer rests on DuckDB's
+# preserve_insertion_order default — any result order realigns.
 _JW_FLOOR_SQL = """
-SELECT jaro_similarity(a, b) AS j,
+SELECT rid,
+       jaro_similarity(a, b) AS j,
        CASE WHEN SUBSTRING(a, 1, 4) = SUBSTRING(b, 1, 4) THEN 4
             WHEN SUBSTRING(a, 1, 3) = SUBSTRING(b, 1, 3) THEN 3
             WHEN SUBSTRING(a, 1, 2) = SUBSTRING(b, 1, 2) THEN 2
@@ -133,13 +137,21 @@ def _duck_con():
     heavyweight init once, amortized across batches; worker reuse
     keeps it across tasks). threads=1 — Spark already runs one task
     per core, a parallel DuckDB inside each would oversubscribe.
-    The PID guard re-initializes after a fork."""
+    The PID guard re-initializes after a fork. Returns None when
+    duckdb is not importable on the executor (round-15 ADVICE fix):
+    the batch kernel then falls back to the per-row scalar reference,
+    which is bit-identical by construction — an executor without
+    duckdb degrades to round-13 speed instead of raising."""
     global _DUCK_CON, _DUCK_PID
     import os
 
     if _DUCK_CON is None or _DUCK_PID != os.getpid():
-        import duckdb
-
+        try:
+            import duckdb
+        except ImportError:
+            _DUCK_CON = None
+            _DUCK_PID = os.getpid()
+            return None
         _DUCK_CON = duckdb.connect()
         _DUCK_CON.execute("SET threads TO 1")
         _DUCK_PID = os.getpid()
@@ -157,21 +169,29 @@ def _jw_floor_batch(a_arr, b_arr):
     DuckDB's jaro walks BYTES, not codepoints, so non-ASCII rows take
     the scalar reference per ROW (never per batch — one non-ASCII row
     must not change its neighbors' path; same per-row-fallback rule
-    as bucket_wide_arrow)."""
+    as bucket_wide_arrow). Executors without duckdb take the scalar
+    path for every row (bit-identical, slower — see _duck_con)."""
     import numpy as np
 
     n = len(a_arr)
     out = np.empty(n, dtype=np.float64)
-    ascii_mask = np.fromiter(
-        (x.isascii() and y.isascii() for x, y in zip(a_arr, b_arr)),
-        dtype=bool,
-        count=n,
-    )
-    if ascii_mask.any():
-        batch_df = pd.DataFrame(
-            {"a": a_arr[ascii_mask], "b": b_arr[ascii_mask]}
+    con = _duck_con()
+    sel = (
+        np.flatnonzero(
+            np.fromiter(
+                (x.isascii() and y.isascii() for x, y in zip(a_arr, b_arr)),
+                dtype=bool,
+                count=n,
+            )
         )
-        con = _duck_con()
+        if con is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    scalar_rows = np.setdiff1d(np.arange(n), sel, assume_unique=True)
+    if sel.size:
+        batch_df = pd.DataFrame(
+            {"rid": sel, "a": a_arr[sel], "b": b_arr[sel]}
+        )
         con.register("batch_df", batch_df)
         try:
             res = con.execute(_JW_FLOOR_SQL).fetchnumpy()
@@ -185,8 +205,10 @@ def _jw_floor_batch(a_arr, b_arr):
         # early returns: emptiness beats equality beats the boost.
         jw = j + (p * 0.1) * (1.0 - j)
         jw = np.where(res["is_empty"], 0.0, np.where(res["is_eq"], 1.0, jw))
-        out[ascii_mask] = jw
-    for i in np.nonzero(~ascii_mask)[0]:
+        # Scatter by the row id the SQL carried through — no
+        # dependence on DuckDB scan/result ordering.
+        out[res["rid"]] = jw
+    for i in scalar_rows:
         out[i] = _jaro_winkler(a_arr[i], b_arr[i], floor_transpositions=True)
     return out
 
@@ -242,12 +264,26 @@ def jaro_winkler(a: Column, b: Column) -> Column:
 # plan carried TWO ArrowEvalPython nodes, every candidate pair paying
 # the UDF twice (round-14 plan read, plans/r14/jaro_winkler_pairs_
 # before.txt). Marking it non-deterministic forbids the copy: one
-# ArrowEvalPython, filter above it. Applied to the floor variant only
-# — the reference variant's one executed consumer (er_match_cascade)
-# has no Python node in its plan, and a blanket mark would block
-# legitimate filter pushes elsewhere.
+# ArrowEvalPython, filter above it. Round-15 ADVICE fix: the fence
+# lives in the FENCED wrapper below and only the filter-referencing
+# call site (jaro_winkler_pairs) uses it — Spark rejects
+# non-deterministic expressions in join conditions and
+# grouping/aggregate expressions, so the plain `jaro_winkler_textbook`
+# export stays deterministic for any future caller embedding it in a
+# join ON clause, and legitimate filter pushes stay available to
+# consumers that do not filter on the UDF's own output.
 _jaro_winkler_floor_nd = jaro_winkler_floor_udf.asNondeterministic()
 
 
 def jaro_winkler_textbook(a: Column, b: Column) -> Column:
+    """Deterministic floor-convention UDF column — safe in join
+    conditions and aggregates, and eligible for filter pushdown."""
+    return jaro_winkler_floor_udf(a, b)
+
+
+def jaro_winkler_textbook_fenced(a: Column, b: Column) -> Column:
+    """Optimizer-fenced instance (asNondeterministic) for call sites
+    whose own FILTER references the UDF's output column — guide §4.4:
+    without the fence the pushed filter duplicates the Arrow eval.
+    Not valid inside join conditions or grouping expressions."""
     return _jaro_winkler_floor_nd(a, b)

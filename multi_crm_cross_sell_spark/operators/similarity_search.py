@@ -473,7 +473,14 @@ def bucket_wide_arrow(
     integer sum of 2^k terms. Short/null-element rows follow
     unpack_exprs' COALESCE(x, 0.0) semantics via the padded fallback
     (contract: embeddings are dense non-null; the fallback only
-    keeps malformed rows loud-free the same way the JVM form did)."""
+    keeps malformed rows loud-free the same way the JVM form did).
+    Null ELEMENTS inside a float vector reach Python as NaN on BOTH
+    paths (Arrow null/NaN collapse) and are mapped to 0.0 everywhere
+    (round-15 ADVICE: restores the JVM form's COALESCE semantics for
+    the null case — the one real data can produce — at the cost of a
+    true-NaN input also reading 0.0; the two are indistinguishable
+    after the Arrow boundary, and one rule on both paths keeps a
+    row's bucket independent of which batch it rode in)."""
     import numpy as np
 
     P = np.array(
@@ -497,14 +504,23 @@ def bucket_wide_arrow(
                 V = V.astype(np.float64)
                 if V.ndim != 2 or V.shape[1] != dim:
                     raise ValueError("ragged")
+                # Dense-path COALESCE(x, 0.0) for null elements that
+                # arrived as NaN (round-15 ADVICE, docstring above);
+                # the isnan guard keeps the contract path (all
+                # finite) free of the in-place rewrite.
+                if np.isnan(V).any():
+                    np.nan_to_num(V, copy=False, nan=0.0,
+                                  posinf=np.inf, neginf=-np.inf)
             except Exception:
                 # Per-ROW fallback (round 14, per ADVICE): one
                 # malformed row must not change its batch neighbors'
-                # semantics. Only None/null elements map to 0.0
-                # (unpack_exprs' COALESCE); NaN values PROPAGATE
-                # through the dot exactly as they do on the JVM
-                # path, so an edge row's bucket no longer depends on
-                # which batch it landed in.
+                # semantics. None/null/NaN elements map to 0.0 —
+                # pyarrow delivers a float list's null elements as
+                # NaN even inside object-dtype batches, so mapping
+                # only None here would make a null element's bucket
+                # depend on WHICH path (dense vs fallback) its batch
+                # rode; both paths apply the same COALESCE(x, 0.0)
+                # (round 15, docstring above).
                 V = np.zeros((len(arrs), dim), dtype=np.float64)
                 for r, a in enumerate(arrs):
                     if a is None:
@@ -513,6 +529,8 @@ def bucket_wide_arrow(
                         [0.0 if x is None else x for x in list(a)[:dim]],
                         dtype=np.float64,
                     )
+                    np.nan_to_num(row, copy=False, nan=0.0,
+                                  posinf=np.inf, neginf=-np.inf)
                     V[r, : len(row)] = row
             n = V.shape[0]
             bucket = np.zeros(n, dtype=np.int64)
@@ -521,12 +539,15 @@ def bucket_wide_arrow(
                 for i in range(dim):
                     acc += V[:, i] * P[kk, i]
                 bucket += np.where(acc >= 0.0, np.int64(1 << kk), np.int64(0))
-            out = {"vec_id": pdf[id_col].to_numpy(), "bucket": bucket}
+            out = {id_col: pdf[id_col].to_numpy(), "bucket": bucket}
             for i in range(dim):
                 out[f"v_{i}"] = V[:, i]
             yield pd.DataFrame(out)
 
-    schema = "vec_id bigint, bucket bigint, " + ", ".join(
+    # Output id column carries the CALLER'S id_col name (round-15
+    # ADVICE: it was hardcoded to vec_id, silently renaming a
+    # non-default caller's id column).
+    schema = f"{id_col} bigint, bucket bigint, " + ", ".join(
         f"v_{i} double" for i in range(dim)
     )
     return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
@@ -562,9 +583,13 @@ def buckets_multi_arrow(
     COALESCE(x, 0.0) fallback (one bad row never changes its batch
     neighbors' path — the round-14 ADVICE rule); a null ELEMENT inside
     a full-length vector arrives as NaN at the Arrow boundary
-    (null/NaN collapse for float lists) and propagates through the
-    dense path — outside the dense-non-null embeddings contract, and
-    the same edge behavior as :func:`bucket_wide_arrow`."""
+    (null/NaN collapse for float lists) and is mapped to 0.0 on BOTH
+    paths (round-15 ADVICE: restores the pre-round-14 deep path's
+    COALESCE semantics for the null case; a true NaN input —
+    indistinguishable after the boundary — also reads 0.0, and one
+    rule on both paths keeps a row's buckets independent of which
+    batch it rode in). Same edge behavior as
+    :func:`bucket_wide_arrow`."""
     import numpy as np
 
     PS = [
@@ -588,7 +613,15 @@ def buckets_multi_arrow(
                 V = V.astype(np.float64)
                 if V.ndim != 2 or V.shape[1] != dim:
                     raise ValueError("ragged")
+                # Dense-path COALESCE(x, 0.0) for null elements that
+                # arrived as NaN (round-15 ADVICE, docstring above).
+                if np.isnan(V).any():
+                    np.nan_to_num(V, copy=False, nan=0.0,
+                                  posinf=np.inf, neginf=-np.inf)
             except Exception:
+                # Same per-row COALESCE(x, 0.0) as bucket_wide_arrow,
+                # incl. NaN (null elements arrive as NaN even in
+                # object-dtype batches — round 15, docstring above).
                 V = np.zeros((len(arrs), dim), dtype=np.float64)
                 for r, a in enumerate(arrs):
                     if a is None:
@@ -597,9 +630,11 @@ def buckets_multi_arrow(
                         [0.0 if x is None else x for x in list(a)[:dim]],
                         dtype=np.float64,
                     )
+                    np.nan_to_num(row, copy=False, nan=0.0,
+                                  posinf=np.inf, neginf=-np.inf)
                     V[r, : len(row)] = row
             n = V.shape[0]
-            out = {"vec_id": pdf[id_col].to_numpy()}
+            out = {id_col: pdf[id_col].to_numpy()}
             for t in range(n_tables):
                 P = PS[t]
                 bucket = np.zeros(n, dtype=np.int64)
@@ -615,8 +650,11 @@ def buckets_multi_arrow(
                 out[f"v_{i}"] = V[:, i]
             yield pd.DataFrame(out)
 
+    # Output id column carries the CALLER'S id_col name (round-15
+    # ADVICE: it was hardcoded to vec_id, silently renaming a
+    # non-default caller's id column).
     schema = (
-        "vec_id bigint, "
+        f"{id_col} bigint, "
         + ", ".join(f"b_{t} bigint" for t in range(n_tables))
         + ", "
         + ", ".join(f"v_{i} double" for i in range(dim))
@@ -924,6 +962,42 @@ def embedding_near_dup_pairs(
     )
 
 
+# Codebook shipping bound (round 15, verdict item 7): the ANN
+# assignment kernels carry their codebook matrices to executors.
+# Below this bound they ride the TASK CLOSURE — TorrentBroadcast
+# ships the serialized task binary once per executor per stage, so at
+# the adaptive c = isqrt(n) the closure is c·dim·8 B ≈ √n·512 B:
+# ~16 MB at n = 10^9, ~51 MB at n = 10^10. Past the bound (with the
+# adaptive codebook that is n ≳ 1.7×10^10, where c > 131k at dim 64
+# and the matrix passes 64 MiB — at n = 10^12 it would be ~0.5 GB)
+# the matrices ship as an EXPLICIT Spark broadcast instead: same
+# torrent distribution, but the bytes leave the task description, so
+# scheduler serialization and the closure cache stop carrying them.
+CODEBOOK_CLOSURE_MAX_BYTES = 64 * 1024 * 1024
+
+
+class _CodebookCarrier:
+    """Zero-arg resolver for a kernel's codebook arrays: returns them
+    from the task closure below CODEBOOK_CLOSURE_MAX_BYTES, from an
+    explicit Spark broadcast above it (the auto-switch documented at
+    the constant; ``broadcast`` is the live handle when engaged, None
+    otherwise — tests introspect it)."""
+
+    def __init__(self, sc, arrays: tuple):
+        total = sum(int(a.nbytes) for a in arrays)
+        if total <= CODEBOOK_CLOSURE_MAX_BYTES:
+            self.arrays: tuple | None = arrays
+            self.broadcast = None
+        else:
+            self.arrays = None
+            self.broadcast = sc.broadcast(arrays)
+
+    def __call__(self) -> tuple:
+        if self.broadcast is None:
+            return self.arrays
+        return self.broadcast.value
+
+
 def _half_up_exact(x):
     """HALF_UP (round half away from zero) with EXACT tie detection —
     numpy's round() is banker's and the naive floor(|x|+0.5) misrounds
@@ -957,7 +1031,9 @@ def _assign_cells_arrow(
     and is memory-bandwidth-bound, while this path streams each
     vector batch ONCE and does the n·c·dim flops in vectorized C.
     The centroid matrix rides the task closure (c·dim doubles — the
-    same payload the BNLJ broadcasts). Returns (vec_id, cell), plus
+    same payload the BNLJ broadcasts) up to
+    CODEBOOK_CLOSURE_MAX_BYTES, an explicit Spark broadcast past it
+    (round 15, _CodebookCarrier). Returns (vec_id, cell), plus
     the winner's cosine as ``proto_sim`` when ``with_sim`` — the
     packed key already carries round(sim·1e9), so emitting it is one
     integer unpack + divide, not a recompute; nanos/1e9 is the
@@ -987,10 +1063,14 @@ def _assign_cells_arrow(
     # running elementwise max over the PACKED keys is associative, so
     # the winner is identical however the blocks are cut. The centroid
     # matrix itself (c·dim doubles, 16 MB at c = 32k) rides the task
-    # binary, which TorrentBroadcast ships once per stage, not per
-    # task.
+    # binary (shipped once per executor per stage) below
+    # CODEBOOK_CLOSURE_MAX_BYTES and an explicit broadcast above it.
+    carrier = _CodebookCarrier(
+        base.sparkSession.sparkContext, (C,)
+    )
 
     def fn(batches):
+        (C,) = carrier()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1485,8 +1565,18 @@ def _ivf2_assign_arrow(
     fnorm = np.sqrt(facc)
     groups = {int(g): np.nonzero(flab == g)[0] for g in np.unique(flab)}
     vcols = [f"v_{i}" for i in range(dim)]
+    # Codebook matrices ride the task closure below
+    # CODEBOOK_CLOSURE_MAX_BYTES (the fine book is c·dim·8 B ≈
+    # √n·512 B — ~51 MB at n = 10^10), an explicit broadcast above it
+    # (n ≳ 1.7×10^10 adaptive — round 15, see the constant). The
+    # derived 1-D state (norms, labels, group index) is c·8 B-scale
+    # and stays in the closure either way.
+    carrier = _CodebookCarrier(
+        base.sparkSession.sparkContext, (Cf, Cc)
+    )
 
     def fn(batches):
+        Cf, Cc = carrier()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1576,7 +1666,13 @@ def ivf2_topk(
     n = 10¹⁰: 10⁵ fine cells, 316 coarse; ≈ 6×10¹² pair-terms vs the
     flat 10¹⁵). The fine codebook rides the task binary (c·dim
     doubles — the SAME bytes the replaced form broadcast to every
-    executor as the fine_lab hash relation, minus the hash overhead).
+    executor as the fine_lab hash relation, minus the hash overhead):
+    c·dim·8 B ≈ √n·512 B, ~51 MB at n = 10¹⁰ — bounded by
+    CODEBOOK_CLOSURE_MAX_BYTES (64 MiB), past which (n ≳ 1.7×10¹⁰,
+    where the matrix would grow toward ~0.5 GB at n = 10¹²) the
+    kernel auto-switches to an explicit Spark broadcast
+    (_CodebookCarrier, round 15); the driver-side bounded collect
+    that builds the matrix carries the same √n·512 B bound.
     The probe tail is the ivf_topk shape on the fine-cell int key.
     Recall sits below the flat index at equal (p1·p2) because a near
     neighbor can hide across a coarse boundary — the standard
@@ -1663,7 +1759,7 @@ def ivf2_topk(
     c_cix = np.arange(Cc.shape[0], dtype=np.int64)
     # Fine→coarse labels, computed ONCE in numpy for the kernel —
     # bit-identical to the JVM lab_packed argmax below (parity pinned
-    # by test_ivf2_numpy_labels_match_jvm); the JVM labels frame
+    # by test_ivf2_fused_assignment_matches_jvm); the JVM labels frame
     # remains the probe side's source so the executed probe plan is
     # unchanged.
     flab = _ivf2_labels_np(Cf, f_ids, Cc, c_ids, c_cix, self_pairs)
@@ -2212,7 +2308,9 @@ def _pq_assign_encode_arrow(
     satisfied by BROADCASTING the full n-row codes frame — fine at
     bench scale, a corpus-sized broadcast at 100 TB). Both codebooks
     ride the task closure: c·dim + M·ks·ds doubles — the flat
-    assignment closure plus 4 KB."""
+    assignment closure plus 4 KB — up to CODEBOOK_CLOSURE_MAX_BYTES,
+    past which they ship as an explicit broadcast instead
+    (n ≳ 1.7×10^10 adaptive — round 15, see the constant)."""
     import numpy as np
 
     cacc = np.zeros(C.shape[0])
@@ -2223,8 +2321,12 @@ def _pq_assign_encode_arrow(
     shifts = np.arange(n_sub, dtype=np.int64) * 5
     cidx = np.arange(ks, dtype=np.int64)[None, :]
     vcols = [f"v_{i}" for i in range(dim)]
+    carrier = _CodebookCarrier(
+        base.sparkSession.sparkContext, (C, Cpq)
+    )
 
     def fn(batches):
+        C, Cpq = carrier()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2295,7 +2397,15 @@ def pq_topk(
 
     ``n_vectors``: corpus size known to the caller (e.g. from the
     parquet footer) — skips ivf_assign's count job when sizing the
-    adaptive codebook."""
+    adaptive codebook.
+
+    Codebook shipping bound: the IVF matrix is c·dim·8 B ≈ √n·512 B
+    at the adaptive c = isqrt(n) (~51 MB at n = 10¹⁰); the fused
+    kernel carries it in the task closure up to
+    CODEBOOK_CLOSURE_MAX_BYTES (64 MiB) and auto-switches to an
+    explicit Spark broadcast past it (n ≳ 1.7×10¹⁰ — _CodebookCarrier,
+    round 15). The bounded collect building it driver-side carries
+    the same √n·512 B bound."""
     from pyspark.sql import Window
 
     import numpy as np

@@ -32,7 +32,7 @@ from ..functions.features import (
 from ..functions.hashing import ab_variant, deterministic_pair_id
 from ..functions.similarity import (
     jaccard_tokens,
-    jaro_winkler_textbook,
+    jaro_winkler_textbook_fenced,
     levenshtein_similarity,
 )
 from ..functions.text import domain_from_url, root_domain
@@ -782,8 +782,14 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name2"),
         )
     )
+    # Fenced instance (asNondeterministic): the `jw >= 0.9` filter
+    # below references the UDF's output column, and without the fence
+    # the optimizer pushes the filter below a DUPLICATED Arrow eval
+    # (guide §4.4; plans/r14/jaro_winkler_pairs_before.txt). The fence
+    # is applied here at the call site — the exported
+    # jaro_winkler_textbook stays deterministic (round-15 ADVICE).
     scored = pairs.withColumn(
-        "jw", jaro_winkler_textbook(F.col("name1"), F.col("name2"))
+        "jw", jaro_winkler_textbook_fenced(F.col("name1"), F.col("name2"))
     )
     return scored.where(F.col("jw") >= 0.9).select(
         "id1", "id2", "name1", "name2", F.round("jw", 9).alias("jaro_winkler")

@@ -204,3 +204,79 @@ def test_ship_package_rebuilds_stale_zip(spark, tmp_path, monkeypatch):
             "multi_crm_cross_sell_spark/functions/similarity.py"
         ).decode()
     assert "_jw_floor_batch" in src  # current source, not a stale copy
+
+
+def test_compact_final_line_fits_budget_and_carries_per_query():
+    """Round 15 (verdict item 1): the FINAL one-line JSON must carry
+    per-query walls/ratios so PERF's per_query/geomean/scaling blocks
+    populate — while staying complete inside the driver's ~2000-char
+    tail capture (the very failure that made rounds 9/10 read
+    "parsed": null). Realistic 65-query books from the live section
+    lists must fit the headline walls+ratios and keep every totals
+    key."""
+    import json
+
+    import bench
+
+    totals = {
+        "metric": "headline_queries_total_wall",
+        "value": 12.324,
+        "unit": "sec",
+        "oracle_total": 7.392,
+        "ratio_vs_oracle": 1.667,
+        "ratio_median": 5.082,
+        "curation_total": 30.095,
+        "curation_oracle_total": 18.695,
+        "curation_ratio": 1.61,
+        "curation_ratio_median": 3.199,
+        "ann_index_total": 8.697,
+        "ann_index_oracle_total": 5.516,
+        "ann_index_ratio": 1.577,
+        "ann_index_ratio_median": 1.829,
+        "pairgen_total": 2.41,
+        "pairgen_oracle_total": 3.832,
+        "pairgen_ratio": 0.629,
+        "pairgen_ratio_median": 0.593,
+        "curation_total_r7_subset": 11.105,
+        "epoch_spark_start": 0.0728,
+        "epoch_duck_start": 0.1677,
+        "epoch_spark_end": 0.0609,
+        "epoch_duck_end": 0.1833,
+        "n_errors": 0,
+        "sf": 0.1,
+    }
+    # Worst-case-ish walls (5-char values like 34.71 everywhere)
+    timings = {n: 34.706 for n in bench.HEADLINE}
+    cur = {n: 34.706 for n in bench.CURATION}
+    ann = {n: 34.706 for n in bench.ANN_INDEX}
+    pair = {n: 34.706 for n in bench.PAIRGEN}
+    ratios = {n: 30.125 for n in bench.HEADLINE + bench.CURATION}
+    line = bench.compact_final_line(totals, timings, ratios, ann, pair, cur)
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    # additions only: every totals key survives untouched
+    for k, v in totals.items():
+        assert parsed[k] == v
+    # the contract's "queries" map (headline walls) is present and
+    # complete, with 2-decimal values
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["queries"]["pricing_summary"] == 34.71
+    # headline ratios made it too
+    assert set(parsed["ratio_queries"]) == set(bench.HEADLINE)
+
+
+def test_compact_final_line_degrades_to_totals_only():
+    """A pathological book that cannot fit is SKIPPED, never
+    truncated mid-object — the final line stays valid JSON with the
+    totals intact."""
+    import json
+
+    import bench
+
+    totals = {"metric": "headline_queries_total_wall", "value": 1.0}
+    huge = {f"query_with_a_very_long_name_{i:04d}": 1.234 for i in range(500)}
+    line = bench.compact_final_line(totals, huge, {}, {}, {}, {})
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert "queries" not in parsed  # skipped whole, not clipped

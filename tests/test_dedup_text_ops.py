@@ -589,14 +589,15 @@ class TestMultiTableBucketKernel:
         """A fully-null vector takes the per-ROW fallback and must
         bucket exactly as unpack_exprs' COALESCE(x, 0.0) row does
         (all-zero vector -> every sign bit set) — without disturbing
-        its batch neighbors. Ragged arrays are NOT spec-comparable:
-        the JVM form's embedding[i] THROWS under ANSI for short
-        arrays, so the kernel's zero-padding is its loud-free
-        extension (same as bucket_wide_arrow). Null ELEMENTS inside a
-        full-length vector are also not covered: the Arrow boundary
-        delivers them as NaN (null/NaN collapse for float lists), so
-        they propagate through the dense path — outside the
-        dense-non-null embeddings contract either way."""
+        its batch neighbors. A null ELEMENT inside a full-length
+        vector must ALSO match the COALESCE(x, 0.0) spec (round-15
+        ADVICE: it arrives as NaN at the Arrow boundary — null/NaN
+        collapse for float lists — and the dense path now maps it to
+        0.0, restoring the pre-round-14 deep path's semantics).
+        Ragged arrays are NOT spec-comparable: the JVM form's
+        embedding[i] THROWS under ANSI for short arrays, so the
+        kernel's zero-padding is its loud-free extension (same as
+        bucket_wide_arrow)."""
         from multi_crm_cross_sell_spark.operators.similarity_search import (
             DIM,
             bucket_frame,
@@ -609,6 +610,8 @@ class TestMultiTableBucketKernel:
             vec = [((vid * 31 + i * 7) % 13 - 6) / 7.0 for i in range(DIM)]
             if vid == 3:
                 vec = None  # whole-vector null -> all-zero row
+            if vid == 4:
+                vec[5] = None  # null ELEMENT -> COALESCE 0.0 (ADVICE)
             rows.append((vid, vec))
         e = spark.createDataFrame(
             rows, "vec_id bigint, embedding array<double>"
@@ -624,8 +627,8 @@ class TestMultiTableBucketKernel:
             for t in range(2):
                 got[(r.vec_id, t)] = r[f"b_{t}"]
         assert got == spec
-        # the batch's clean rows are unaffected by their null neighbor
-        assert all(spec[(v, t)] == got[(v, t)] for v in (0, 1, 2, 4, 5) for t in (0, 1))
+        # the batch's clean rows are unaffected by their edge neighbors
+        assert all(spec[(v, t)] == got[(v, t)] for v in (0, 1, 2, 5) for t in (0, 1))
 
 
 class TestMultiProbe:
@@ -700,6 +703,85 @@ class TestWeightedBanding:
         assert list(out.columns) == ["doc1", "doc2", "jaccard"]
         assert (out["jaccard"] >= 0.5).all()
         assert (out["doc1"] < out["doc2"]).all()
+
+
+class TestCodebookCarrier:
+    """Round 15 (verdict item 7): the ANN assignment kernels ship
+    their codebook matrices in the task closure only up to
+    CODEBOOK_CLOSURE_MAX_BYTES; past the bound the carrier
+    auto-switches to an explicit Spark broadcast. The switch must
+    engage exactly at the documented bound and must not change any
+    result bit."""
+
+    def test_below_bound_rides_closure(self, spark):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators import (
+            similarity_search as ss,
+        )
+
+        arr = np.zeros((16, 64), dtype=np.float64)
+        c = ss._CodebookCarrier(spark.sparkContext, (arr,))
+        assert c.broadcast is None
+        assert c()[0] is arr
+
+    def test_switch_engages_at_the_byte_bound(self, spark):
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.operators import (
+            similarity_search as ss,
+        )
+
+        over = np.zeros(
+            (ss.CODEBOOK_CLOSURE_MAX_BYTES // (64 * 8) + 1, 64),
+            dtype=np.float64,
+        )
+        assert over.nbytes > ss.CODEBOOK_CLOSURE_MAX_BYTES
+        c = ss._CodebookCarrier(spark.sparkContext, (over,))
+        try:
+            assert c.broadcast is not None
+            got = c()[0]
+            assert got.shape == over.shape and got.dtype == over.dtype
+        finally:
+            if c.broadcast is not None:
+                c.broadcast.unpersist()
+
+    def test_broadcast_path_results_identical(self, spark, monkeypatch):
+        """Force the switch (bound = 0) across the flat, two-level and
+        PQ kernels and assert bit-identical query outputs vs the
+        closure path."""
+        from pyspark.sql import functions as F
+
+        from multi_crm_cross_sell_spark.operators import (
+            similarity_search as ss,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = e.count()
+        pred = F.col("vec_id") % 100 == 0
+
+        def snap():
+            return (
+                sorted(map(tuple, ss.ivf_topk(e, pred, n_vectors=n, n_centroids=None).collect())),
+                sorted(map(tuple, ss.ivf2_topk(e, pred, n_vectors=n).collect())),
+                sorted(map(tuple, ss.pq_topk(e, pred, n_vectors=n).collect())),
+            )
+
+        closure_rows = snap()
+
+        engaged = []
+        orig = ss._CodebookCarrier
+
+        class Spy(orig):
+            def __init__(self, sc, arrays):
+                super().__init__(sc, arrays)
+                engaged.append(self.broadcast is not None)
+
+        monkeypatch.setattr(ss, "CODEBOOK_CLOSURE_MAX_BYTES", 0)
+        monkeypatch.setattr(ss, "_CodebookCarrier", Spy)
+        bc_rows = snap()
+        assert engaged and all(engaged)
+        assert bc_rows == closure_rows
 
 
 class TestPq:

@@ -198,6 +198,58 @@ class TestJaroWinklerFloorBatchKernel:
             exp = _jaro_winkler(a, b, floor_transpositions=True)
             assert got[i] == exp, (a, b, got[i], exp)
 
+    def test_batch_kernel_scatter_survives_result_reordering(self):
+        """Round-15 ADVICE: the kernel realigns DuckDB results by an
+        explicit rid column scattered back onto input rows — NOT by
+        scan order. Disable preserve_insertion_order on the worker
+        connection (the exact config change the ADVICE warned would
+        silently misalign rows) and re-run the fuzz corpus: outputs
+        must still land on the right rows."""
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.functions import similarity as sim
+
+        cases = self._fuzz_cases()
+        s1 = np.array([c[0] for c in cases], dtype=object)
+        s2 = np.array([c[1] for c in cases], dtype=object)
+        con = sim._duck_con()
+        assert con is not None
+        con.execute("SET preserve_insertion_order = false")
+        try:
+            got = sim._jw_floor_batch(s1, s2)
+        finally:
+            con.execute("SET preserve_insertion_order = true")
+        for i, (a, b) in enumerate(cases):
+            exp = _jaro_winkler(a, b, floor_transpositions=True)
+            assert got[i] == exp, (a, b, got[i], exp)
+
+    def test_batch_kernel_falls_back_without_duckdb(self, monkeypatch):
+        """Round-15 ADVICE: executors without duckdb must degrade to
+        the per-row scalar reference (bit-identical), not raise
+        ImportError at the first batch."""
+        import sys
+
+        import numpy as np
+
+        from multi_crm_cross_sell_spark.functions import similarity as sim
+
+        # Reset the per-process connection cache and make the import
+        # fail the way a duckdb-less executor would.
+        monkeypatch.setattr(sim, "_DUCK_CON", None)
+        monkeypatch.setattr(sim, "_DUCK_PID", None)
+        monkeypatch.setitem(sys.modules, "duckdb", None)
+        assert sim._duck_con() is None
+        cases = self._fuzz_cases()[:300]
+        s1 = np.array([c[0] for c in cases], dtype=object)
+        s2 = np.array([c[1] for c in cases], dtype=object)
+        got = sim._jw_floor_batch(s1, s2)
+        for i, (a, b) in enumerate(cases):
+            exp = _jaro_winkler(a, b, floor_transpositions=True)
+            assert got[i] == exp, (a, b, got[i], exp)
+        # Un-poison the cache for later tests in this process.
+        monkeypatch.setattr(sim, "_DUCK_CON", None)
+        monkeypatch.setattr(sim, "_DUCK_PID", None)
+
     def test_floor_udf_null_and_nonascii_rows(self, spark):
         from multi_crm_cross_sell_spark.functions.similarity import (
             jaro_winkler_textbook,
