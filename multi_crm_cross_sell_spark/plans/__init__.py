@@ -38,30 +38,61 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries"]
 # history"); this comment carries only the policy and the CURRENT
 # round.
 #
-# Round-14 rotation (57 parked / 50 in-window / 107 registered):
-# The THIRTY-TWO round-12 parks hit their R2 deadline and ALL rejoin
-# the driver window (the round-13 verdict's demand list, verbatim).
-# No newcomer this round (growth-discipline demand: registry stays
-# 107). Every query whose executed plan changes in round 14 sits
-# in-window so CORRECTNESS_r14 proves it green post-change:
-# er_threshold_sweep (broadcast → shuffle_hash self-join),
-# ann_ivf_filtered_topk (nprobe 16 → 32, oracle mirrored),
-# vocab_construction (TakeOrdered cap before the rank window),
-# document_token_ids (literal-map narrow-projection rewrite — also a
-# deadline rejoin), ann_lsh_topk (bucket_wide_arrow per-row fallback
-# per ADVICE), and — from the later-session plan changes —
-# jaro_winkler_pairs (single ArrowEvalPython + DuckDB-core batch
-# kernel), ann_lsh_multitable (one-pass multi-table bucket kernel),
-# ann_ivf2_topk (fused two-level assignment — also a deadline
-# rejoin), ann_pq_topk (fused assignment+encode), and the BNLJ-gate
-# retirement consumers whose executed assignment node changed
-# (ann_ivf_topk, ann_rerank_crossencoder, cluster_balanced_sample,
-# prototypicality_pruning, d4_selection; semantic_dedup and
-# ann_ivf_filtered_topk were already in-window). In exchange,
-# round-13-driver-green UNCHANGED entries park per R5 — groups
-# (a)/(b)/(c) annotated inline below; R2 deadline r16.
+# Round-15 rotation (57 parked / 50 in-window / 107 registered):
+# The TWENTY-TWO round-13 parks hit their R2 deadline and ALL rejoin
+# the driver window (the round-14 verdict's demand list, verbatim:
+# minhash_near_dup … nation_balance_quantiles, incl.
+# corpus_curation_report and bpe_vocab). No newcomer (registry stays
+# 107). Every query whose executed plan OR kernel closure changes in
+# round 15 sits in-window so CORRECTNESS_r15 proves it green
+# post-change — the round-15 changes are closure-level (ADVICE
+# null-element COALESCE + id_col in the bucket kernels; the
+# _CodebookCarrier shipping switch in the assignment kernels; the
+# rid-scatter + fence relocation in the Jaro batch kernel), so the
+# conservative rule applies to their consumers: ann_lsh_topk,
+# ann_lsh_multitable, ann_ivf_topk, ann_ivf2_topk, ann_pq_topk,
+# ann_ivf_filtered_topk, ann_rerank_crossencoder, semantic_dedup,
+# d4_selection, prototypicality_pruning, cluster_balanced_sample,
+# jaro_winkler_pairs — all kept in-window. In exchange, 22
+# round-14-driver-green UNCHANGED entries park per R5 (groups
+# annotated inline below). Full rationale: COVERAGE.md §Rotation
+# history, round 15.
 _TAIL = (
-    # -- parked round 14 (driver-green r13), per R5; R2 deadline = r16 --
+    # -- parked round 15 (driver-green r14, unchanged this round),
+    #    per R5 --
+    # (a) family variants / rows whose base or §2 sibling stays
+    # in-window:
+    "simhash_fingerprints",  # fingerprint family; exact_dedup stays,
+    #   minhash_near_dup rejoins
+    "er_threshold_sweep",  # pair family; jaro_winkler_pairs +
+    #   blocked_similarity_join stay; permanently benched (PAIRGEN)
+    "event_funnel_metrics",  # event family; event_tumbling_windows stays
+    "event_props_json",  # event family; event_tumbling_windows stays
+    "stateful_running_totals",  # streaming; stateful_streaming_dedup
+    #   stays, streaming tests cover
+    "incremental_watermark_sync",  # streaming/S7; same coverage
+    "weekly_order_rollup",  # A2/F22; daily_order_stats stays
+    "global_rank_topn",  # W family; topk_per_group stays
+    "label_join",  # J5/A8; pricing_summary + daily_order_stats stay
+    "order_value_histogram",  # A-histogram; sales_rollup_cube stays
+    "balance_outliers_zscore",  # stats family;
+    #   nation_balance_quantiles rejoins
+    "repeated_span_removal",  # span family; decontamination_span_
+    #   removal stays, exact_repeat_* trio rejoins
+    # (b) beyond-reference ops green r14:
+    "ab_bucket_allocation",
+    "domain_extraction",
+    "deterministic_pred_id",
+    "stratified_sample",
+    "dataset_temperature_mix",
+    "perplexity_filter_by_lang",
+    "length_bucketed_batches",
+    "dsir_importance_weights",
+    # (c) §2 rows green r14, first parked round:
+    "ml_training_scores",
+    "contract_validation_report",  # A9-A10/P10
+    # -- parked round 14 (driver-green r13), per R5; second parked
+    #    round — R2 deadline = r16 --
     # (a) family variants whose base / §2 sibling is in-window:
     "order_priority_pivot",  # A5; sales_rollup_cube rejoins
     "customers_without_urgent_orders",  # J7 anti; semi twin rejoins
@@ -106,35 +137,8 @@ _TAIL = (
     "string_agg_per_group",  # J4/M5
     "trend_with_date_spine",  # A6
     "distinct_union_nations",  # SO1/SO4
-    # -- parked round 13 (driver-green r12), per R5; R2 deadline = r15
-    #    (second consecutive parked round — ALL must rejoin in r15) --
-    # (a) family variants whose base / §2 sibling is in-window:
-    "minhash_near_dup",  # dedup family; exact_dedup_documents stays
-    "ngram_jaccard_dedup_idf",  # dedup family
-    "embedding_near_dup",  # ANN family in-window (lsh/ivf2/filtered)
-    "dedup_keep_best",  # dedup family
-    "incremental_neardup_ingest",  # dedup family
-    "leakage_safe_splits",  # splits sibling dataset_split_assignments
-    #   was in-window r13
-    "source_overlap_matrix",  # dedup-family diagnostic
-    "benchmark_decontamination_bloom",  # crossover analysis recorded
-    #   in SCALE.md §Round 13
-    "bigram_lm_quality",  # re-scoped r12, tripwire holds
-    "bpe_vocab",  # tokenizer family; re-scoped r14 (SCALE.md §Round
-    #   14), document_token_ids + document_bpe_ids rejoin
-    "exact_repeat_stats",  # suffix family
-    "exact_repeat_removal",  # suffix family
-    "exact_contamination_spans",  # suffix family
-    # (b) beyond-reference ops green r12:
-    "doc_repetition_stats",
-    "doc_text_stats",
-    "langid_heuristic",
-    "pii_redaction",
-    "rolling_hash_fingerprints",
-    "token_counting",
-    "corpus_curation_report",
-    "approx_distinct_stats",
-    "nation_balance_quantiles",
+    # (The 22 round-13 parks hit their R2 deadline and rejoined the
+    # window in round 15 — see the rotation comment above.)
 )
 
 

@@ -425,6 +425,12 @@ def main() -> None:
                 {
                     "scale": label,
                     "relative_size": rel,
+                    # Core count recorded so 8-vs-32-core runs of the
+                    # SAME decade are comparable lines (round-15
+                    # verdict item 3: driver-visible parallel-scaling
+                    # evidence at the 10x decade — run this tool once
+                    # with SPARK_GRAFT_CPUS=8 and once with 32).
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                     "total_sec": round(sum(timings.values()), 3),
                     "queries": timings,
                 }
