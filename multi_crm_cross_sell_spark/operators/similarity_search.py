@@ -998,6 +998,50 @@ class _CodebookCarrier:
         return self.broadcast.value
 
 
+def _local_cents_frame(spark, scalar_cols, prefix: str, M) -> DataFrame:
+    """Codebook frame as a LOCAL relation built from driver arrays the
+    caller ALREADY holds (the bounded collect every assignment kernel
+    performs): ``scalar_cols`` is [(name, "bigint"|"int", int_array)],
+    plus ``{prefix}_0..{prefix}_{dim-1}`` double columns from the c×dim
+    matrix ``M``. Replaces the probe side's computed codebook subplans
+    (TakeOrderedAndProject over the corpus + a single-partition rank
+    window per broadcast re-plan) with a LocalTableScan — zero jobs,
+    zero extra passes over the corpus (guide §2.4); the values are the
+    SAME doubles the collect returned, so results are bit-identical.
+    Every field is declared non-nullable — nullable wide columns
+    regenerate the isnotnull-constraint closure unpack_exprs exists to
+    avoid. Size discipline: callers gate on CODEBOOK_CLOSURE_MAX_BYTES
+    (c·dim·8 B ≈ √n·512 B — the closure-bound math at the constant)
+    and keep the computed-frame form past it, where embedding tens of
+    MB into the plan would bloat driver memory and every task
+    description."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n, dim = M.shape
+    tmap = {"bigint": LongType(), "int": IntegerType()}
+    fields = [StructField(nm, tmap[t], False) for nm, t, _ in scalar_cols]
+    fields += [StructField(f"{prefix}_{i}", DoubleType(), False) for i in range(dim)]
+    data = [
+        tuple(int(arr[r]) for _, _, arr in scalar_cols)
+        + tuple(float(x) for x in M[r])
+        for r in range(n)
+    ]
+    # ONE partition, explicitly: PySpark's createDataFrame(list) is
+    # RDD-backed (parallelize over defaultParallelism slices), so each
+    # downstream broadcast build would otherwise run a
+    # cores-wide-task job just to collect c rows (measured: 2 × 32-task
+    # jobs, 0.91 s of ann_ivf2_topk's sf0.1 wall).
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), StructType(fields)
+    )
+
+
 def _half_up_exact(x):
     """HALF_UP (round half away from zero) with EXACT tie detection —
     numpy's round() is banker's and the naive floor(|x|+0.5) misrounds
@@ -1733,19 +1777,10 @@ def ivf2_topk(
         # construction as ivf_assign's); coarse = the c1-prefix of the
         # SAME lowest-id ordering, so ONE bounded collect (c rows, the
         # exact payload _assign_cells_arrow collects on the flat path)
-        # serves both codebook levels of the fused kernel.
-        fine = (
-            base.orderBy("vec_id")
-            .limit(c)
-            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
-            .withColumn("cent_ix", F.row_number().over(cw) - 1)
-        )
-        coarse = (
-            base.orderBy("vec_id")
-            .limit(c1)
-            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
-            .withColumn("cent_ix", F.row_number().over(cw) - 1)
-        )
+        # serves both codebook levels of the fused kernel AND the
+        # local probe-side frames below — the JVM fine/coarse frames
+        # are only built on the above-bound fallback path.
+        fine = coarse = None
         rows = sorted(
             base.orderBy("vec_id").limit(c).collect(), key=lambda r: r["vec_id"]
         )
@@ -1763,76 +1798,128 @@ def ivf2_topk(
     # remains the probe side's source so the executed probe plan is
     # unchanged.
     flab = _ivf2_labels_np(Cf, f_ids, Cc, c_ids, c_cix, self_pairs)
-    # Coarse centroids in o_-prefixed layout for joins against frames
-    # that already carry c_-named fine centroids or v_-named vectors.
-    co = coarse.selectExpr(
-        "cent_id AS co_id",
-        "cent_ix AS co_ix",
-        *[f"c_{i} AS o_{i}" for i in range(dim)],
-    )
-    # Fine -> coarse labels: c×c1 pairs, packed-long argmax ordered
-    # (sim desc, SELF first, co_id asc via the dense monotone co_ix) —
-    # a few hundred rows at any measured decade, broadcast everywhere
-    # below. The SELF bit guarantees every coarse centroid (which is
-    # also a fine centroid — both are lowest-id prefixes) labels to
-    # ITSELF even when two coarse centroids' cosines tie at 9 dp:
-    # without it, a coarse cell could end up with zero fine centroids
-    # while vectors still coarse-assign to it, and the stage-2 inner
-    # join would silently drop those vectors from the index (round-10
-    # review finding). Bound: (2e9·2 + 1)·2^21 ≈ 8.4e15 « 2^63.
-    # In kmeans mode the ids are synthetic and unrelated across levels,
-    # so the self term is hard-zero — validity comes from the
-    # empty-cell DROP below instead.
-    lab_raw = (
-        f"{dot_cols('c', 'o', dim)}"
-        f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
-    )
-    self_term = (
-        "(CASE WHEN cent_id = co_id THEN 1L ELSE 0L END)"
-        if centroids != "kmeans"
-        else "0L"
-    )
-    lab_packed = F.expr(
-        f"((CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L) * 2"
-        f" + {self_term})"
-        f" * 2097152L + (1048576L - co_ix)"
-    )
-    labels = (
-        fine.join(F.broadcast(co), how="cross")
-        .select("cent_ix", lab_packed.alias("pk"))
-        .groupBy("cent_ix")
-        .agg(F.max("pk").alias("pk"))
-        .select(
-            "cent_ix",
-            (
-                F.lit(1048576).cast("bigint")
-                - F.pmod(F.col("pk"), F.lit(2097152))
-            ).alias("co_ix"),
-        )
-    )
     if centroids == "kmeans":
         # Drop empty coarse cells BEFORE any assignment/probe: vectors
         # and queries only ever see coarse cells that own ≥1 fine
         # centroid, restoring the coverage invariant the self bit
-        # provides in "first" mode. The valid set is ≤ c1 ints.
-        coarse_valid = coarse.join(
-            F.broadcast(labels.select(F.col("co_ix").alias("cent_ix")).distinct()),
-            "cent_ix",
+        # provides in "first" mode. The valid set is ≤ c1 ints,
+        # computed from flab (bit-identical to the JVM labels argmax —
+        # test_ivf2_fused_assignment_matches_jvm).
+        valid = np.unique(flab)
+        keep = np.isin(c_cix, valid)
+        Cc_a, c_cix_a, c_ids_a = Cc[keep], c_cix[keep], c_ids[keep]
+    else:
+        Cc_a, c_cix_a, c_ids_a = Cc, c_cix, c_ids
+    if Cf.nbytes + Cc.nbytes <= CODEBOOK_CLOSURE_MAX_BYTES:
+        # PROBE-SIDE LOCALIZATION (round 15): the coarse frame and the
+        # labeled fine codebook are LOCAL relations built from the
+        # driver rows the fused kernel already collected, with the
+        # fine→coarse labels from the SAME numpy argmax the kernel
+        # uses (parity vs the JVM lab_packed form pinned by
+        # test_ivf2_fused_assignment_matches_jvm). This removes two
+        # corpus-sized TakeOrdered passes (the JVM fine/coarse scans),
+        # their single-partition rank windows, and the c×c1
+        # cross-join + groupBy labels chain from the executed plan —
+        # the probe side now starts from two LocalTableScans. Values
+        # are the same collected doubles, so results are bit-identical.
+        spark = embeddings.sparkSession
+        co = _local_cents_frame(
+            spark,
+            [("co_id", "bigint", c_ids_a), ("co_ix", "int", c_cix_a)],
+            "o",
+            Cc_a,
         )
-        co = coarse_valid.selectExpr(
+        fine_lab = _local_cents_frame(
+            spark,
+            [
+                ("cent_ix", "int", f_cix),
+                ("cent_id", "bigint", f_ids),
+                ("co_ix", "bigint", flab),
+            ],
+            "c",
+            Cf,
+        )
+    else:
+        # Above the closure bound (n ≳ 1.7×10¹⁰ — the
+        # CODEBOOK_CLOSURE_MAX_BYTES math): keep the computed-frame
+        # probe side so tens of MB never embed into the plan; the
+        # kernel side switches to an explicit broadcast at the same
+        # bound (_CodebookCarrier).
+        if fine is None:
+            fine = (
+                base.orderBy("vec_id")
+                .limit(c)
+                .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+                .withColumn("cent_ix", F.row_number().over(cw) - 1)
+            )
+            coarse = (
+                base.orderBy("vec_id")
+                .limit(c1)
+                .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+                .withColumn("cent_ix", F.row_number().over(cw) - 1)
+            )
+        # Coarse centroids in o_-prefixed layout for joins against
+        # frames carrying c_-named fine centroids or v_-named vectors.
+        co = coarse.selectExpr(
             "cent_id AS co_id",
             "cent_ix AS co_ix",
             *[f"c_{i} AS o_{i}" for i in range(dim)],
         )
-        valid = np.unique(flab)
-        keep = np.isin(c_cix, valid)
-        Cc_a, c_cix_a = Cc[keep], c_cix[keep]
-    else:
-        Cc_a, c_cix_a = Cc, c_cix
-    # Labeled fine codebook for the QUERY probe side only (the fused
-    # kernel below owns both assignment stages); single consumer, so
-    # no checkpoint — one broadcast build.
-    fine_lab = fine.join(F.broadcast(labels), "cent_ix")
+        # Fine -> coarse labels: c×c1 pairs, packed-long argmax ordered
+        # (sim desc, SELF first, co_id asc via the dense monotone
+        # co_ix). The SELF bit guarantees every coarse centroid (also a
+        # fine centroid — both are lowest-id prefixes) labels to ITSELF
+        # even when two coarse centroids' cosines tie at 9 dp: without
+        # it, a coarse cell could end up with zero fine centroids while
+        # vectors still coarse-assign to it, and the stage-2 inner join
+        # would silently drop those vectors from the index (round-10
+        # review finding). Bound: (2e9·2 + 1)·2^21 ≈ 8.4e15 « 2^63.
+        # In kmeans mode the ids are synthetic and unrelated across
+        # levels, so the self term is hard-zero — validity comes from
+        # the empty-cell DROP instead.
+        lab_raw = (
+            f"{dot_cols('c', 'o', dim)}"
+            f" / ({norm_cols('c', dim)} * {norm_cols('o', dim)})"
+        )
+        self_term = (
+            "(CASE WHEN cent_id = co_id THEN 1L ELSE 0L END)"
+            if centroids != "kmeans"
+            else "0L"
+        )
+        lab_packed = F.expr(
+            f"((CAST(ROUND(({lab_raw}) * 1000000000) AS BIGINT) + 1000000000L) * 2"
+            f" + {self_term})"
+            f" * 2097152L + (1048576L - co_ix)"
+        )
+        labels = (
+            fine.join(F.broadcast(co), how="cross")
+            .select("cent_ix", lab_packed.alias("pk"))
+            .groupBy("cent_ix")
+            .agg(F.max("pk").alias("pk"))
+            .select(
+                "cent_ix",
+                (
+                    F.lit(1048576).cast("bigint")
+                    - F.pmod(F.col("pk"), F.lit(2097152))
+                ).alias("co_ix"),
+            )
+        )
+        if centroids == "kmeans":
+            coarse_valid = coarse.join(
+                F.broadcast(
+                    labels.select(F.col("co_ix").alias("cent_ix")).distinct()
+                ),
+                "cent_ix",
+            )
+            co = coarse_valid.selectExpr(
+                "cent_id AS co_id",
+                "cent_ix AS co_ix",
+                *[f"c_{i} AS o_{i}" for i in range(dim)],
+            )
+        # Labeled fine codebook for the QUERY probe side only (the
+        # fused kernel owns both assignment stages); single consumer,
+        # so no checkpoint — one broadcast build.
+        fine_lab = fine.join(F.broadcast(labels), "cent_ix")
     # Both assignment stages (vector → coarse cell → fine cell within
     # that coarse cell) run in ONE Arrow pass; the kernel emits base's
     # columns + cell directly, so no join re-attaches the vectors.
