@@ -1015,6 +1015,8 @@ def _local_cents_frame(spark, scalar_cols, prefix: str, M) -> DataFrame:
     and keep the computed-frame form past it, where embedding tens of
     MB into the plan would bloat driver memory and every task
     description."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -1025,21 +1027,41 @@ def _local_cents_frame(spark, scalar_cols, prefix: str, M) -> DataFrame:
 
     n, dim = M.shape
     tmap = {"bigint": LongType(), "int": IntegerType()}
+    npmap = {"bigint": np.int64, "int": np.int32}
     fields = [StructField(nm, tmap[t], False) for nm, t, _ in scalar_cols]
     fields += [StructField(f"{prefix}_{i}", DoubleType(), False) for i in range(dim)]
-    data = [
-        tuple(int(arr[r]) for _, _, arr in scalar_cols)
-        + tuple(float(x) for x in M[r])
-        for r in range(n)
-    ]
-    # ONE partition, explicitly: PySpark's createDataFrame(list) is
-    # RDD-backed (parallelize over defaultParallelism slices), so each
-    # downstream broadcast build would otherwise run a
-    # cores-wide-task job just to collect c rows (measured: 2 × 32-task
-    # jobs, 0.91 s of ann_ivf2_topk's sf0.1 wall).
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(data, 1), StructType(fields)
-    )
+    schema = StructType(fields)
+    cols = {nm: arr.astype(npmap[t]) for nm, t, arr in scalar_cols}
+    for i in range(dim):
+        cols[f"{prefix}_{i}"] = M[:, i]
+    pdf = pd.DataFrame(cols)
+    # The pandas-with-Arrow path yields a true LocalRelation (values
+    # bit-exact through Arrow float64), so downstream broadcast builds
+    # collect driver-side with ZERO jobs; the conf is a runtime SQL
+    # conf, default-off on a vanilla session (the driver's), so set it
+    # for the createDataFrame call and restore. Fallback: an explicit
+    # 1-slice parallelize — RDD-backed, but each broadcast build is
+    # then one 1-task job instead of a cores-wide scan (PySpark's
+    # createDataFrame(list) parallelizes over defaultParallelism
+    # slices; measured 2 × 32-task jobs, 0.91 s of ann_ivf2_topk's
+    # sf0.1 wall).
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "true")
+        try:
+            return spark.createDataFrame(pdf, schema)
+        finally:
+            spark.conf.set(key, prev)
+    except Exception:
+        data = [
+            tuple(int(arr[r]) for _, _, arr in scalar_cols)
+            + tuple(float(x) for x in M[r])
+            for r in range(n)
+        ]
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(data, 1), schema
+        )
 
 
 def _half_up_exact(x):
@@ -1066,6 +1088,7 @@ def _assign_cells_arrow(
     dim: int,
     cblock: int = 1024,
     with_sim: bool = False,
+    cmat: "tuple | None" = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow-batched numpy pass —
     bit-identical to the packed-long BNLJ argmax (same left-to-right
@@ -1086,15 +1109,20 @@ def _assign_cells_arrow(
     prototypicality oracles)."""
     import numpy as np
 
-    crows = sorted(cents.collect(), key=lambda r: r["cent_ix"])
-    C = np.array(
-        [[r[f"c_{i}"] for i in range(dim)] for r in crows], dtype=np.float64
-    )
-    cix = np.array([r["cent_ix"] for r in crows], dtype=np.int64)
+    if cmat is not None:
+        # Caller already holds the codebook arrays (ivf_assign's
+        # bounded collect, round 15) — no second collect job.
+        C, cix = cmat
+    else:
+        crows = sorted(cents.collect(), key=lambda r: r["cent_ix"])
+        C = np.array(
+            [[r[f"c_{i}"] for i in range(dim)] for r in crows], dtype=np.float64
+        )
+        cix = np.array([r["cent_ix"] for r in crows], dtype=np.int64)
     # Centroid norms once, in the SAME i-ascending accumulation order
     # as norm_cols (per-step IEEE rounding identical ⇒ identical
     # doubles; sqrt is correctly rounded).
-    cacc = np.zeros(len(crows))
+    cacc = np.zeros(C.shape[0])
     for i in range(dim):
         cacc += C[:, i] * C[:, i]
     cnorm = np.sqrt(cacc)
@@ -1240,12 +1268,6 @@ def ivf_assign(
     base = wide_base(
         embeddings, id_col, vec_col, dim, n_rows=n_rows, extra_cols=extra_cols
     ).localCheckpoint(eager=False)
-    if centroids == "kmeans":
-        cents = _kmeans_cents(base, n_centroids, dim)
-    else:
-        cents = base.orderBy("vec_id").limit(n_centroids).selectExpr(
-            "vec_id AS cent_id", *rename_exprs("v", "c", dim)
-        )
     # Dense 0-based centroid index for the argmax packing below:
     # cent_id can be any vec_id value ("first" mode), but the packed
     # tie-break field needs < 2^20. row_number over the tiny centroid
@@ -1254,11 +1276,56 @@ def ivf_assign(
     # ordering. Cell identity is internal; both the assignment and
     # the query probes key on cent_ix.
     cw = Window.orderBy("cent_id")
-    cents = cents.withColumn("cent_ix", F.row_number().over(cw) - 1)
-    # (Round 9 measured and REJECTED localizing cents to a
-    # LocalTableScan via driver collect: the synchronous collect +
-    # per-call re-pickle cost more than the TakeOrdered subplans the
-    # broadcasts re-plan — 1.6 → 1.9s same-session A/B at sf0.1.)
+    cmat = None
+    if centroids == "kmeans":
+        cents = _kmeans_cents(base, n_centroids, dim).withColumn(
+            "cent_ix", F.row_number().over(cw) - 1
+        )
+    elif impl == "arrow":
+        # The Arrow kernel needs the codebook matrix on the driver
+        # anyway, so ONE bounded collect (c rows ≈ √n·512 B adaptive)
+        # serves both the kernel closure and — below the shipping
+        # bound — a LOCAL cents frame for the probe/lookup consumers,
+        # removing the TakeOrdered-over-the-corpus pass + rank window
+        # every downstream broadcast re-plans. (Round 9 measured this
+        # localization SLOWER, 1.6 → 1.9 s, because back then the
+        # collect was an ADDED synchronous job; since the round-13/14
+        # kernels it is sunk cost — round 15 re-measured the local
+        # frame faster across the family, SCALE.md §Round 15.)
+        import numpy as np
+
+        rows = sorted(
+            base.orderBy("vec_id").limit(n_centroids).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        C = np.array(
+            [[r[f"v_{i}"] for i in range(dim)] for r in rows],
+            dtype=np.float64,
+        )
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        cix = np.arange(C.shape[0], dtype=np.int64)
+        cmat = (C, cix)
+        if C.nbytes <= CODEBOOK_CLOSURE_MAX_BYTES:
+            cents = _local_cents_frame(
+                base.sparkSession,
+                [("cent_id", "bigint", ids), ("cent_ix", "int", cix)],
+                "c",
+                C,
+            )
+        else:
+            cents = (
+                base.orderBy("vec_id")
+                .limit(n_centroids)
+                .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+                .withColumn("cent_ix", F.row_number().over(cw) - 1)
+            )
+    else:
+        cents = (
+            base.orderBy("vec_id")
+            .limit(n_centroids)
+            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+            .withColumn("cent_ix", F.row_number().over(cw) - 1)
+        )
     # ARGMAX AS A PACKED-LONG MAX. Three formulations were measured at
     # the 100x decade (200k vectors x 447 centroids = 89M rows):
     # - row_number window over the wide pair stream: 403s (full
@@ -1294,7 +1361,7 @@ def ivf_assign(
     #   A/B and for environments where the Python worker path is
     #   unavailable.
     if impl == "arrow":
-        cells = _assign_cells_arrow(base, cents, dim, with_sim=with_sim)
+        cells = _assign_cells_arrow(base, cents, dim, with_sim=with_sim, cmat=cmat)
     else:
         raw = (
             f"{dot_cols('v', 'c', dim)}"
@@ -2504,13 +2571,6 @@ def pq_topk(
     base = wide_base(
         embeddings, id_col, vec_col, dim, n_rows=n_vectors
     ).localCheckpoint(eager=False)
-    cw = Window.orderBy("cent_id")
-    cents = (
-        base.orderBy("vec_id")
-        .limit(n_centroids)
-        .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
-        .withColumn("cent_ix", F.row_number().over(cw) - 1)
-    )
     ds = dim // n_sub
     # ONE bounded collect serves BOTH codebooks: the IVF centroids are
     # the max(c, ks) lowest-id rows' vectors and the PQ codebook is
@@ -2528,6 +2588,28 @@ def pq_topk(
         dtype=np.float64,
     )
     c_cix = np.arange(C.shape[0], dtype=np.int64)
+    if C.nbytes <= CODEBOOK_CLOSURE_MAX_BYTES:
+        # Probe-side cents as a LOCAL frame from the SAME collected
+        # rows (round 15 — the ivf_assign localization; bound math at
+        # CODEBOOK_CLOSURE_MAX_BYTES): no TakeOrdered pass + rank
+        # window re-planned per broadcast.
+        c_ids = np.array(
+            [r["vec_id"] for r in rows[: n_centroids]], dtype=np.int64
+        )
+        cents = _local_cents_frame(
+            base.sparkSession,
+            [("cent_id", "bigint", c_ids), ("cent_ix", "int", c_cix)],
+            "c",
+            C,
+        )
+    else:
+        cw = Window.orderBy("cent_id")
+        cents = (
+            base.orderBy("vec_id")
+            .limit(n_centroids)
+            .selectExpr("vec_id AS cent_id", *rename_exprs("v", "c", dim))
+            .withColumn("cent_ix", F.row_number().over(cw) - 1)
+        )
     ks = min(ks, len(rows))  # graceful tiny corpora
     Cpq = np.array(
         [
