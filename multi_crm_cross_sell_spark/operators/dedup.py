@@ -196,19 +196,50 @@ def near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with verified shingle Jaccard.
 
     signature (per-row) → band explode → equi-join on (band, key) →
     distinct candidate pairs → verify true Jaccard ≥ threshold.
 
-    Scale shape: the band self-join sees ONLY (doc_id, band_idx, key)
-    rows — the shuffle payload is a few dozen bytes/row regardless of
-    document size, and the identical subplans on both sides let AQE
-    reuse one exchange. Gram-hash arrays are shuffled exactly once per
-    side of the candidate set, in the verification joins, keyed by
-    doc_id — no O(bands × doc_size) array traffic. This is the part
-    that must survive 100 TB: candidates are a tiny fraction of n².
+    Scale shape (round 15 — measured at the 100× decade, where the
+    pre-round-15 form's executed plan carried FOUR full scan→md5→gram
+    pipelines with ZERO exchange reuse, and the planner satisfied both
+    verify joins by broadcasting the FULL corpus gram table — ~800 MB
+    collected and hash-built single-threaded on the driver per side,
+    which is exactly the measured core-count-INDEPENDENT 100× wall in
+    SCALE.md §Round 14, and an outright failure past the 8 GB / 512M-row
+    broadcast cap at n ≳ 5×10⁶ docs):
+
+    - ``n_docs`` ≥ CHECKPOINT_MIN_CORPUS (caller-supplied, e.g. the
+      parquet footer): the NARROW per-doc band-key frame is
+      materialized ONCE behind a lazy localCheckpoint (the
+      incremental_near_dup discipline) and both band-join sides
+      explode from it — one signature pass, cheap-string explodes;
+      the candidate pairs are checkpointed; and the verify sides
+      recompute gram arrays ONLY for documents that appear in a
+      candidate pair (a broadcast semi-join of the candidate-id set
+      onto the scan BELOW the md5 pipeline — guide §8: decide with
+      small rows, compute heavy payloads for survivors only). Heavy
+      md5/gram work drops from 4 corpus passes to 1 + a
+      candidate-sized fraction, and NO corpus-sized relation is ever
+      broadcast. Bound, stated honestly: the candidate-id set itself
+      broadcasts (≤ 2·|pairs| bigints, ~1% of a dedup-rate corpus);
+      past ~10⁸ candidate ids, slice by source/shard or swap the
+      semi-join for a Bloom filter (§3.2) — the band/verify split
+      itself is unchanged by that substitution.
+    - small corpora (< CHECKPOINT_MIN_CORPUS, or ``n_docs`` omitted):
+      the pre-round-15 flowing shape, byte-identical plan — at bench
+      scale the checkpoint/semi-join jobs cost more scheduling floor
+      than the recomputation they save (the CHECKPOINT_MIN_CORPUS
+      rationale). Outputs are bit-identical across branches
+      (asserted at the 100× decade, pinned by unit test).
+
+    The band self-join sees ONLY (doc_id, band_idx, key) rows — the
+    shuffle payload is a few dozen bytes/row regardless of document
+    size. Candidates are a tiny fraction of n²; that invariant is the
+    part that must survive 100 TB.
     """
     # Shingling + md5-minhash is CPU-bound per row; a small parquet
     # lands in one partition and would serialize it on one core. Hash-
@@ -241,17 +272,23 @@ def near_dup_pairs(
     # Column builders, ~300 fewer py4j round trips per construction
     # (this pipeline is built by four registered queries; its Column
     # form alone cost ~0.8s of driver time per construction).
+    gate = docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
     base = (
-        docs.where(F.size(F.split(F.col(text_col), " ")) >= SHINGLE)
-        .repartition(n_parts, F.col(id_col))
+        gate.repartition(n_parts, F.col(id_col))
         .selectExpr(
             f"{id_col} AS doc_id", f"{word_hashes_sql(text_col)} AS wh"
         )
         .selectExpr("doc_id", f"{gram_hashes_sql('wh')} AS sh")
         .repartition(n_parts, F.col("doc_id"))
     )
+    large = n_docs is not None and n_docs >= CHECKPOINT_MIN_CORPUS
     sig = base.selectExpr("doc_id", *minhash_sig_sql("sh"))
     banded = sig.selectExpr("doc_id", *band_keys_sql())
+    if large:
+        # One signature pass: the narrow band-key frame materializes
+        # once; both band-join sides (and cand's every consumer)
+        # explode cheap strings from the checkpoint.
+        banded = banded.localCheckpoint(eager=False)
     n_bands = N_HASHES // BAND_ROWS
     band_arr = ", ".join(f"band{i}" for i in range(n_bands))
     bands = banded.selectExpr(
@@ -260,8 +297,11 @@ def near_dup_pairs(
 
     # shuffle_hash hint: a broadcast self-join would RECOMPUTE the
     # signature pipeline for the broadcast side; a shuffled join makes
-    # both sides the identical exchange, which Spark computes once and
-    # reuses (ReusedExchange in the plan).
+    # both sides the identical exchange. (Round-15 measured caveat: the
+    # hoped-for ReusedExchange does NOT materialize at the 100× decade
+    # — the executed plan carried both sides' full pipelines — which is
+    # why the large branch checkpoints the band frame instead of
+    # trusting reuse.)
     a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     cand = (
         a.join(
@@ -276,8 +316,37 @@ def near_dup_pairs(
         )
         .dropDuplicates(["doc1", "doc2"])
     )
-    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    if large:
+        # Verify ONLY candidate documents: the candidate-id set
+        # semi-joins the scan BELOW the md5/gram pipeline, so the
+        # verify-side heavy work is candidate-sized, not corpus-sized
+        # — and no corpus gram table is ever built or broadcast.
+        cand = cand.localCheckpoint(eager=False)
+        ids = (
+            cand.selectExpr("doc1 AS cid")
+            .union(cand.selectExpr("doc2 AS cid"))
+            .distinct()
+        )
+        sv = (
+            gate.join(
+                F.broadcast(ids), F.col(id_col) == F.col("cid"), "left_semi"
+            )
+            .repartition(n_parts, F.col(id_col))
+            .selectExpr(
+                f"{id_col} AS doc_id", f"{word_hashes_sql(text_col)} AS wh"
+            )
+            .selectExpr("doc_id", f"{gram_hashes_sql('wh')} AS sh")
+            .localCheckpoint(eager=False)
+        )
+        s1 = sv.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+        s2 = sv.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    else:
+        s1 = base.select(
+            F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1")
+        )
+        s2 = base.select(
+            F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2")
+        )
     # One array pass per pair: distinct arrays, so the union size is
     # |A|+|B|−|A∩B| — integer arithmetic instead of a second traversal.
     # Filter on the UNROUNDED value (the oracle does too); round only

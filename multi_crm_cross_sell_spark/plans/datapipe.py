@@ -168,8 +168,12 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection: per-row signatures, band
     bucket equi-join (O(n²) → O(collisions)), then exact shingle
     Jaccard verification on candidates only."""
+    from ..sources.bronze import table_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, threshold=0.6)
+    return near_dup_pairs(
+        docs, threshold=0.6, n_docs=table_num_rows(sf_dir, "documents")
+    )
 
 
 _CLUSTER_ORACLE = f"""
@@ -208,8 +212,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint via a recursive CTE."""
     from ..operators.dedup import dedup_clusters
 
+    from ..sources.bronze import table_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+    return dedup_clusters(
+        near_dup_pairs(
+            docs, threshold=0.6, n_docs=table_num_rows(sf_dir, "documents")
+        )
+    )
 
 
 @register(
@@ -4385,8 +4395,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint via a recursive CTE."""
     from ..operators.dedup import dedup_clusters
 
+    from ..sources.bronze import table_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+    clusters = dedup_clusters(
+        near_dup_pairs(
+            docs, threshold=0.6, n_docs=table_num_rows(sf_dir, "documents")
+        )
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
@@ -4516,8 +4532,14 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — no extra shuffle beyond the join itself."""
     from ..operators.dedup import dedup_clusters, near_dup_pairs
 
+    from ..sources.bronze import table_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(near_dup_pairs(docs, threshold=0.6))
+    clusters = dedup_clusters(
+        near_dup_pairs(
+            docs, threshold=0.6, n_docs=table_num_rows(sf_dir, "documents")
+        )
+    )
     grouped = docs.select("doc_id").join(
         clusters.select("doc_id", "cluster_id"), "doc_id", "left"
     )
@@ -4596,8 +4618,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from ..operators.dedup import near_dup_pairs
 
+    from ..sources.bronze import table_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.6).localCheckpoint(eager=False)
+    pairs = near_dup_pairs(
+        docs, threshold=0.6, n_docs=table_num_rows(sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     src = docs.select("doc_id", "source")
     lab = (
         pairs.join(

@@ -1044,6 +1044,31 @@ class TestRerankCrossencoder:
             ), (r.query_id, r.vec_id)
 
 
+class TestNearDupPairsLargeBranch:
+    """near_dup_pairs' large-corpus shape (round 15): checkpointed
+    band-key frame + candidate-pruned verify sides must be
+    BIT-IDENTICAL to the small-corpus flowing shape."""
+
+    def test_large_branch_matches_small(self, spark, sf_dir):
+        from multi_crm_cross_sell_spark.operators.dedup import near_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        small = sorted(
+            (r.doc1, r.doc2, r.jaccard)
+            for r in near_dup_pairs(docs, threshold=0.6).collect()
+        )
+        # n_docs far above CHECKPOINT_MIN_CORPUS forces the large
+        # branch on the fixture corpus.
+        large = sorted(
+            (r.doc1, r.doc2, r.jaccard)
+            for r in near_dup_pairs(
+                docs, threshold=0.6, n_docs=10**9
+            ).collect()
+        )
+        assert small, "fixture corpus must contain near-dup pairs"
+        assert large == small
+
+
 class TestIncrementalNearDup:
     """incremental_near_dup: asymmetric batch→corpus MinHash probe."""
 
